@@ -1,0 +1,26 @@
+"""columnflow — a TPU-native neural ODE/SDE framework for cortical column networks.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of the reference
+project ccnmaastricht/ODE-Column: a neural ODE/SDE solver engine (replacing
+torchdiffeq/torchsde), laminar cortical-column model families, end-to-end
+jit-compiled training for the four reference tasks (Hopf bifurcation,
+winner-take-all, XOR, 4-bit parity), and an analysis suite.
+
+Layering (see SURVEY.md section 7):
+    config   -> typed TOML loading (reference: src/utils.py:5-10)
+    ops      -> transfer function, interpolation, losses (src/utils.py:13-88)
+    solvers  -> odeint/sdeint engines (replacing torchdiffeq/torchsde)
+    models   -> column physics as pure functions over parameter pytrees
+    kernels  -> fused Pallas step kernels with XLA fallback
+    train    -> optax optimizers, gradient masks, clamps, checkpointing
+    parallel -> device-mesh sharding (DP over batch x noise realizations)
+    data     -> Wong-Wang / Hopf / stimulus dataset builders
+    tasks    -> the four runnable reference workloads
+    analysis -> post-hoc statistics and figures
+"""
+
+__version__ = "0.1.0"
+
+from columnflow.config import load_config, ColumnConfig
+
+__all__ = ["load_config", "ColumnConfig", "__version__"]

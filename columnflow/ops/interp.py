@@ -1,0 +1,47 @@
+"""Differentiable time-interpolation of stimuli.
+
+Replaces the reference's ``torch_interp`` (reference: src/utils.py:31-46):
+1-D linear interpolation of a (T, ...) table ``fp`` at scalar time ``x``,
+clamped to the table's range. Used inside solver steps to look up the stimulus
+at solver time t, so it must trace cleanly under jit/vmap/grad.
+
+For the common case of a *uniform* time grid (every reference task builds
+``time_vec`` with ``linspace``) ``interp_at`` avoids the O(log T) searchsorted
+and computes the bracketing index in O(1) — cheaper on TPU where gather is
+the expensive part.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def interp(x, xp, fp):
+    """Linear interpolation of fp (shape (T, ...)) at scalar/array x over grid xp.
+
+    Matches the reference semantics: x is clamped to [xp[0], xp[-1]].
+    """
+    x = jnp.clip(x, xp[0], xp[-1])
+    idx = jnp.clip(jnp.searchsorted(xp, x, side="right"), 1, xp.shape[0] - 1)
+    x0, x1 = xp[idx - 1], xp[idx]
+    y0, y1 = fp[idx - 1], fp[idx]
+    t = (x - x0) / (x1 - x0)
+    # Broadcast scalar fraction over trailing feature dims of fp.
+    t = jnp.reshape(t, jnp.shape(t) + (1,) * (fp.ndim - 1 - jnp.ndim(x)))
+    return y0 + t * (y1 - y0)
+
+
+def interp_at(x, t0, dt, fp):
+    """Linear interpolation of fp (shape (T, ...)) at scalar x on a uniform grid.
+
+    The grid is t0 + dt*arange(T); equivalent to ``interp`` with
+    ``xp = linspace`` but with O(1) index computation.
+    """
+    T = fp.shape[0]
+    pos = jnp.clip((x - t0) / dt, 0.0, T - 1.0)
+    idx = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, T - 2)
+    frac = pos - idx
+    y0 = fp[idx]
+    y1 = fp[idx + 1]
+    frac = jnp.reshape(frac, jnp.shape(frac) + (1,) * (fp.ndim - 1))
+    return y0 + frac * (y1 - y0)

@@ -1,0 +1,25 @@
+"""columnflow.solvers — the TPU-native ODE/SDE solver engine.
+
+This package replaces everything the reference delegated to torchdiffeq and
+torchsde (reference: imports at scripts/wta_ode.py:9-10, scripts/xor_ode.py:2-3,
+scripts/parity_ode.py:10-11, scripts/bifurcation_ode.py:12):
+
+- ``odeint``: fixed-step (euler/midpoint/heun/rk4 over ``lax.scan``) and
+  adaptive Dormand-Prince 4(5) with PI step control and 4th-order dense output
+  (over ``lax.while_loop``), with torchdiffeq's default tolerance semantics
+  (rtol=1e-7, atol=1e-9, outputs by interpolation of accepted steps).
+- gradients: discrete backprop through the step sequence ("replay", default,
+  matching the reference's backprop-through-solver), continuous adjoint
+  ("backsolve", O(1) memory) as ``jax.custom_vjp``.
+- ``sdeint``: Euler-Maruyama, Milstein, and strong order 1.5 stochastic
+  Runge-Kutta (SRA1 additive / SRIW1 general) for Ito SDEs with scalar or
+  diagonal noise, counter-based Brownian increments from ``jax.random``, and a
+  virtual Brownian tree for adaptive stepping.
+"""
+
+from columnflow.solvers.api import odeint
+from columnflow.solvers.sde import sdeint
+from columnflow.solvers.brownian import VirtualBrownianTree
+from columnflow.solvers.dopri import SolverStats, odeint_stats
+
+__all__ = ["odeint", "sdeint", "VirtualBrownianTree", "SolverStats", "odeint_stats"]

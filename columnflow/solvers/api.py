@@ -1,0 +1,99 @@
+"""Public ODE solver API.
+
+``odeint(func, y0, ts, *args, ...)`` mirrors the call shape of torchdiffeq's
+``odeint`` (reference call sites: scripts/bifurcation_ode.py:163,210,
+scripts/xor_ode.py:114, scripts/parity_ode.py:233) with explicit extra
+``*args`` (JAX-style: parameters are arguments, not module attributes, so
+everything is traceable and differentiable).
+
+Methods:
+    "dopri5" (default)      adaptive, torchdiffeq-default tolerances
+    "euler"/"midpoint"/"heun"/"rk4"
+                            fixed-grid, one step per ts interval
+    "dopri5_fixed"          dopri5 tableau on the fixed grid
+
+Gradient modes for "dopri5" (``adjoint=``):
+    "replay" (default)      discrete backprop through the frozen accepted-step
+                            sequence — the reference's gradient semantics
+    "backsolve"             continuous adjoint (O(1) memory in trajectory len)
+
+States may be arbitrarily shaped arrays or pytrees (pytrees are flattened
+once at the boundary). For batched states the adaptive controller is shared
+across the batch, matching torchdiffeq's behavior on the reference's batched
+Hopf workload (scripts/bifurcation_ode.py:210); per-sample control comes from
+``jax.vmap`` over this function.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+from columnflow.solvers import rk
+from columnflow.solvers.adjoint import odeint_backsolve
+from columnflow.solvers.dopri import odeint_dopri5
+
+_FIXED = ("euler", "midpoint", "heun", "rk4", "dopri5_fixed")
+
+
+def odeint(
+    func: Callable,
+    y0,
+    ts,
+    *args,
+    method: str = "dopri5",
+    rtol: float = 1e-7,
+    atol: float = 1e-9,
+    dt0: float | None = None,
+    max_steps: int = 2048,
+    adjoint: str = "replay",
+):
+    """Integrate dy/dt = func(t, y, *args) and return states at ``ts``.
+
+    Returns ys with leading axis len(ts); ys[0] == y0.
+    """
+    leaves = jax.tree_util.tree_leaves(y0)
+    is_array_state = len(leaves) == 1 and (y0 is leaves[0])
+
+    if is_array_state:
+        flat_y0, f = jnp.asarray(y0), func
+        if not jnp.issubdtype(flat_y0.dtype, jnp.inexact):
+            flat_y0 = flat_y0.astype(jnp.float32)
+        unravel = None
+    else:
+        flat_y0, unravel = ravel_pytree(y0)
+
+        def f(t, y_flat, *a):
+            dy = func(t, unravel(y_flat), *a)
+            return ravel_pytree(dy)[0]
+
+    ts = jnp.asarray(ts, dtype=flat_y0.dtype)
+
+    if method in _FIXED:
+        ys = rk.odeint_fixed(f, flat_y0, ts, *args, tableau=rk.FIXED_TABLEAUS[method])
+    elif method == "dopri5":
+        if adjoint == "backsolve":
+            ys = odeint_backsolve(f, rtol, atol, dt0, max_steps, flat_y0, ts, args)
+        elif adjoint == "replay":
+            ys = odeint_dopri5(
+                f, flat_y0, ts, *args,
+                rtol=rtol, atol=atol, dt0=dt0, max_steps=max_steps,
+                differentiable=True,
+            )
+        elif adjoint in (None, "none"):
+            ys = odeint_dopri5(
+                f, flat_y0, ts, *args,
+                rtol=rtol, atol=atol, dt0=dt0, max_steps=max_steps,
+                differentiable=False,
+            )
+        else:
+            raise ValueError(f"unknown adjoint mode: {adjoint!r}")
+    else:
+        raise ValueError(f"unknown method: {method!r}")
+
+    if unravel is None:
+        return ys
+    return jax.vmap(unravel)(ys)

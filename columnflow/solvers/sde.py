@@ -1,0 +1,205 @@
+"""Stochastic differential equation solvers (Ito), jit-native.
+
+Replaces torchsde's ``sdeint`` (reference call sites: scripts/wta_ode.py:174,
+200, scripts/plotting_results.py:391,506,594). The reference uses Ito SDEs
+with ``noise_type="scalar"`` (ONE shared Brownian motion per trajectory,
+reference: src/coupled_columns.py:155-156) and ``method='srk'``.
+
+Methods:
+    "euler"     Euler-Maruyama (strong 0.5 general / 1.0 additive)
+    "milstein"  derivative-corrected (strong 1.0, scalar/diagonal), dg/dy
+                taken by ``jax.jvp`` -- no hand-written derivatives
+    "srk"       stochastic Runge-Kutta, strong 1.5: Rossler SRA1 when the
+                diffusion is declared additive (the reference's models all
+                have constant diffusion), Rossler SRIW1 otherwise
+
+Integration is fixed-step on the output grid ``ts`` (one step per interval)
+over ``lax.scan`` — reverse-differentiable with per-step rematerialisation,
+exactly the discrete backprop-through-the-solver gradient the reference
+training loops use. Noise is counter-based (keyed by step index), so a
+trajectory is a pure function of (key, inputs): reproducible under jit, vmap,
+grad, and sharding.
+
+Noise kinds:
+    "scalar"    diffusion returns g with y's shape; dy += g * dW, dW scalar
+    "diagonal"  diffusion returns g with y's shape; dy += g * dW, dW elementwise
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def _brownian_pack(key, ts, noise_shape, dtype):
+    """Per-step stochastic integrals for strong-1.5 SRK schemes.
+
+    Returns (I1, I10, I11, I111) with leading axis = num steps:
+        I1   = dW                 ~ N(0, h)
+        I10  = int_t^t+h (W_s - W_t) ds = h*(dW/2 + sqrt(h/12) Z), Z indep
+        I11  = (dW^2 - h)/2
+        I111 = (dW^3 - 3h dW)/6
+    """
+    n = ts.shape[0] - 1
+    hs = (ts[1:] - ts[:-1]).astype(dtype)
+    hs_b = jnp.reshape(hs, (n,) + (1,) * len(noise_shape))
+    k1, k2 = jax.random.split(key)
+    z_w = jax.random.normal(k1, (n,) + noise_shape, dtype)
+    z_h = jax.random.normal(k2, (n,) + noise_shape, dtype)
+    i1 = jnp.sqrt(hs_b) * z_w
+    i10 = hs_b * (0.5 * i1 + jnp.sqrt(hs_b / 12.0) * z_h)
+    i11 = 0.5 * (i1 * i1 - hs_b)
+    i111 = (i1 * i1 * i1 - 3.0 * hs_b * i1) / 6.0
+    return hs, i1, i10, i11, i111
+
+
+# --- Rossler (2010) SRIW1: strong order 1.5 for scalar/diagonal Ito noise ---
+_SRIW1_C0 = (0.0, 3 / 4, 0.0, 0.0)
+_SRIW1_C1 = (0.0, 1 / 4, 1.0, 1 / 4)
+_SRIW1_A0 = ((0.0, 0.0, 0.0, 0.0), (3 / 4, 0.0, 0.0, 0.0),
+             (0.0, 0.0, 0.0, 0.0), (0.0, 0.0, 0.0, 0.0))
+_SRIW1_A1 = ((0.0, 0.0, 0.0, 0.0), (1 / 4, 0.0, 0.0, 0.0),
+             (1.0, 0.0, 0.0, 0.0), (0.0, 0.0, 1 / 4, 0.0))
+_SRIW1_B0 = ((0.0, 0.0, 0.0, 0.0), (3 / 2, 0.0, 0.0, 0.0),
+             (0.0, 0.0, 0.0, 0.0), (0.0, 0.0, 0.0, 0.0))
+_SRIW1_B1 = ((0.0, 0.0, 0.0, 0.0), (1 / 2, 0.0, 0.0, 0.0),
+             (-1.0, 0.0, 0.0, 0.0), (-5.0, 3.0, 1 / 2, 0.0))
+_SRIW1_ALPHA = (1 / 3, 2 / 3, 0.0, 0.0)
+_SRIW1_BETA1 = (-1.0, 4 / 3, 2 / 3, 0.0)
+_SRIW1_BETA2 = (-1.0, 4 / 3, -1 / 3, 0.0)
+_SRIW1_BETA3 = (2.0, -4 / 3, -2 / 3, 0.0)
+_SRIW1_BETA4 = (-2.0, 5 / 3, -2 / 3, 1.0)
+
+
+def _sriw1_step(drift, diffusion, t, y, h, i1, i10, i11, i111, args):
+    """One SRIW1 step (4 drift + 4 diffusion evaluations)."""
+    sqrt_h = jnp.sqrt(h)
+    i10_h = i10 / h
+    i11_s = i11 / sqrt_h
+    i111_h = i111 / h
+
+    f_stages = []
+    g_stages = []
+    for i in range(4):
+        af = sum(_SRIW1_A0[i][j] * f_stages[j] for j in range(i)) if i else 0.0
+        bg = sum(_SRIW1_B0[i][j] * g_stages[j] for j in range(i)) if i else 0.0
+        h0_i = y + h * af + i10_h * bg
+        af1 = sum(_SRIW1_A1[i][j] * f_stages[j] for j in range(i)) if i else 0.0
+        bg1 = sum(_SRIW1_B1[i][j] * g_stages[j] for j in range(i)) if i else 0.0
+        h1_i = y + h * af1 + sqrt_h * bg1
+        f_stages.append(drift(t + _SRIW1_C0[i] * h, h0_i, *args))
+        g_stages.append(diffusion(t + _SRIW1_C1[i] * h, h1_i, *args))
+
+    y1 = y + h * sum(_SRIW1_ALPHA[i] * f_stages[i] for i in range(4))
+    y1 = y1 + sum(
+        (_SRIW1_BETA1[i] * i1 + _SRIW1_BETA2[i] * i11_s
+         + _SRIW1_BETA3[i] * i10_h + _SRIW1_BETA4[i] * i111_h) * g_stages[i]
+        for i in range(4)
+    )
+    return y1
+
+
+def _sra1_step(drift, diffusion, t, y, h, i1, i10, args):
+    """One SRA1 step (2 drift + 2 diffusion evaluations), additive noise."""
+    i10_h = i10 / h
+    g_end = diffusion(t + h, y, *args)
+    g_start = diffusion(t, y, *args)
+    f1 = drift(t, y, *args)
+    h2 = y + 0.75 * h * f1 + 1.5 * i10_h * g_end
+    f2 = drift(t + 0.75 * h, h2, *args)
+    return (
+        y + h * (f1 / 3.0 + 2.0 * f2 / 3.0)
+        + (i1 - i10_h) * g_end + i10_h * g_start
+    )
+
+
+def _euler_step(drift, diffusion, t, y, h, i1, args):
+    return y + h * drift(t, y, *args) + diffusion(t, y, *args) * i1
+
+
+def _milstein_step(drift, diffusion, t, y, h, i1, args):
+    g, dg_g = jax.jvp(
+        lambda y_: diffusion(t, y_, *args), (y,), (diffusion(t, y, *args),)
+    )
+    return y + h * drift(t, y, *args) + g * i1 + 0.5 * dg_g * (i1 * i1 - h)
+
+
+def sdeint(
+    drift: Callable,
+    diffusion: Callable,
+    y0: jax.Array,
+    ts: jax.Array,
+    key: jax.Array,
+    *args,
+    method: str = "srk",
+    noise: str = "scalar",
+    additive: bool = False,
+    remat: bool = True,
+    noise_pack=None,
+):
+    """Integrate the Ito SDE dy = drift dt + diffusion dW on the grid ``ts``.
+
+    Args:
+        drift, diffusion: ``f(t, y, *args)`` pure functions; diffusion returns
+            an array of y's shape (scalar noise multiplies it by one shared
+            Brownian increment; diagonal by elementwise increments).
+        y0: initial state (any array shape).
+        ts: (T,) increasing times; one solver step per interval.
+        key: PRNG key — the trajectory is a pure function of it.
+        method: "euler" | "milstein" | "srk".
+        noise: "scalar" | "diagonal".
+        additive: declare the diffusion state-independent (selects SRA1).
+        noise_pack: optional precomputed stochastic integrals
+            (i1, i10, i11, i111), each with leading axis T-1 — used to pin
+            a Brownian path externally (tests, coupling across resolutions).
+
+    Returns ys with shape (T,) + y0.shape; ys[0] == y0.
+    """
+    ts = jnp.asarray(ts, dtype=y0.dtype)
+    if noise == "scalar":
+        noise_shape: tuple = ()
+    elif noise == "diagonal":
+        noise_shape = y0.shape
+    else:
+        raise ValueError(f"unknown noise kind: {noise!r}")
+
+    if noise_pack is None:
+        hs, i1, i10, i11, i111 = _brownian_pack(key, ts, noise_shape, y0.dtype)
+    else:
+        hs = (ts[1:] - ts[:-1]).astype(y0.dtype)
+        i1, i10, i11, i111 = noise_pack
+    t0s = ts[:-1]
+
+    if method == "srk" and additive:
+        def step(y, xs):
+            t, h, w1, w10 = xs
+            y1 = _sra1_step(drift, diffusion, t, y, h, w1, w10, args)
+            return y1, y1
+        xs = (t0s, hs, i1, i10)
+    elif method == "srk":
+        def step(y, xs):
+            t, h, w1, w10, w11, w111 = xs
+            y1 = _sriw1_step(drift, diffusion, t, y, h, w1, w10, w11, w111, args)
+            return y1, y1
+        xs = (t0s, hs, i1, i10, i11, i111)
+    elif method == "milstein":
+        def step(y, xs):
+            t, h, w1 = xs
+            y1 = _milstein_step(drift, diffusion, t, y, h, w1, args)
+            return y1, y1
+        xs = (t0s, hs, i1)
+    elif method == "euler":
+        def step(y, xs):
+            t, h, w1 = xs
+            y1 = _euler_step(drift, diffusion, t, y, h, w1, args)
+            return y1, y1
+        xs = (t0s, hs, i1)
+    else:
+        raise ValueError(f"unknown method: {method!r}")
+
+    if remat:
+        step = jax.checkpoint(step)
+    _, ys = jax.lax.scan(step, y0, xs)
+    return jnp.concatenate([y0[None], ys], axis=0)

@@ -1,0 +1,181 @@
+"""Solver engine tests: fixed-step RK, adaptive dopri5, dense output, gradients.
+
+Validation targets are closed-form ODE solutions (exponential decay, harmonic
+oscillator, logistic) per the test strategy in SURVEY.md section 4 — the
+north-star correctness bar is trajectory rel-err <= 1e-5 at torchdiffeq's
+default tolerances.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from columnflow.solvers import odeint, odeint_stats
+
+
+def exp_decay(t, y, k=1.0):
+    return -k * y
+
+
+def harmonic(t, y):
+    # y = (x, v), x'' = -x
+    return jnp.stack([y[1], -y[0]])
+
+
+class TestFixedStep:
+    @pytest.mark.parametrize("method,tol", [
+        ("euler", 5e-3), ("midpoint", 2e-5), ("heun", 2e-5), ("rk4", 5e-6),
+    ])
+    def test_exp_decay(self, method, tol):
+        ts = jnp.linspace(0.0, 2.0, 1001)
+        ys = odeint(exp_decay, jnp.asarray([1.0, 2.0]), ts, method=method)
+        want = np.exp(-np.asarray(ts))[:, None] * np.asarray([1.0, 2.0])
+        err = np.max(np.abs(np.asarray(ys) - want) / np.abs(want))
+        assert err < tol
+
+    def test_rk4_harmonic(self):
+        ts = jnp.linspace(0.0, 2 * np.pi, 629)
+        ys = odeint(harmonic, jnp.asarray([1.0, 0.0]), ts, method="rk4")
+        want = np.stack([np.cos(np.asarray(ts)), -np.sin(np.asarray(ts))], axis=1)
+        np.testing.assert_allclose(np.asarray(ys), want, atol=1e-5)
+
+    def test_gradient_through_scan(self):
+        ts = jnp.linspace(0.0, 1.0, 101)
+
+        def loss(k):
+            ys = odeint(exp_decay, jnp.ones(1), ts, k, method="rk4")
+            return ys[-1, 0]
+
+        g = jax.grad(loss)(1.5)
+        # d/dk exp(-k) = -exp(-k)
+        np.testing.assert_allclose(float(g), -np.exp(-1.5), rtol=1e-5)
+
+
+class TestDopri5:
+    def test_exp_decay_tight(self):
+        ts = jnp.linspace(0.0, 5.0, 777)
+        ys = odeint(exp_decay, jnp.asarray([1.0]), ts, method="dopri5",
+                    adjoint="none")
+        want = np.exp(-np.asarray(ts))[:, None]
+        err = np.max(np.abs(np.asarray(ys) - want))
+        assert err < 1e-5
+
+    def test_harmonic_dense_output(self):
+        # Many output points per accepted step exercises the interpolant.
+        ts = jnp.linspace(0.0, 4 * np.pi, 2000)
+        ys = odeint(harmonic, jnp.asarray([1.0, 0.0]), ts, method="dopri5",
+                    adjoint="none")
+        want = np.stack([np.cos(np.asarray(ts)), -np.sin(np.asarray(ts))], axis=1)
+        assert np.max(np.abs(np.asarray(ys) - want)) < 1e-4
+
+    def test_matches_scipy_at_matched_tolerance(self):
+        from scipy.integrate import solve_ivp
+
+        def f_np(t, y):
+            return [y[1], -np.sin(y[0]) - 0.1 * y[1]]
+
+        def f_jx(t, y):
+            return jnp.stack([y[1], -jnp.sin(y[0]) - 0.1 * y[1]])
+
+        ts = np.linspace(0.0, 10.0, 50)
+        sol = solve_ivp(f_np, (0, 10.0), [1.2, 0.0], t_eval=ts, method="RK45",
+                        rtol=1e-9, atol=1e-11)
+        ys = odeint(f_jx, jnp.asarray([1.2, 0.0]), jnp.asarray(ts),
+                    method="dopri5", adjoint="none")
+        # float32 solver vs float64 scipy: expect ~1e-5 agreement.
+        np.testing.assert_allclose(np.asarray(ys), sol.y.T, atol=3e-5)
+
+    def test_batched_state_shared_controller(self):
+        # Batched y0 integrates with one controller (torchdiffeq semantics on
+        # the reference's Hopf workload, scripts/bifurcation_ode.py:210).
+        ts = jnp.linspace(0.0, 1.0, 11)
+        y0 = jnp.asarray([[1.0], [2.0], [3.0]])
+        ys = odeint(exp_decay, y0, ts, method="dopri5", adjoint="none")
+        want = np.exp(-np.asarray(ts))[:, None, None] * np.asarray(y0)[None]
+        np.testing.assert_allclose(np.asarray(ys), want, atol=1e-5)
+
+    def test_vmap(self):
+        ts = jnp.linspace(0.0, 1.0, 5)
+        y0s = jnp.linspace(0.5, 2.0, 4)[:, None]
+
+        def solve(y0):
+            return odeint(exp_decay, y0, ts, method="dopri5", adjoint="none")
+
+        ys = jax.vmap(solve)(y0s)
+        want = np.asarray(y0s)[:, None, :] * np.exp(-np.asarray(ts))[None, :, None]
+        np.testing.assert_allclose(np.asarray(ys), want, atol=1e-5)
+
+    def test_stats(self):
+        ts = jnp.linspace(0.0, 5.0, 3)
+        stats = odeint_stats(exp_decay, jnp.asarray([1.0]), ts)
+        assert bool(stats.success)
+        assert int(stats.naccept) > 0
+        assert int(stats.nfev) >= 6 * int(stats.naccept)
+
+    def test_time_dependent_rhs(self):
+        # y' = cos(t), y(0)=0 -> y = sin(t)
+        ts = jnp.linspace(0.0, 3.0, 61)
+        ys = odeint(lambda t, y: jnp.cos(t) * jnp.ones_like(y),
+                    jnp.zeros(1), ts, method="dopri5", adjoint="none")
+        np.testing.assert_allclose(
+            np.asarray(ys)[:, 0], np.sin(np.asarray(ts)), atol=1e-5
+        )
+
+
+class TestGradients:
+    def _grad_case(self, adjoint):
+        ts = jnp.linspace(0.0, 1.5, 7)
+
+        def loss(y0, k):
+            ys = odeint(exp_decay, y0, ts, k, method="dopri5", adjoint=adjoint)
+            return jnp.sum(ys[-1])
+
+        y0 = jnp.asarray([1.0, 2.0])
+        k = jnp.asarray(0.8)
+        gy, gk = jax.grad(loss, argnums=(0, 1))(y0, k)
+        # y(T) = y0 exp(-kT): dL/dy0 = exp(-kT), dL/dk = -T sum(y0) exp(-kT)
+        T = 1.5
+        np.testing.assert_allclose(
+            np.asarray(gy), np.exp(-0.8 * T) * np.ones(2), rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            float(gk), -T * 3.0 * np.exp(-0.8 * T), rtol=1e-4
+        )
+
+    def test_replay_gradients(self):
+        self._grad_case("replay")
+
+    def test_backsolve_gradients(self):
+        self._grad_case("backsolve")
+
+    def test_replay_matches_backsolve(self):
+        ts = jnp.linspace(0.0, 2.0, 9)
+
+        def mk_loss(adj):
+            def loss(k):
+                def f(t, y, kk):
+                    return jnp.stack([y[1], -kk * y[0]])
+                ys = odeint(f, jnp.asarray([1.0, 0.0]), ts, k,
+                            method="dopri5", adjoint=adj)
+                return jnp.sum(ys ** 2)
+            return loss
+
+        g1 = jax.grad(mk_loss("replay"))(jnp.asarray(2.0))
+        g2 = jax.grad(mk_loss("backsolve"))(jnp.asarray(2.0))
+        np.testing.assert_allclose(float(g1), float(g2), rtol=1e-3)
+
+    def test_pytree_state(self):
+        ts = jnp.linspace(0.0, 1.0, 5)
+
+        def f(t, y):
+            return {"a": -y["a"], "b": -2.0 * y["b"]}
+
+        y0 = {"a": jnp.ones(2), "b": jnp.ones(3)}
+        ys = odeint(f, y0, ts, method="dopri5", adjoint="none")
+        np.testing.assert_allclose(
+            np.asarray(ys["a"][-1]), np.exp(-1.0) * np.ones(2), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(ys["b"][-1]), np.exp(-2.0) * np.ones(3), atol=1e-5
+        )

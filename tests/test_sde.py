@@ -1,0 +1,182 @@
+"""SDE solver tests: reproducibility, shapes, strong accuracy, moments, grads.
+
+Strong-order validation couples the Brownian path across grid resolutions by
+exact aggregation of (I1, I10) from a fine grid (the I10 aggregation identity
+int_t^{t+H}(W_s - W_t)ds = sum_j I10_j + sum_j (W_tj - W_t) h). Statistical
+equivalence with torchsde (not pathwise — Brownian sampling differs) is the
+documented bar per SURVEY.md section 7.3 item 4.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from columnflow.solvers import sdeint
+
+
+def _gbm(mu=0.3, sig=0.7):
+    return (lambda t, y: mu * y), (lambda t, y: sig * y)
+
+
+def _coarsen(i1f, i10f, hf, factor):
+    """Exactly aggregate fine-grid (I1, I10) onto a coarser grid."""
+    b, nf = i1f.shape
+    n = nf // factor
+    i1c = i1f.reshape(b, n, factor).sum(-1)
+    cum = np.concatenate([np.zeros((b, 1)), np.cumsum(i1f, axis=1)], axis=1)[:, :-1]
+    cum = cum.reshape(b, n, factor)
+    w_local = cum - cum[:, :, :1]
+    i10c = i10f.reshape(b, n, factor).sum(-1) + (w_local * hf).sum(-1)
+    return i1c, i10c
+
+
+def _packs(i1, i10, h):
+    i11 = 0.5 * (i1**2 - h)
+    i111 = (i1**3 - 3 * h * i1) / 6
+    return tuple(jnp.asarray(a, dtype=jnp.float32) for a in (i1, i10, i11, i111))
+
+
+class TestBasics:
+    def test_reproducible_and_key_sensitive(self):
+        drift = lambda t, y: -y
+        diffusion = lambda t, y: jnp.ones_like(y)
+        ts = jnp.linspace(0.0, 1.0, 101)
+        y0 = jnp.zeros(4)
+        a = sdeint(drift, diffusion, y0, ts, jax.random.PRNGKey(0))
+        b = sdeint(drift, diffusion, y0, ts, jax.random.PRNGKey(0))
+        c = sdeint(drift, diffusion, y0, ts, jax.random.PRNGKey(1))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert np.max(np.abs(np.asarray(a) - np.asarray(c))) > 1e-3
+
+    def test_shapes_and_initial_state(self):
+        drift = lambda t, y: -y
+        diffusion = lambda t, y: 0.1 * jnp.ones_like(y)
+        ts = jnp.linspace(0.0, 0.5, 51)
+        y0 = jnp.full((2, 3), 1.5)
+        for noise in ("scalar", "diagonal"):
+            ys = sdeint(drift, diffusion, y0, ts, jax.random.PRNGKey(0),
+                        noise=noise, method="euler")
+            assert ys.shape == (51, 2, 3)
+            np.testing.assert_array_equal(np.asarray(ys[0]), np.asarray(y0))
+
+    def test_zero_diffusion_matches_ode(self):
+        drift = lambda t, y: -y
+        diffusion = lambda t, y: jnp.zeros_like(y)
+        ts = jnp.linspace(0.0, 1.0, 201)
+        for method, tol in (("euler", 5e-3), ("milstein", 5e-3), ("srk", 1e-5)):
+            ys = sdeint(drift, diffusion, jnp.ones(1), ts, jax.random.PRNGKey(0),
+                        method=method)
+            np.testing.assert_allclose(float(ys[-1, 0]), np.exp(-1.0), rtol=tol)
+
+    def test_gradients_flow(self):
+        ts = jnp.linspace(0.0, 0.5, 51)
+
+        def loss(theta):
+            drift = lambda t, y, th: -th * y
+            diffusion = lambda t, y, th: 0.2 * jnp.ones_like(y)
+            ys = sdeint(drift, diffusion, jnp.ones(2), ts, jax.random.PRNGKey(3),
+                        theta, method="srk", additive=True)
+            return jnp.mean(ys**2)
+
+        g = jax.grad(loss)(jnp.asarray(1.2))
+        assert np.isfinite(float(g))
+        assert abs(float(g)) > 1e-4
+
+
+class TestStrongAccuracy:
+    """GBM d y = mu y dt + sig y dW has the exact terminal value
+    y0 exp((mu - sig^2/2) T + sig W_T); strong error is measured against it
+    with the solver pinned to the same Brownian path via noise_pack."""
+
+    @pytest.fixture(scope="class")
+    def gbm_errors(self):
+        mu, sig, T = 0.3, 0.7, 1.0
+        drift, diffusion = _gbm(mu, sig)
+        B, nf = 256, 512
+        rng = np.random.default_rng(0)
+        hf = T / nf
+        i1f = np.sqrt(hf) * rng.normal(size=(B, nf))
+        i10f = hf * (0.5 * i1f + np.sqrt(hf / 12) * rng.normal(size=(B, nf)))
+        exact = np.exp((mu - sig**2 / 2) * T + sig * i1f.sum(-1))
+
+        errors = {}
+        for n in (32, 128):
+            h = T / n
+            i1, i10 = _coarsen(i1f, i10f, hf, nf // n)
+            pack = _packs(i1, i10, h)
+            ts = jnp.linspace(0.0, T, n + 1)
+            for method in ("euler", "milstein", "srk"):
+                solve = jax.vmap(
+                    lambda p: sdeint(
+                        drift, diffusion, jnp.float32(1.0), ts,
+                        jax.random.PRNGKey(0), method=method, noise_pack=p,
+                    )[-1],
+                )
+                finals = np.asarray(solve(pack))
+                errors[(method, n)] = float(
+                    np.sqrt(np.mean((finals - exact) ** 2))
+                )
+        return errors
+
+    def test_method_ordering(self, gbm_errors):
+        for n in (32, 128):
+            assert gbm_errors[("srk", n)] < 0.2 * gbm_errors[("milstein", n)]
+            assert gbm_errors[("milstein", n)] < 0.5 * gbm_errors[("euler", n)]
+
+    def test_srk_strong_order(self, gbm_errors):
+        # 4x refinement: order 1.5 predicts 8x error reduction; demand >= 3x
+        # to absorb sampling noise.
+        assert gbm_errors[("srk", 32)] / gbm_errors[("srk", 128)] > 3.0
+
+    def test_milstein_strong_order(self, gbm_errors):
+        # order 1.0 predicts 4x; demand >= 2x.
+        assert gbm_errors[("milstein", 32)] / gbm_errors[("milstein", 128)] > 2.0
+
+    def test_srk_absolute_accuracy(self, gbm_errors):
+        assert gbm_errors[("srk", 128)] < 1e-3
+
+
+class TestAdditive:
+    def test_ou_stationary_variance(self):
+        # OU: dy = -theta y dt + s dW; Var[y_inf] = s^2 / (2 theta).
+        theta, s = 1.0, 0.5
+        drift = lambda t, y: -theta * y
+        diffusion = lambda t, y: jnp.full_like(y, s)
+        ts = jnp.linspace(0.0, 6.0, 601)
+
+        def solve(key):
+            return sdeint(drift, diffusion, jnp.zeros(()), ts, key,
+                          method="srk", additive=True)[-1]
+
+        finals = jax.vmap(solve)(jax.random.split(jax.random.PRNGKey(7), 2048))
+        var = float(jnp.var(finals))
+        want = s * s / (2 * theta)
+        assert abs(var - want) / want < 0.15
+
+    def test_sra1_refinement(self):
+        # Self-refinement with a coupled path: errors must drop steeply.
+        theta, s, T = 1.0, 0.5, 1.0
+        drift = lambda t, y: -theta * y
+        diffusion = lambda t, y: jnp.full_like(y, s)
+        B, nf = 128, 512
+        rng = np.random.default_rng(4)
+        hf = T / nf
+        i1f = np.sqrt(hf) * rng.normal(size=(B, nf))
+        i10f = hf * (0.5 * i1f + np.sqrt(hf / 12) * rng.normal(size=(B, nf)))
+
+        finals = {}
+        for n in (16, 64, 512):
+            h = T / n
+            i1, i10 = _coarsen(i1f, i10f, hf, nf // n)
+            pack = _packs(i1, i10, h)
+            ts = jnp.linspace(0.0, T, n + 1)
+            solve = jax.vmap(
+                lambda p: sdeint(drift, diffusion, jnp.float32(1.0), ts,
+                                 jax.random.PRNGKey(0), method="srk",
+                                 additive=True, noise_pack=p)[-1]
+            )
+            finals[n] = np.asarray(solve(pack))
+        e16 = np.sqrt(np.mean((finals[16] - finals[512]) ** 2))
+        e64 = np.sqrt(np.mean((finals[64] - finals[512]) ** 2))
+        assert e16 / e64 > 4.0  # order 1.5 predicts 8x over 4x refinement
