@@ -1,0 +1,271 @@
+"""General hierarchical column network (reference: ColumnNetwork,
+src/coupled_columns.py:458-801) — the parity-task model family.
+
+Areas are stacked feedforwardly (area k-1 -> k only); within an area, columns
+interact through structurally-masked lateral inhibition; trainable groups are
+input weights (first area), feedforward matrices (between areas), lateral
+matrices (within areas), and an output readout vector.
+
+TPU-first design: the reference loops over areas per drift evaluation
+(src/coupled_columns.py:717-751). Here every per-area matrix is embedded into
+one full (P, P) matrix at build time, so a drift evaluation is ONE matvec
+with W_inner + W_lateral + W_ff — the per-area decomposition is an
+implementation artifact of the reference, not semantics (the block-banded
+structure lives in the masks).
+
+State layout (3P,): [membrane(P), adaptation(P), rate(P)], P = 8 * total
+columns; columns ordered area-major.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from columnflow.config import POPS_PER_COLUMN, ColumnConfig
+from columnflow.models.column import AreaParams, Stimulus, build_area_params
+from columnflow.ops.interp import interp_at
+from columnflow.ops.transfer import compute_firing_rate
+
+NETWORK_NOISE_STD = 10.0  # reference: src/coupled_columns.py:795
+
+
+class NetworkStatic(NamedTuple):
+    """Static structure of the hierarchical network."""
+
+    inner_weights: np.ndarray  # (P, P) fixed within-column anatomy, block-diag
+    background_current: np.ndarray  # (P,)
+    adaptation_strength: np.ndarray  # (P,)
+    input_mask: np.ndarray  # (P, n_inputs)
+    feedforward_mask: np.ndarray  # (P, P)
+    lateral_mask: np.ndarray  # (P, P)
+    output_mask: np.ndarray  # (8,)
+    columns_per_area: tuple
+    num_pops: int
+    tau_syn: float
+    tau_mem: float
+    tau_adapt: float
+    resistance: float
+
+
+def make_mask_fan_in(mask: np.ndarray, num_target_blocks: int, num_source_blocks: int):
+    """Keep only diagonal (target-block, source-block) pairs
+    (reference: src/coupled_columns.py:513-527)."""
+    size_t, size_s = mask.shape
+    fan = np.zeros_like(mask)
+    ft = size_t // num_target_blocks
+    fs = size_s // num_source_blocks
+    for i, j in zip(range(0, size_t, ft), range(0, size_s, fs)):
+        fan[i : i + ft, j : j + fs] = 1.0
+    return mask * fan
+
+
+def make_mask_fan_in_random(
+    mask: np.ndarray, rng: np.random.Generator, source_is_input: bool = False
+):
+    """Random fan-in assignment of source columns to target columns
+    (reference: src/coupled_columns.py:529-575). Each target column ends up
+    receiving from ``nr_sources`` source columns."""
+    size_t, size_s = mask.shape
+    pops_per_src = 1 if source_is_input else 8
+    nr_sources = 2 if source_is_input else 3
+    n_t = size_t // 8
+    n_s = size_s // pops_per_src
+    fan = np.zeros_like(mask)
+
+    assignments = rng.integers(0, n_t, size=n_s)
+    for scol, tcol in enumerate(assignments):
+        fan[tcol * 8 : (tcol + 1) * 8,
+            scol * pops_per_src : (scol + 1) * pops_per_src] = 1.0
+
+    for tcol in range(n_t):
+        block = fan[tcol * 8 : (tcol + 1) * 8]
+        already = np.flatnonzero(
+            block.sum(0).reshape(n_s, pops_per_src).sum(1) > 0
+        )
+        need = nr_sources - len(already)
+        if need > 0:
+            choices = np.setdiff1d(np.arange(n_s), already)
+            chosen = rng.permutation(choices)[:need]
+            for scol in chosen:
+                fan[tcol * 8 : (tcol + 1) * 8,
+                    scol * pops_per_src : (scol + 1) * pops_per_src] = 1.0
+    return mask * fan
+
+
+def _block_offsets(columns_per_area: Sequence[int]):
+    pops = [c * POPS_PER_COLUMN for c in columns_per_area]
+    offs = np.concatenate([[0], np.cumsum(pops)])
+    return pops, offs
+
+
+def build_column_network(
+    cfg: ColumnConfig,
+    key,
+    areas: Sequence[str] = ("mt", "mt", "mt"),
+    columns_per_area: Sequence[int] = (8, 4, 1),
+    n_inputs: int = 4,
+    random_fan_in: bool = False,
+):
+    """Build (params, static) for the hierarchical network.
+
+    Trainable params (each stored full-size, masked by the static masks):
+        input_weights  (P0, n_inputs)  |N(init, 3)| * 0.8, fan-in masked with
+                                       the reference's row-swap
+                                       (src/coupled_columns.py:577-601)
+        feedforward    (P, P)          |N(init, 1)| * 4, block-banded
+                                       (src/coupled_columns.py:603-631)
+        lateral        (P, P)          N(init, 0.01) * 0.01, block-diag
+                                       cross-column (src/coupled_columns.py:633-668)
+        output_weights (8,)            w = |N(init, 1e-3)|^2 * mask
+                                       (the reference squares via `*= rand*mask`,
+                                       src/coupled_columns.py:684-685)
+    """
+    columns_per_area = tuple(columns_per_area)
+    area_ps = [
+        build_area_params(cfg, a, c) for a, c in zip(areas, columns_per_area)
+    ]
+    pops, offs = _block_offsets(columns_per_area)
+    P = int(offs[-1])
+    total_cols = sum(columns_per_area)
+    consts = build_area_params(cfg, "mt", total_cols)
+
+    masks = cfg.connection_masks
+    inits = cfg.connection_inits
+
+    # Fixed within-column anatomy, block-diag over the whole network.
+    inner = np.zeros((P, P), dtype=np.float32)
+    bg = np.zeros(P, dtype=np.float32)
+    for k, ap in enumerate(area_ps):
+        sl = slice(int(offs[k]), int(offs[k + 1]))
+        inner[sl, sl] = ap.recurrent_weights * ap.internal_mask
+        bg[sl] = ap.background_current
+
+    key, k_in, k_ff, k_lat, k_out = jax.random.split(key, 5)
+    rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2**31 - 1)))
+
+    # --- input weights (first area) ---
+    P0 = pops[0]
+    in_init = np.tile(np.asarray(inits["input"]), (columns_per_area[0], n_inputs))
+    in_rand = np.abs(
+        in_init + 3.0 * np.asarray(jax.random.normal(k_in, in_init.shape))
+    ) * 0.8
+    in_mask = np.tile(np.asarray(masks["input"]), (columns_per_area[0], n_inputs))
+    if random_fan_in:
+        in_mask = make_mask_fan_in_random(in_mask, rng, source_is_input=True)
+    else:
+        in_mask = make_mask_fan_in(in_mask, 2, 2)
+        if P0 >= 48:
+            # Reference's hand-rolled permutation of the fan-in pattern
+            # (src/coupled_columns.py:595-596).
+            in_mask[0:16, :] = in_mask[32:48, :]
+            in_mask[32:48, :] = in_mask[16:32, :]
+    input_weights = (in_rand * in_mask).astype(np.float32)
+    input_mask_full = np.zeros((P, n_inputs), dtype=np.float32)
+    input_mask_full[:P0] = in_mask
+    input_weights_full = np.zeros((P, n_inputs), dtype=np.float32)
+    input_weights_full[:P0] = input_weights
+
+    # --- feedforward (area k-1 -> k), embedded at block (k, k-1) ---
+    ff_full = np.zeros((P, P), dtype=np.float32)
+    ff_mask_full = np.zeros((P, P), dtype=np.float32)
+    ff_keys = jax.random.split(k_ff, len(area_ps))
+    for k in range(1, len(area_ps)):
+        tc, sc = columns_per_area[k], columns_per_area[k - 1]
+        ff_init = np.tile(np.asarray(inits["feedforward"]), (tc, sc))
+        rand = np.abs(
+            ff_init + 1.0 * np.asarray(jax.random.normal(ff_keys[k], ff_init.shape))
+        ) * 4.0
+        m = np.tile(np.asarray(masks["feedforward"]), (tc, sc))
+        if tc > 1:
+            m = make_mask_fan_in(m, 2, 2)
+        rows = slice(int(offs[k]), int(offs[k + 1]))
+        cols = slice(int(offs[k - 1]), int(offs[k]))
+        ff_full[rows, cols] = rand * m
+        ff_mask_full[rows, cols] = m
+
+    # --- lateral (within-area, cross-column), embedded at block (k, k) ---
+    lat_full = np.zeros((P, P), dtype=np.float32)
+    lat_mask_full = np.zeros((P, P), dtype=np.float32)
+    lat_keys = jax.random.split(k_lat, len(area_ps))
+    for k, ap in enumerate(area_ps):
+        c = columns_per_area[k]
+        lat_init = np.tile(np.asarray(inits["lateral"]), (c, c))
+        rand = (
+            lat_init + 0.01 * np.asarray(jax.random.normal(lat_keys[k], lat_init.shape))
+        ) * 0.01
+        m = np.tile(np.asarray(masks["lateral"]), (c, c)) * np.asarray(
+            ap.external_mask
+        )
+        sl = slice(int(offs[k]), int(offs[k + 1]))
+        lat_full[sl, sl] = rand * m
+        if c > 1:  # single-column areas have no trainable laterals
+            lat_mask_full[sl, sl] = m
+
+    # --- output readout over the last column's populations ---
+    out_init = np.asarray(inits["output"], dtype=np.float32)
+    out_mask = np.asarray(masks["output"], dtype=np.float32)
+    out_rand = np.abs(
+        out_init + 1e-3 * np.asarray(jax.random.normal(k_out, out_init.shape))
+    )
+    output_weights = (out_rand * out_rand * out_mask).astype(np.float32)
+
+    params = {
+        "input_weights": jnp.asarray(input_weights_full),
+        "feedforward": jnp.asarray(ff_full),
+        "lateral": jnp.asarray(lat_full),
+        "output_weights": jnp.asarray(output_weights),
+    }
+    static = NetworkStatic(
+        inner_weights=inner,
+        background_current=bg,
+        adaptation_strength=np.asarray(consts.adaptation_strength, np.float32),
+        input_mask=input_mask_full,
+        feedforward_mask=ff_mask_full,
+        lateral_mask=lat_mask_full,
+        output_mask=out_mask,
+        columns_per_area=columns_per_area,
+        num_pops=P,
+        tau_syn=consts.tau_syn,
+        tau_mem=consts.tau_mem,
+        tau_adapt=consts.tau_adapt,
+        resistance=consts.resistance,
+    )
+    return params, static
+
+
+def network_drift(t, y, params, net: NetworkStatic, stim: Stimulus):
+    """dy/dt for the (3P,) state — a single fused matvec over the whole
+    network (reference semantics: src/coupled_columns.py:753-788)."""
+    P = net.num_pops
+    v, a, r = y[:P], y[P : 2 * P], y[2 * P :]
+    fr = compute_firing_rate(v - a)
+
+    ext = interp_at(t, stim.t0, stim.dt, stim.table)  # (n_inputs,)
+
+    hi = jax.lax.Precision.HIGHEST
+    w = jnp.asarray(net.inner_weights) + params["lateral"] + params["feedforward"]
+    current = (
+        jnp.matmul(w, fr, precision=hi)
+        + jnp.matmul(params["input_weights"], ext, precision=hi)
+        + jnp.asarray(net.background_current)
+    )
+    total = current * net.tau_syn
+
+    dv = (-v + total * net.resistance) / net.tau_mem
+    da = (-a + jnp.asarray(net.adaptation_strength) * fr) / net.tau_adapt
+    dr = (-r + fr) / net.tau_syn
+    return jnp.concatenate([dv, da, dr])
+
+
+def network_diffusion(t, y, params, net: NetworkStatic, stim: Stimulus,
+                      membrane_only: bool = False):
+    """Constant diffusion, sigma = 10. As with WTA, the reference's indexing
+    applies it to the WHOLE state despite the docstring
+    (src/coupled_columns.py:790-800); default reproduces actual behavior."""
+    if membrane_only:
+        return jnp.zeros_like(y).at[: net.num_pops].set(NETWORK_NOISE_STD)
+    return jnp.full_like(y, NETWORK_NOISE_STD)
