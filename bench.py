@@ -1,0 +1,172 @@
+"""Headline benchmark: stochastic WTA training throughput.
+
+Workload (the reference's flagship, scripts/wta_ode.py:208-216): one training
+iteration = batched SDE rollout of 15 samples x 1500 SRK steps on the 48-dim
+two-column model, Huber trajectory loss, backprop through all solver steps,
+masked RMSprop update.
+
+Prints ONE JSON line:
+    {"metric": "wta_train_iters_per_sec", "value": N, "unit": "iters/sec",
+     "vs_baseline": M}
+
+``vs_baseline`` is the speedup over a torch-CPU implementation of the same
+iteration written the way the reference runs it (sequential per-sample
+torchsde-style stepping, backprop through the step graph). The baseline is
+measured once and cached in benchmarks/baseline_torch_cpu.json; delete that
+file to re-measure. Set COLUMNFLOW_BENCH_SKIP_BASELINE=1 to skip (then
+vs_baseline uses the cached/default value).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+BATCH = 16  # reference batch size; 15 train + 1 held out
+TIME_STEPS = 1500
+BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "benchmarks", "baseline_torch_cpu.json")
+
+
+def bench_columnflow(iters: int = 10):
+    import jax
+    import jax.numpy as jnp
+
+    from columnflow.config import ColumnConfig
+    from columnflow.tasks import wta as wta_task
+
+    cfg = ColumnConfig.load()
+    task = wta_task.build_task(cfg, jax.random.PRNGKey(0),
+                               time_steps=TIME_STEPS)
+    step_fn = wta_task.make_train_step(task)
+
+    n = BATCH - 1
+    true_states = 0.5 * jnp.ones((n, TIME_STEPS, 2))
+    stims = jnp.tile(jnp.asarray([[20.0, 8.0]]), (n, 1))
+    params = task.params
+    opt_state = task.optimizer.init(params)
+    key = jax.random.PRNGKey(1)
+
+    # Warmup/compile.
+    for _ in range(2):
+        key, k = jax.random.split(key)
+        params, opt_state, loss, _ = step_fn(params, opt_state, true_states,
+                                             stims, k)
+    loss.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        key, k = jax.random.split(key)
+        params, opt_state, loss, _ = step_fn(params, opt_state, true_states,
+                                             stims, k)
+    loss.block_until_ready()
+    dt = time.perf_counter() - t0
+    return iters / dt
+
+
+def bench_torch_baseline(n_samples: int = 3):
+    """Torch-CPU baseline: the same math, executed the way the reference
+    executes it — a sequential Python loop over samples, each building a
+    1500-step autograd graph (SRA1 stages), then backward + masked RMSprop.
+    Measured over ``n_samples`` and extrapolated linearly to 15 (the loop is
+    sample-sequential, so scaling is linear by construction)."""
+    import numpy as np
+    import torch
+
+    from columnflow.config import ColumnConfig
+    from columnflow.models import build_area_params
+    from columnflow.models.wta import wta_lat_in_mask
+
+    torch.set_num_threads(os.cpu_count() or 1)
+    cfg = ColumnConfig.load()
+    area = build_area_params(cfg, "mt", 2, small_network=True)
+
+    W = torch.nn.Parameter(torch.tensor(np.asarray(area.recurrent_weights)))
+    bg = torch.tensor(np.asarray(area.background_current))
+    ffw = torch.tensor(np.asarray(area.feedforward_weights))
+    adapt = torch.tensor(np.asarray(area.adaptation_strength))
+    mask = torch.tensor(wta_lat_in_mask())
+    out_w = torch.zeros(8)
+    out_w[0] = 1.0
+    tau_s, tau_m, tau_a, R = 0.0005, 0.02, 10.0, 80.0
+    dt = 0.15 / TIME_STEPS
+    sqrt_dt = dt**0.5
+
+    def fr_of(x):
+        xn = 48.0 * x - 981.0
+        return xn / (1 - torch.exp(80.0 * torch.tanh(-0.0089 * xn / 80.0)))
+
+    def drift(y, stim_t):
+        v, a, r = y[:16], y[16:32], y[32:]
+        fr = fr_of(v - a)
+        cur = (ffw * stim_t + bg + W @ fr) * tau_s
+        return torch.cat([(-v + cur * R) / tau_m,
+                          (-a + adapt * fr) / tau_a,
+                          (-r + fr) / tau_s])
+
+    stim = torch.zeros(TIME_STEPS, 16)
+    stim[TIME_STEPS // 3 : 2 * TIME_STEPS // 3, [2, 3]] = 20.0
+    stim[TIME_STEPS // 3 : 2 * TIME_STEPS // 3, [10, 11]] = 8.0
+    target = 0.5 * torch.ones(TIME_STEPS, 2)
+    opt = torch.optim.RMSprop([W], lr=10.0, alpha=0.9)
+
+    t0 = time.perf_counter()
+    opt.zero_grad()
+    losses = []
+    for s in range(n_samples):
+        y = torch.zeros(48)
+        traj = []
+        g = torch.full((48,), 100.0)
+        for i in range(TIME_STEPS - 1):
+            # SRA1 (additive noise), same scheme as the TPU path.
+            dW = torch.randn(()) * sqrt_dt
+            i10 = dt * (0.5 * dW + (dt / 12) ** 0.5 * torch.randn(()))
+            f1 = drift(y, stim[i])
+            h2 = y + 0.75 * dt * f1 + 1.5 * (i10 / dt) * g
+            f2 = drift(h2, stim[i])
+            y = y + dt * (f1 / 3 + 2 * f2 / 3) + dW * g
+            traj.append(y)
+        traj = torch.stack(traj)
+        fr = fr_of(traj[:, :16] - traj[:, 16:32])
+        pred = torch.stack([(fr[:, :8] * out_w).sum(-1),
+                            (fr[:, 8:] * out_w).sum(-1)], dim=-1)
+        losses.append(torch.nn.SmoothL1Loss()(pred, target[1:]))
+    loss = torch.stack(losses).mean()
+    loss.backward()
+    W.grad *= mask
+    opt.step()
+    dt_wall = time.perf_counter() - t0
+    # Extrapolate to the full 15-sample iteration.
+    return 1.0 / (dt_wall * (BATCH - 1) / n_samples)
+
+
+def get_baseline():
+    if os.path.exists(BASELINE_PATH):
+        with open(BASELINE_PATH) as f:
+            return json.load(f)["iters_per_sec"]
+    if os.environ.get("COLUMNFLOW_BENCH_SKIP_BASELINE"):
+        return None
+    ips = bench_torch_baseline()
+    os.makedirs(os.path.dirname(BASELINE_PATH), exist_ok=True)
+    with open(BASELINE_PATH, "w") as f:
+        json.dump({"iters_per_sec": ips, "note":
+                   "torch CPU, sequential per-sample, extrapolated to 15 "
+                   "samples"}, f)
+    return ips
+
+
+def main():
+    value = bench_columnflow()
+    baseline = get_baseline()
+    vs = value / baseline if baseline else float("nan")
+    print(json.dumps({
+        "metric": "wta_train_iters_per_sec",
+        "value": round(value, 4),
+        "unit": "iters/sec",
+        "vs_baseline": round(vs, 2) if vs == vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

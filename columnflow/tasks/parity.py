@@ -1,0 +1,215 @@
+"""4-bit parity classification task (reference: scripts/parity_ode.py).
+
+Trains a 3-area hierarchical column network (8/4/1 columns, 312-dim state) to
+output ~20 Hz for even parity and ~0 for odd: readout = output-weighted mean
+L2/3e-family rate of the final column over the last 100 steps
+(scripts/parity_ode.py:239-249). Adam(lr=0.1), gradients masked to structural
+masks, post-step clamps (lateral <= 0, others >= 0, output in [0, 1])
+(scripts/parity_ode.py:185-197, 263-274).
+
+The reference integrates each of the 4 batch samples sequentially through
+adaptive torchdiffeq; here the batch is one vmapped jitted solve. NaN/grad
+explosion checks (scripts/parity_ode.py:255-261) become structured metrics.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from columnflow.config import ColumnConfig
+from columnflow.data import make_parity_batch, parity_stim_table
+from columnflow.models import Stimulus, build_column_network, network_drift
+from columnflow.ops.transfer import compute_firing_rate
+from columnflow.train import MetricsLogger, adam, clamp_params, mask_grads
+
+DT = 1e-3
+STIM_DURATION = 0.5
+TIME_STEPS = int(STIM_DURATION * 2 / DT)  # scripts/parity_ode.py:169-172
+OUTPUT_SCALE = 1.0
+TARGET_EVEN = 20.0  # Hz (scripts/parity_ode.py:245-246)
+
+
+class ParityTask(NamedTuple):
+    params: dict
+    net: object
+    ts: jax.Array
+    dt: float
+    grad_mask: dict
+    clamps: dict
+    optimizer: object
+    max_steps: int
+
+
+def build_task(cfg: ColumnConfig, key, lr: float = 0.1,
+               columns_per_area=(8, 4, 1), n_inputs: int = 4,
+               time_steps: int = TIME_STEPS, dt: float = DT,
+               max_steps: int = 4096) -> ParityTask:
+    params, net = build_column_network(
+        cfg, key, columns_per_area=columns_per_area, n_inputs=n_inputs
+    )
+    ts = jnp.linspace(0.0, time_steps * dt, time_steps)
+    grad_mask = {
+        "input_weights": jnp.asarray(net.input_mask),
+        "feedforward": jnp.asarray(net.feedforward_mask),
+        "lateral": jnp.asarray(net.lateral_mask),
+        "output_weights": jnp.asarray(net.output_mask),
+    }
+    clamps = {
+        "input_weights": (0.0, None),
+        "feedforward": (0.0, None),
+        "lateral": (None, 0.0),  # lateral inhibition cannot be positive
+        "output_weights": (0.0, OUTPUT_SCALE),
+    }
+    return ParityTask(params, net, ts, float(ts[1] - ts[0]), grad_mask,
+                      clamps, adam(lr), max_steps)
+
+
+def batched_rollout(params, task: ParityTask, stims_raw, method="dopri5",
+                    differentiable=True):
+    """Integrate a batch of input patterns: (B, n_inputs) -> (B, T, 3P)."""
+    from columnflow.solvers import odeint
+
+    time_steps = task.ts.shape[0]
+    state_dim = 3 * task.net.num_pops
+
+    def drift(t, y, p, table):
+        return network_drift(t, y, p, task.net, Stimulus(0.0, task.dt, table))
+
+    def one(stim_raw):
+        table = parity_stim_table(stim_raw, time_steps)
+        return odeint(
+            drift, jnp.zeros(state_dim), task.ts, params, table,
+            method=method, max_steps=task.max_steps,
+            adjoint="replay" if differentiable else "none",
+        )
+
+    return jax.vmap(one)(stims_raw)
+
+
+def readout(ys, params, net):
+    """Mean rate of the final column over the last 100 steps, weighted by the
+    output vector (reference: scripts/parity_ode.py:239-243)."""
+    P = net.num_pops
+    fr = compute_firing_rate(ys[..., :P] - ys[..., P : 2 * P])
+    final = fr[:, -100:, -8:]  # (B, 100, 8): last column
+    mean_final = jnp.mean(final, axis=1)
+    return jnp.sum(mean_final * params["output_weights"] / OUTPUT_SCALE, axis=-1)
+
+
+def parity_targets(stims_raw, level: float = 15.0):
+    """20 Hz if the input sum is even parity (sum %% (2*level) == 0), else 0
+    (reference: scripts/parity_ode.py:245)."""
+    even = jnp.mod(jnp.sum(stims_raw, axis=1), 2.0 * level) == 0.0
+    return even.astype(jnp.float32) * TARGET_EVEN
+
+
+def make_train_step(task: ParityTask):
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, stims_raw):
+        def loss_fn(p):
+            ys = batched_rollout(p, task, stims_raw)
+            out = readout(ys, p, task.net)
+            return jnp.mean(jnp.abs(out - parity_targets(stims_raw))), out
+
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        grads = mask_grads(grads, task.grad_mask)
+        gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(g))
+                             for g in jax.tree_util.tree_leaves(grads)))
+        grads_finite = jnp.all(
+            jnp.asarray([jnp.all(jnp.isfinite(g))
+                         for g in jax.tree_util.tree_leaves(grads)])
+        )
+        updates, opt_state = task.optimizer.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        params = clamp_params(params, task.clamps)
+        return params, opt_state, loss, out, gnorm, grads_finite
+
+    return train_step
+
+
+def train_parity(
+    nr_samples: int = 6400,
+    batch_size: int = 4,
+    seed: int = 0,
+    columns_per_area=(8, 4, 1),
+    n_inputs: int = 4,
+    time_steps: int = TIME_STEPS,
+    max_steps: int = 4096,
+    metrics_path: str | None = None,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 5,
+):
+    """Reference defaults: 6400 samples / batch 4 -> 1600 iterations
+    (scripts/parity_ode.py:286-294)."""
+    cfg = ColumnConfig.load()
+    key = jax.random.PRNGKey(seed)
+    key, k_build = jax.random.split(key)
+    task = build_task(cfg, k_build, columns_per_area=columns_per_area,
+                      n_inputs=n_inputs, time_steps=time_steps,
+                      max_steps=max_steps)
+
+    if checkpoint_path:  # pre-training snapshot (scripts/parity_ode.py:210-211)
+        from columnflow.train import save_checkpoint
+
+        save_checkpoint(checkpoint_path + ".pre", params=task.params, step=0)
+
+    step_fn = make_train_step(task)
+    opt_state = task.optimizer.init(task.params)
+    params = task.params
+    logger = MetricsLogger(metrics_path)
+    history = []
+
+    for it in range(nr_samples // batch_size):
+        key, k_batch = jax.random.split(key)
+        stims = make_parity_batch(k_batch, n_inputs, batch_size)
+        params, opt_state, loss, out, gnorm, finite = step_fn(
+            params, opt_state, stims
+        )
+        logger.log(it, loss=loss, grad_norm=gnorm,
+                   grads_finite=int(finite))
+        history.append({"loss": float(loss), "grad_norm": float(gnorm)})
+        if not bool(finite):
+            print(f"WARNING: non-finite gradients at iter {it}")
+        if checkpoint_path and it % checkpoint_every == 0:
+            from columnflow.train import save_checkpoint
+
+            save_checkpoint(checkpoint_path, params=params,
+                            opt_state=opt_state, key=key, step=it)
+
+    logger.close()
+    return params, history
+
+
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--samples", type=int, default=6400)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--smoke", action="store_true")
+    p.add_argument("--metrics-out", default=None)
+    p.add_argument("--checkpoint-out", default=None)
+    args = p.parse_args()
+
+    if args.smoke:
+        params, hist = train_parity(
+            nr_samples=8, batch_size=4, seed=args.seed, time_steps=200,
+            max_steps=1024, metrics_path=args.metrics_out,
+        )
+    else:
+        params, hist = train_parity(
+            nr_samples=args.samples, batch_size=args.batch_size,
+            seed=args.seed, metrics_path=args.metrics_out,
+            checkpoint_path=args.checkpoint_out,
+        )
+    print(f"final loss {hist[-1]['loss']:.5f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,214 @@
+"""Winner-take-all training task (reference: scripts/wta_ode.py).
+
+Learns the lateral-inhibition / self-excitation entries of a two-column
+area so its L2/3e rate trajectories match Wong-Wang decision dynamics.
+
+TPU-native restructuring of the reference's loop (scripts/wta_ode.py:139-205):
+the reference integrates each of the 15 batch samples SEQUENTIALLY through
+torchsde and backprops through Python solver internals; here the whole batch
+(samples x SDE noise realizations) is one vmapped, jit-compiled ``sdeint``
+over ``lax.scan``, and the optimizer update (torch-RMSprop lr=10.0 alpha=0.9
++ ExponentialLR gamma=0.99, gradients masked to the 4 trainable entries) is
+fused into the same jitted step. Optionally shards the batch across a device
+mesh (data parallelism over ICI) via ``columnflow.parallel``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from columnflow.config import ColumnConfig
+from columnflow.data import make_wta_dataset, wta_stim_three_phases
+from columnflow.models import Stimulus, build_wta, wta_diffusion, wta_drift
+from columnflow.models.wta import wta_lat_in_mask
+from columnflow.ops.losses import huber_trajectory_loss_wta
+from columnflow.train import MetricsLogger, exponential_lr, mask_grads, torch_rmsprop
+
+DT = 1e-4
+STIM_PHASE = 0.05  # s; three phases -> 1500 steps (scripts/wta_ode.py:145-147)
+TIME_STEPS = int(STIM_PHASE * 3 / DT)
+
+
+class WTATask(NamedTuple):
+    params: dict
+    area: object
+    ts: jax.Array
+    dt: float
+    grad_mask: dict
+    optimizer: object
+
+
+def build_task(cfg: ColumnConfig, key, lr: float = 10.0, alpha: float = 0.9,
+               lr_gamma: float = 0.99, time_steps: int = TIME_STEPS,
+               dt: float = DT) -> WTATask:
+    params, area = build_wta(cfg, key)
+    # Reference grid: linspace(0, N*dt, N) (scripts/wta_ode.py:136).
+    ts = jnp.linspace(0.0, time_steps * dt, time_steps)
+    mask = jnp.asarray(wta_lat_in_mask())
+    grad_mask = {"recurrent_weights": mask, "output_weights": None}
+    optimizer = torch_rmsprop(exponential_lr(lr, lr_gamma), alpha=alpha)
+    # dt as a host float: the ts grid is uniform (linspace); solver-time
+    # stimulus lookup uses the O(1) uniform-grid interpolation.
+    dt_grid = float(ts[1] - ts[0])
+    return WTATask(params, area, ts, dt_grid, grad_mask, optimizer)
+
+
+def batched_rollout(params, task: WTATask, stims, keys, method="srk"):
+    """Integrate a batch of stimuli: stims (B, 2), keys (B,) -> (B, T, 48)."""
+    time_steps = task.ts.shape[0]
+    dt = task.dt
+
+    def drift(t, y, p, table):
+        return wta_drift(t, y, p, task.area, Stimulus(0.0, dt, table))
+
+    def diffusion(t, y, p, table):
+        return wta_diffusion(t, y, p, task.area, Stimulus(0.0, dt, table))
+
+    def one(stim_pair, k):
+        table = wta_stim_three_phases(stim_pair, time_steps)
+        from columnflow.solvers import sdeint
+
+        return sdeint(
+            drift, diffusion, jnp.zeros(48), task.ts, k, params, table,
+            method=method, noise="scalar", additive=True,
+        )
+
+    return jax.vmap(one)(stims, keys)
+
+
+def loss_fn(params, task: WTATask, true_states, stims, keys):
+    ys = batched_rollout(params, task, stims, keys)
+    return huber_trajectory_loss_wta(ys, true_states, params["output_weights"])
+
+
+def make_train_step(task: WTATask):
+    """Build the fused, jitted training step closing over the (static) task:
+    batched SDE rollout, loss, masked grads, RMSprop update."""
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, true_states, stims, key):
+        keys = jax.random.split(key, stims.shape[0])
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, task, true_states, stims, keys
+        )
+        grads = mask_grads(grads, task.grad_mask)
+        gnorm = global_norm(grads)
+        updates, opt_state = task.optimizer.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss, gnorm
+
+    return train_step
+
+
+def global_norm(tree):
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
+
+
+def make_dp_train_step(task: WTATask, mesh):
+    """Data-parallel training step: the (samples x noise) batch axis is
+    sharded across the device mesh, gradients pmean over ICI
+    (see columnflow.parallel). Batch args: (true_states, stims, keys), all
+    leading-axis divisible by mesh size."""
+    from columnflow.parallel import make_dp_train_step as _mk
+
+    def local_loss(params, true_states, stims, keys):
+        return loss_fn(params, task, true_states, stims, keys)
+
+    return _mk(local_loss, task.optimizer, task.grad_mask, mesh,
+               num_batch_args=3)
+
+
+def train_wta(
+    nr_samples: int = 3000,
+    batch_size: int = 16,
+    seed: int = 0,
+    time_steps: int = TIME_STEPS,
+    metrics_path: str | None = None,
+    checkpoint_path: str | None = None,
+    dataset=None,
+):
+    """Full training run (reference defaults: 3000 samples, batch 16,
+    scripts/wta_ode.py:208-216). The last sample of each batch is held out
+    for validation, like the reference (scripts/wta_ode.py:166)."""
+    cfg = ColumnConfig.load()
+    key = jax.random.PRNGKey(seed)
+    key, k_build, k_data = jax.random.split(key, 3)
+    task = build_task(cfg, k_build, time_steps=time_steps)
+
+    if dataset is None:
+        states, stims = make_wta_dataset(k_data, nr_samples + 10, time_steps)
+    else:
+        states, stims = dataset
+    states = states / 20.0  # scale to L2/3 rates (scripts/wta_ode.py:103)
+
+    opt_state = task.optimizer.init(task.params)
+    logger = MetricsLogger(metrics_path)
+    params = task.params
+    step_fn = make_train_step(task)
+    val_fn = jax.jit(
+        lambda params, true_states, stims, keys: loss_fn(
+            params, task, true_states, stims, keys
+        )
+    )
+    n = states.shape[0]
+    num_batches = n // batch_size
+    history = []
+
+    for it in range(num_batches):
+        key, k_perm, k_noise, k_val = jax.random.split(key, 4)
+        idx = jax.random.permutation(k_perm, n)[:batch_size]
+        bs, bst = states[idx[:-1]], stims[idx[:-1]]  # last held out
+        params, opt_state, loss, gnorm = step_fn(
+            params, opt_state, bs, bst, k_noise
+        )
+        val_loss = val_fn(
+            params, true_states=states[idx[-1:]], stims=stims[idx[-1:]],
+            keys=jax.random.split(k_val, 1),
+        )
+        logger.log(it, loss=loss, val_loss=val_loss, grad_norm=gnorm)
+        history.append({"loss": float(loss), "val_loss": float(val_loss)})
+
+    if checkpoint_path:
+        from columnflow.train import save_checkpoint
+
+        save_checkpoint(checkpoint_path, params=params, opt_state=opt_state,
+                        key=key, step=num_batches)
+    logger.close()
+    return params, history
+
+
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--samples", type=int, default=3000)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--smoke", action="store_true",
+                   help="tiny run: 48 samples, 300 steps")
+    p.add_argument("--metrics-out", default=None)
+    p.add_argument("--checkpoint-out", default=None)
+    args = p.parse_args()
+
+    if args.smoke:
+        params, hist = train_wta(
+            nr_samples=48, batch_size=8, seed=args.seed, time_steps=300,
+            metrics_path=args.metrics_out, checkpoint_path=args.checkpoint_out,
+        )
+    else:
+        params, hist = train_wta(
+            nr_samples=args.samples, batch_size=args.batch_size,
+            seed=args.seed, metrics_path=args.metrics_out,
+            checkpoint_path=args.checkpoint_out,
+        )
+    print(f"final loss {hist[-1]['loss']:.5f} | val {hist[-1]['val_loss']:.5f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,186 @@
+"""XOR classification task (reference: scripts/xor_ode.py).
+
+Trains the feedforward weights of a 3-column, 2-area network so the output
+column C fires high for different inputs (target 1.0) and low for same inputs
+(target 0.25). Deterministic adaptive dopri5 integration, RMSprop(lr=0.5,
+alpha=0.95) + ExponentialLR(0.8), gradients masked to L4e/L4i targets
+(reference: scripts/xor_ode.py:161-198).
+
+The reference runs the four XOR conditions sequentially through torchdiffeq
+(scripts/xor_ode.py:104-117); here they are one vmapped, jitted adaptive
+solve with replay gradients.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from columnflow.config import ColumnConfig
+from columnflow.data import prep_xor_stim, xor_conditions
+from columnflow.models import Stimulus, build_xor_network, xor_drift
+from columnflow.models.xor import FF_SOURCE_MASK, FF_TARGET_MASK, XOR_STATE_DIM
+from columnflow.ops.transfer import compute_firing_rate
+from columnflow.train import MetricsLogger, exponential_lr, mask_grads, torch_rmsprop
+
+DT = 1e-3
+STIM_DURATION = 0.5
+TIME_STEPS = int(STIM_DURATION * 2 / DT)  # scripts/xor_ode.py:152-155
+
+
+class XORTask(NamedTuple):
+    params: dict
+    net: object
+    ts: jax.Array
+    dt: float
+    grad_mask: dict
+    optimizer: object
+    max_steps: int
+
+
+def build_task(cfg: ColumnConfig, key, lr: float = 0.5, alpha: float = 0.95,
+               lr_gamma: float = 0.8, time_steps: int = TIME_STEPS,
+               dt: float = DT, max_steps: int = 4096) -> XORTask:
+    params, net = build_xor_network(cfg, key)
+    ts = jnp.linspace(0.0, time_steps * dt, time_steps)
+    grad_mask = {
+        "ff_w0": jnp.tile(jnp.asarray(FF_TARGET_MASK), 2)[None, :],
+        "ff_w1": jnp.asarray(FF_TARGET_MASK)[None, :],
+    }
+    optimizer = torch_rmsprop(exponential_lr(lr, lr_gamma), alpha=alpha)
+    return XORTask(params, net, ts, float(ts[1] - ts[0]), grad_mask,
+                   optimizer, max_steps)
+
+
+def batched_rollout(params, task: XORTask, conditions, method="dopri5",
+                    differentiable=True):
+    """Integrate the four XOR conditions: (4, 2) -> (4, T, 72)."""
+    from columnflow.solvers import odeint
+
+    time_steps = task.ts.shape[0]
+
+    def drift(t, y, p, table):
+        return xor_drift(t, y, p, task.net, Stimulus(0.0, task.dt, table))
+
+    def one(cond):
+        table = prep_xor_stim(cond, time_steps)
+        return odeint(
+            drift, jnp.zeros(XOR_STATE_DIM), task.ts, params, table,
+            method=method, max_steps=task.max_steps,
+            adjoint="replay" if differentiable else "none",
+        )
+
+    return jax.vmap(one)(conditions)
+
+
+def readout(ys, targets_raw):
+    """Final firing rate of column C projected through the L2/3e source mask
+    (reference: scripts/xor_ode.py:119-130). Returns (final_fr_C, loss)."""
+    fr = compute_firing_rate(ys[..., :24] - ys[..., 24:48])
+    final_c = jnp.sum(fr[:, -1, 16:] * jnp.asarray(FF_SOURCE_MASK), axis=-1)
+    loss = jnp.mean(jnp.abs(final_c - targets_raw))
+    return final_c, loss
+
+
+def xor_targets(conditions):
+    """1.0 for different inputs, 0.25 for same (scripts/xor_ode.py:128-129)."""
+    diff = conditions[:, 0] != conditions[:, 1]
+    return jnp.where(diff, 1.0, 0.25)
+
+
+def make_train_step(task: XORTask):
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, conditions):
+        def loss_fn(p):
+            ys = batched_rollout(p, task, conditions)
+            _, loss = readout(ys, xor_targets(conditions))
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = mask_grads(grads, task.grad_mask)
+        updates, opt_state = task.optimizer.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
+def train_xor(
+    nr_samples: int = 160,
+    batch_size: int = 4,
+    seed: int = 0,
+    time_steps: int = TIME_STEPS,
+    max_steps: int = 4096,
+    metrics_path: str | None = None,
+    checkpoint_path: str | None = None,
+):
+    """Reference defaults: 160 samples / batch 4 -> 40 iterations
+    (scripts/xor_ode.py:202-207)."""
+    cfg = ColumnConfig.load()
+    key = jax.random.PRNGKey(seed)
+    key, k_build = jax.random.split(key)
+    task = build_task(cfg, k_build, time_steps=time_steps, max_steps=max_steps)
+
+    step_fn = make_train_step(task)
+    eval_fn = jax.jit(
+        lambda p, conds: readout(
+            batched_rollout(p, task, conds, differentiable=False),
+            xor_targets(conds),
+        )
+    )
+
+    conds_all = jnp.asarray(xor_conditions())
+    opt_state = task.optimizer.init(task.params)
+    params = task.params
+    logger = MetricsLogger(metrics_path)
+    history = []
+
+    for it in range(nr_samples // batch_size):
+        key, k_shuf = jax.random.split(key)
+        conds = conds_all[jax.random.permutation(k_shuf, 4)]
+        params, opt_state, loss = step_fn(params, opt_state, conds)
+        final_c, test_loss = eval_fn(params, conds_all)
+        # Accuracy: does min-max classification rank the conditions right?
+        out = np.asarray(final_c)
+        acc = float(np.mean((out > (out.min() + out.max()) / 2)
+                            == np.asarray([True, True, False, False])))
+        logger.log(it, loss=loss, test_loss=test_loss, acc=acc)
+        history.append({"loss": float(loss), "test_loss": float(test_loss),
+                        "acc": acc, "final_fr": out.tolist()})
+
+    if checkpoint_path:
+        from columnflow.train import save_checkpoint
+
+        save_checkpoint(checkpoint_path, params=params, opt_state=opt_state,
+                        key=key, step=len(history))
+    logger.close()
+    return params, history
+
+
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--samples", type=int, default=160)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--smoke", action="store_true")
+    p.add_argument("--metrics-out", default=None)
+    p.add_argument("--checkpoint-out", default=None)
+    args = p.parse_args()
+
+    if args.smoke:
+        params, hist = train_xor(nr_samples=8, time_steps=200, max_steps=1024,
+                                 seed=args.seed, metrics_path=args.metrics_out)
+    else:
+        params, hist = train_xor(nr_samples=args.samples, seed=args.seed,
+                                 metrics_path=args.metrics_out,
+                                 checkpoint_path=args.checkpoint_out)
+    print(f"final loss {hist[-1]['loss']:.5f} | acc {hist[-1]['acc']:.2f}")
+
+
+if __name__ == "__main__":
+    main()
