@@ -1,0 +1,80 @@
+"""Pallas kernel parity tests (interpret mode on CPU; compiled on real TPU
+via the verify drive).
+
+The fused kernels must match the XLA lax.scan solver path bit-for-bit up to
+float32 reassociation (tolerances ~1e-4 relative on trajectories).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from columnflow.config import ColumnConfig
+from columnflow.data import wta_stim_three_phases
+from columnflow.kernels import (
+    fused_drift,
+    wta_rollout_fused,
+    wta_rollout_reference,
+)
+from columnflow.models import Stimulus, build_wta, wta_drift
+
+CFG = ColumnConfig.load()
+
+
+def _setup(B=4, T=120):
+    params, area = build_wta(CFG, jax.random.PRNGKey(0))
+    dt = 1e-4
+    ts = jnp.linspace(0.0, T * dt, T)
+    stims = jnp.asarray([[20.0, 5.0 + i] for i in range(B)])
+    tables = jax.vmap(lambda s: wta_stim_three_phases(s, T))(stims)
+    return params, area, tables, ts
+
+
+class TestFusedDrift:
+    def test_matches_xla_drift(self):
+        params, area, tables, ts = _setup()
+        B = tables.shape[0]
+        rng = np.random.default_rng(0)
+        y = jnp.asarray(rng.normal(size=(B, 48)).astype(np.float32))
+        stim_t = tables[:, 40, :]
+
+        got = fused_drift(y, stim_t, params, area, interpret=True)
+
+        # Oracle: vmapped model drift with a constant-in-time stimulus table.
+        def one(y_i, s_i):
+            table = jnp.tile(s_i, (2, 1))
+            return wta_drift(0.0, y_i, params, area, Stimulus(0.0, 1.0, table))
+
+        want = jax.vmap(one)(y, stim_t)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-3)
+
+
+class TestFusedRollout:
+    def test_matches_scan_solver(self):
+        params, area, tables, ts = _setup(B=3, T=100)
+        B, T = 3, 100
+        key = jax.random.PRNGKey(7)
+        h = float(ts[1] - ts[0])
+        z1, z2 = jax.random.normal(key, (2, T - 1, B))
+        i1 = np.sqrt(h) * z1
+        i10 = h * (0.5 * i1 + np.sqrt(h / 12) * z2)
+
+        got = wta_rollout_fused(params, area, tables, ts, i1, i10,
+                                interpret=True)
+        want = wta_rollout_reference(params, area, tables, ts, i1, i10)
+        assert got.shape == want.shape == (B, T, 48)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-3, atol=5e-3
+        )
+
+    def test_membrane_only_variant(self):
+        params, area, tables, ts = _setup(B=2, T=50)
+        i1 = jnp.zeros((49, 2))
+        i10 = jnp.zeros((49, 2))
+        a = wta_rollout_fused(params, area, tables, ts, i1, i10,
+                              membrane_only=True, interpret=True)
+        b = wta_rollout_fused(params, area, tables, ts, i1, i10,
+                              membrane_only=False, interpret=True)
+        # With zero noise the variants coincide (deterministic path).
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
