@@ -1,0 +1,21 @@
+from columnflow.analysis.stats import (
+    running_mean,
+    dominance_time,
+    alternation_rate,
+)
+from columnflow.analysis.experiments import (
+    coherence_sweep,
+    bistable_perception,
+    wta_timecourse,
+    xor_timecourse,
+)
+
+__all__ = [
+    "running_mean",
+    "dominance_time",
+    "alternation_rate",
+    "coherence_sweep",
+    "bistable_perception",
+    "wta_timecourse",
+    "xor_timecourse",
+]

@@ -89,6 +89,7 @@ def train_bifurcation(
     metrics_path: str | None = None,
     checkpoint_path: str | None = None,
     dataset=None,
+    plot_dir: str | None = None,
 ):
     """Reference defaults: 5000 samples, batch 32 (scripts/bifurcation_ode.py:179-198)."""
     key = jax.random.PRNGKey(seed)
@@ -128,8 +129,18 @@ def train_bifurcation(
         rec = {"loss": float(loss)}
         if it % test_freq == 0:
             vi = min(ii, val_ds.shape[1] - 1)
-            val_loss = val_fn(params, val_ds[:, vi : vi + 1, :])
+            val_true = val_ds[:, vi : vi + 1, :]
+            val_loss = val_fn(params, val_true)
             rec["val_loss"] = float(val_loss)
+            if plot_dir:
+                # Validation figure (reference: scripts/bifurcation_ode.py
+                # :23-64, :217-226).
+                from columnflow.analysis.plots import plot_hopf
+
+                pred = rollout(params, task, val_true[0, :, :2],
+                               val_true[:, :, 2], differentiable=False)
+                plot_hopf(val_true, pred, task.ts, float(loss),
+                          float(val_loss), f"{plot_dir}/hopf_{ii:03d}.png")
             ii += 1
         logger.log(it, **rec)
         history.append(rec)

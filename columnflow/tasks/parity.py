@@ -143,6 +143,8 @@ def train_parity(
     metrics_path: str | None = None,
     checkpoint_path: str | None = None,
     checkpoint_every: int = 5,
+    plot_dir: str | None = None,
+    plot_every: int = 5,
 ):
     """Reference defaults: 6400 samples / batch 4 -> 1600 iterations
     (scripts/parity_ode.py:286-294)."""
@@ -180,6 +182,11 @@ def train_parity(
 
             save_checkpoint(checkpoint_path, params=params,
                             opt_state=opt_state, key=key, step=it)
+        if plot_dir and it % plot_every == 0:
+            # Weight-group heatmaps (reference: scripts/parity_ode.py:87-114).
+            from columnflow.analysis.plots import plot_weight_matrices
+
+            plot_weight_matrices(params, f"{plot_dir}/parity_{it:04d}")
 
     logger.close()
     return params, history

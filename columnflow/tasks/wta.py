@@ -132,6 +132,8 @@ def train_wta(
     metrics_path: str | None = None,
     checkpoint_path: str | None = None,
     dataset=None,
+    plot_dir: str | None = None,
+    plot_every: int = 10,
 ):
     """Full training run (reference defaults: 3000 samples, batch 16,
     scripts/wta_ode.py:208-216). The last sample of each batch is held out
@@ -173,6 +175,20 @@ def train_wta(
         )
         logger.log(it, loss=loss, val_loss=val_loss, grad_norm=gnorm)
         history.append({"loss": float(loss), "val_loss": float(val_loss)})
+
+        if plot_dir and it % plot_every == 0:
+            # Per-iteration training figure (reference: scripts/wta_ode.py
+            # :17-54): held-out sample prediction + current weights.
+            from columnflow.analysis.plots import plot_wta_training
+
+            ys = batched_rollout(params, task, stims[idx[-1:]],
+                                 jax.random.split(k_val, 1))
+            plot_wta_training(
+                np.asarray(ys[0]), np.asarray(states[idx[-1]]),
+                np.asarray(stims[idx[-1]]), params["output_weights"],
+                params["recurrent_weights"], loss, val_loss,
+                f"{plot_dir}/wta_{it:04d}.png",
+            )
 
     if checkpoint_path:
         from columnflow.train import save_checkpoint

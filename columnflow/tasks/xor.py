@@ -117,6 +117,8 @@ def train_xor(
     max_steps: int = 4096,
     metrics_path: str | None = None,
     checkpoint_path: str | None = None,
+    plot_dir: str | None = None,
+    plot_every: int = 5,
 ):
     """Reference defaults: 160 samples / batch 4 -> 40 iterations
     (scripts/xor_ode.py:202-207)."""
@@ -151,6 +153,19 @@ def train_xor(
         logger.log(it, loss=loss, test_loss=test_loss, acc=acc)
         history.append({"loss": float(loss), "test_loss": float(test_loss),
                         "acc": acc, "final_fr": out.tolist()})
+
+        if plot_dir and it % plot_every == 0:
+            # Per-iteration test figures (reference: scripts/xor_ode.py:15-50).
+            from columnflow.analysis.plots import plot_xor_training
+
+            ys = batched_rollout(params, task, conds_all,
+                                 differentiable=False)
+            fr = compute_firing_rate(ys[..., :24] - ys[..., 24:48])
+            for i in range(4):
+                plot_xor_training(
+                    np.asarray(fr[i]), np.asarray(conds_all[i]), loss,
+                    f"{plot_dir}/xor_{it:03d}_{i}.png",
+                )
 
     if checkpoint_path:
         from columnflow.train import save_checkpoint

@@ -1,0 +1,118 @@
+"""Analysis-suite tests: statistics semantics and experiment plumbing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from columnflow.analysis import (
+    alternation_rate,
+    bistable_perception,
+    coherence_sweep,
+    dominance_time,
+    running_mean,
+    wta_timecourse,
+)
+from columnflow.config import ColumnConfig
+from columnflow.models import build_wta
+
+CFG = ColumnConfig.load()
+
+
+class TestStats:
+    def test_running_mean_basic(self):
+        x = np.arange(10, dtype=float)
+        out = running_mean(x, N=3, outliers=True)
+        np.testing.assert_allclose(out, np.convolve(x, np.ones(3) / 3,
+                                                    mode="valid"))
+
+    def test_running_mean_outlier_removal(self):
+        x = np.ones(100)
+        x[50] = 1000.0  # > 10x mean
+        out = running_mean(x, N=10)
+        assert out.max() < 2.0  # outlier zeroed, not averaged in
+
+    def test_dominance_time_alternating_signal(self):
+        # Two anti-phase square waves -> dominance intervals of half period.
+        dt = 1e-3
+        t = np.arange(0, 40.0, dt)
+        a1 = (np.sin(2 * np.pi * t / 10.0) > 0).astype(float)
+        a2 = 1.0 - a1
+        dom = dominance_time(a1, a2, dt=dt, cutoff=0.5, sliding_window=100)
+        assert len(dom) >= 5
+        np.testing.assert_allclose(np.abs(dom), 5.0, atol=0.5)
+        # Alternating signs.
+        assert np.all(np.sign(dom[:-1]) != np.sign(dom[1:]))
+
+    def test_dominance_no_switch(self):
+        a1 = np.ones(5000)
+        a2 = np.zeros(5000)
+        dom = dominance_time(a1, a2, dt=1e-3, sliding_window=100)
+        assert len(dom) == 1 and dom[0] > 0
+
+    def test_alternation_rate(self):
+        dt = 1e-3
+        t = np.arange(0, 40.0, dt)
+        a1 = (np.sin(2 * np.pi * t / 10.0) > 0).astype(float)
+        a2 = 1.0 - a1
+        rate, count = alternation_rate(a1, a2, dt=dt, cutoff=0.5,
+                                       sliding_window=100)
+        assert 6 <= count <= 8  # ~7 switches in 40 s of period-10 rivalry
+        assert abs(rate - count / 40.0) < 0.02
+
+
+class TestExperiments:
+    def setup_method(self):
+        self.params, self.area = build_wta(CFG, jax.random.PRNGKey(0))
+
+    def test_coherence_sweep_shapes_and_response(self):
+        fr = coherence_sweep(self.params, self.area,
+                             coherences=jnp.asarray([0.0, 10.0, 20.0]),
+                             stim_phase=0.02, window=(100, 400))
+        assert fr.shape == (4, 3, 300, 2)
+        assert np.all(np.isfinite(np.asarray(fr)))
+        # At max coherence column B gets mu=0: A (L4) must out-fire B during
+        # stimulation.
+        l4 = np.asarray(fr)[1, 2]  # layer 4, coherence 20
+        assert l4[:, 0].mean() > l4[:, 1].mean()
+
+    def test_bistable_perception_runs(self):
+        out = bistable_perception(self.params, self.area,
+                                  jax.random.PRNGKey(1), nr_iterations=2,
+                                  phase=0.2, sliding_window=100)
+        assert out["rates"].shape == (4000, 16)
+        assert np.all(np.isfinite(out["rates"]))
+        assert len(out["dominance"]) >= 1
+
+    def test_wta_timecourse(self):
+        rates, stim = wta_timecourse(
+            self.params, self.area, jax.random.PRNGKey(2),
+            stim_sequence=[[0.0, 0.0], [20.0, 5.0]], phase=0.05,
+        )
+        assert rates.shape == (1000, 16)
+        assert stim.shape == (1000, 16)
+        assert np.all(np.isfinite(rates))
+
+
+class TestPlots:
+    def test_figures_render(self, tmp_path):
+        from columnflow.analysis import plots
+
+        fr = np.random.default_rng(0).random((4, 3, 50, 2))
+        p1 = plots.plot_coherence_sweep(fr, [0.0, 10.0, 20.0],
+                                        str(tmp_path / "coh.png"))
+        rates = np.random.default_rng(1).random((200, 16))
+        stim = np.zeros((200, 2))
+        p2 = plots.plot_timecourse(rates, stim, 1e-3,
+                                   str(tmp_path / "tc.png"))
+        p3 = plots.plot_dominance_histogram([1.0, -2.0, 3.0],
+                                            str(tmp_path / "dom.png"))
+        p4 = plots.plot_dom_alt_heatmaps(np.zeros((3, 3)), np.ones((3, 3)),
+                                         str(tmp_path / "hm.png"))
+        params = {"w": np.ones((4, 4)), "v": np.ones(6), "zero": np.zeros(3)}
+        written = plots.plot_weight_matrices(params, str(tmp_path / "wm"))
+        import os
+
+        for p in [p1, p2, p3, p4, *written]:
+            assert os.path.exists(p) and os.path.getsize(p) > 0
+        assert len(written) == 2  # zero-sum group skipped
