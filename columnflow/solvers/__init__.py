@@ -19,7 +19,15 @@ scripts/parity_ode.py:10-11, scripts/bifurcation_ode.py:12):
 
 from columnflow.solvers.api import odeint
 from columnflow.solvers.sde import sdeint
+from columnflow.solvers.sde_adaptive import sdeint_adaptive
 from columnflow.solvers.brownian import VirtualBrownianTree
 from columnflow.solvers.dopri import SolverStats, odeint_stats
 
-__all__ = ["odeint", "sdeint", "VirtualBrownianTree", "SolverStats", "odeint_stats"]
+__all__ = [
+    "odeint",
+    "sdeint",
+    "sdeint_adaptive",
+    "VirtualBrownianTree",
+    "SolverStats",
+    "odeint_stats",
+]
