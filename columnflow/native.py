@@ -1,0 +1,126 @@
+"""ctypes loader for the native host engine (native/columnflow_native.cpp).
+
+Builds the shared library on demand with the system C++ compiler and caches
+it next to the source. Everything here has a pure-Python/JAX fallback —
+``available()`` gates usage — so the framework works without a toolchain.
+
+The native engine covers host-side work that overlaps with TPU execution:
+Wong-Wang dataset generation (the reference's host hot loop,
+src/ww_model.py:91-125) and counter-based (Philox) Brownian sampling (the
+role of torchsde's C++ _brownian_lib).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native"
+)
+_SRC = os.path.join(_NATIVE_DIR, "columnflow_native.cpp")
+_SO = os.path.join(_NATIVE_DIR, "libcolumnflow_native.so")
+
+_lib = None
+_load_error: str | None = None
+
+
+def _build() -> None:
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC]
+    subprocess.run(cmd, check=True, capture_output=True, text=True)
+
+
+def _load():
+    global _lib, _load_error
+    if _lib is not None or _load_error is not None:
+        return _lib
+    try:
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            _build()
+        lib = ctypes.CDLL(_SO)
+        lib.cf_normal_fill.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.c_uint64, ctypes.c_uint64,
+        ]
+        lib.cf_brownian_increments.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.c_double, ctypes.c_uint64,
+        ]
+        lib.cf_ww_three_phase.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_uint64,
+        ]
+        lib.cf_ww_dataset.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_double, ctypes.c_uint64,
+        ]
+        _lib = lib
+    except (OSError, subprocess.CalledProcessError) as e:
+        _load_error = str(e)
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def normal_fill(n: int, key: int, offset: int = 0) -> np.ndarray:
+    """N(0,1) samples as a pure function of (key, offset) — Philox4x32-10."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native engine unavailable: {_load_error}")
+    out = np.empty(n, dtype=np.float64)
+    lib.cf_normal_fill(_ptr(out), n, key, offset)
+    return out
+
+
+def brownian_increments(n: int, dt: float, key: int) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native engine unavailable: {_load_error}")
+    out = np.empty(n, dtype=np.float64)
+    lib.cf_brownian_increments(_ptr(out), n, dt, key)
+    return out
+
+
+def ww_three_phase(mu_a: float, mu_b: float, phase_time: float = 5.0,
+                   dt: float = 1e-3, sigma_noise: float = 0.0,
+                   key: int = 0) -> np.ndarray:
+    """One Wong-Wang three-phase simulation; (3*(int(T/dt)+1), 2) rates."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native engine unavailable: {_load_error}")
+    steps = int(phase_time / dt) + 1
+    out = np.empty((3 * steps, 2), dtype=np.float64)
+    lib.cf_ww_three_phase(_ptr(out), steps, mu_a, mu_b, dt, sigma_noise, key)
+    return out
+
+
+def ww_dataset(mus: np.ndarray, time_steps: int, phase_time: float = 5.0,
+               dt: float = 1e-3, sigma_noise: float = 0.0,
+               key: int = 0) -> np.ndarray:
+    """Batched WW dataset, downsampled x10 and truncated, matching the
+    reference pipeline (scripts/wta_ode.py:84-90) and
+    ``data.make_wta_dataset`` semantics. mus: (N, 2). Returns
+    (N, time_steps, 2) float64 rates (unscaled)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native engine unavailable: {_load_error}")
+    mus = np.ascontiguousarray(mus, dtype=np.float64)
+    n = mus.shape[0]
+    steps = int(phase_time / dt) + 1
+    out = np.empty((n, time_steps, 2), dtype=np.float64)
+    lib.cf_ww_dataset(_ptr(out), _ptr(mus), n, steps, time_steps, dt,
+                      sigma_noise, key)
+    return out

@@ -1,0 +1,62 @@
+"""Native C++ host-engine tests: build, RNG statistics, and exact agreement
+of the Wong-Wang simulator with the JAX implementation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from columnflow import native
+from columnflow.models.ww import wong_wang_three_phase
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="no C++ toolchain available"
+)
+
+
+class TestPhiloxRNG:
+    def test_deterministic(self):
+        a = native.normal_fill(1000, key=42)
+        b = native.normal_fill(1000, key=42)
+        np.testing.assert_array_equal(a, b)
+        c = native.normal_fill(1000, key=43)
+        assert np.max(np.abs(a - c)) > 1e-3
+
+    def test_counter_offset_extends_stream(self):
+        whole = native.normal_fill(100, key=7)
+        # offset counts normal PAIRS (Box-Muller)
+        tail = native.normal_fill(50, key=7, offset=25)
+        np.testing.assert_array_equal(whole[50:], tail)
+
+    def test_gaussian_statistics(self):
+        z = native.normal_fill(200_000, key=1)
+        assert abs(z.mean()) < 0.01
+        assert abs(z.std() - 1.0) < 0.01
+        assert abs((z**3).mean()) < 0.03  # skewness
+        assert abs((z**4).mean() - 3.0) < 0.1  # kurtosis
+
+    def test_brownian_increments(self):
+        dw = native.brownian_increments(100_000, dt=0.01, key=3)
+        assert abs(dw.std() - 0.1) < 0.002
+
+
+class TestWongWangNative:
+    def test_matches_jax_implementation(self):
+        got = native.ww_three_phase(30.0, 12.0, phase_time=0.6)
+        want = np.asarray(
+            wong_wang_three_phase(jax.random.PRNGKey(0), 30.0, 12.0,
+                                  phase_time=0.6)
+        )
+        assert got.shape == want.shape
+        # float64 native vs float32 jax, deterministic dynamics.
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+    def test_dataset_pipeline(self):
+        mus = np.asarray([[30.0, 12.0], [12.0, 30.0]])
+        ds = native.ww_dataset(mus, time_steps=120, phase_time=0.6)
+        assert ds.shape == (2, 120, 2)
+        # Downsampling x10 of the raw simulation.
+        raw = native.ww_three_phase(30.0, 12.0, phase_time=0.6)
+        np.testing.assert_allclose(ds[0], raw[::10][:120])
+        # Input symmetry: swapping drives swaps pools.
+        np.testing.assert_allclose(ds[0, :, 0], ds[1, :, 1], rtol=1e-6)
