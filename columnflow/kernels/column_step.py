@@ -10,9 +10,13 @@ output trajectory all live in VMEM for all ~1500 steps of a batched SRA1
 rollout (WTA workload: B=15, state 48 -> ~4.5 MB, well under the ~16 MB/core
 VMEM budget).
 
-The fused rollout is the inference/analysis/benchmark fast path; training
-uses the differentiable ``lax.scan`` solver (same math — parity-tested here
-against ``wta_rollout_reference``).
+The fused rollout is differentiable through ``make_wta_rollout_diff``: a
+``jax.custom_vjp`` whose forward AND backward sweeps are each one Pallas
+kernel (the backward replays the SRA1 steps in reverse with a hand-derived
+transposed drift, accumulating the recurrent-weight cotangent on-chip), so
+the whole train step — rollout, loss, backprop — never leaves VMEM for the
+time loop. Parity-tested against the ``lax.scan`` solver path
+(``wta_rollout_reference``) for both values and gradients.
 """
 
 from __future__ import annotations
@@ -175,7 +179,16 @@ def wta_rollout_fused(params, area: AreaParams, stim_tables, ts, i1, i10,
     if membrane_only:
         g = g.at[:, 16:].set(0.0)
 
-    out = pl.pallas_call(
+    out = _forward_call(scalars, params["recurrent_weights"], consts, g,
+                        stim_tables, i1, i10, interpret=interpret)
+    return jnp.transpose(out, (1, 0, 2))
+
+
+def _forward_call(scalars, w, consts, g, stim_tables, i1, i10,
+                  interpret: bool = False):
+    """Raw forward rollout pallas_call; returns (T, B, 48)."""
+    B, T, _ = stim_tables.shape
+    return pl.pallas_call(
         _rollout_kernel,
         out_shape=jax.ShapeDtypeStruct((T, B, 48), jnp.float32),
         in_specs=[
@@ -189,8 +202,7 @@ def wta_rollout_fused(params, area: AreaParams, stim_tables, ts, i1, i10,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(scalars, params["recurrent_weights"], consts, g, stim_tables, i1, i10)
-    return jnp.transpose(out, (1, 0, 2))
+    )(scalars, w, consts, g, stim_tables, i1, i10)
 
 
 def wta_rollout_reference(params, area: AreaParams, stim_tables, ts, i1, i10,
@@ -225,3 +237,182 @@ def wta_rollout_reference(params, area: AreaParams, stim_tables, ts, i1, i10,
                       noise_pack=pack)
 
     return jax.vmap(one)(stim_tables, jnp.transpose(i1), jnp.transpose(i10))
+
+
+# ---------------------------------------------------------------------------
+# Differentiable fused rollout (custom_vjp; backward is a Pallas kernel too)
+# ---------------------------------------------------------------------------
+
+
+def _fr_and_grad(x):
+    """Firing rate AND its derivative wrt x, sharing subexpressions.
+
+    phi(x) = xn / (1 - exp(softclamp(-d*xn))), xn = 48x - 981; at the
+    removable singularity xn=0 the limits are phi=1/d, phi'=48/2.
+    """
+    xn = _GAIN * x - _THRESH
+    th = jnp.tanh((-_D * xn) / _CLAMP)
+    e = jnp.exp(_CLAMP * th)
+    den = 1.0 - e
+    near = jnp.abs(den) < 1e-12
+    sden = jnp.where(near, 1.0, den)
+    fr = jnp.where(near, 1.0 / _D, xn / sden)
+    # d(den)/dxn = -e * (1 - th^2) * (-d) = e*d*(1 - th^2)
+    dden = e * _D * (1.0 - th * th)
+    dfr_dxn = jnp.where(near, 0.5, (sden - xn * dden) / (sden * sden))
+    return fr, _GAIN * dfr_dxn
+
+
+def _drift_fwd_full(y, s, w_t, consts, scalars):
+    """Forward drift on (B, 48) packed state; also returns fr for the VJP."""
+    tau_s, tau_m, tau_a, R = scalars
+    v, a, r = y[:, 0:16], y[:, 16:32], y[:, 32:48]
+    fr = _firing_rate(v - a)
+    rec = jnp.dot(fr, w_t, preferred_element_type=jnp.float32)
+    cur = (consts[1] * s + consts[0] + rec) * tau_s
+    dv = (-v + cur * R) / tau_m
+    da = (-a + consts[2] * fr) / tau_a
+    dr = (-r + fr) / tau_s
+    return jnp.concatenate([dv, da, dr], axis=1)
+
+
+def _drift_vjp(y, cot, w, consts, scalars):
+    """Hand-derived VJP of the drift at packed state y (B, 48).
+
+    Given cotangent ``cot`` on f(y), returns (y_bar (B, 48),
+    w_bar (16, 16)); the stimulus and constants receive no cotangent
+    (they are data in every reference workload).
+    """
+    tau_s, tau_m, tau_a, R = scalars
+    v, a = y[:, 0:16], y[:, 16:32]
+    cv, ca, cr = cot[:, 0:16], cot[:, 16:32], cot[:, 32:48]
+    fr, frp = _fr_and_grad(v - a)
+    # rec[b,p] = sum_q fr[b,q] w[p,q]; dv/drec = R*tau_s/tau_m (diagonal).
+    rec_bar = cv * (R * tau_s / tau_m)
+    fr_bar = (
+        jnp.dot(rec_bar, w, preferred_element_type=jnp.float32)
+        + ca * (consts[2] / tau_a)
+        + cr / tau_s
+    )
+    x_bar = frp * fr_bar
+    yb_v = -cv / tau_m + x_bar
+    yb_a = -ca / tau_a - x_bar
+    yb_r = -cr / tau_s
+    w_bar = jnp.dot(rec_bar.T, fr, preferred_element_type=jnp.float32)
+    return jnp.concatenate([yb_v, yb_a, yb_r], axis=1), w_bar
+
+
+def _rollout_bwd_kernel(scal_ref, w_ref, c_ref, g_ref, stim_ref, i10_ref,
+                        ys_ref, ysbar_ref, wbar_ref):
+    """Reverse sweep of the SRA1 rollout: accumulates the recurrent-weight
+    cotangent, replaying each step's stages from the stored trajectory.
+
+    Forward step (see _rollout_kernel):
+        f1 = f(y_i, s0);  h2 = y_i + 0.75 h f1 + 1.5 (I10/h) g
+        f2 = f(h2, s_mid);  y_{i+1} = y_i + h (f1/3 + 2 f2/3) + I1 g
+    Backward given c = bar{y_{i+1}}:
+        f2_bar = (2h/3) c;       (h2_bar, wb2) = f^T|_{h2} f2_bar
+        f1_bar = (h/3) c + 0.75 h h2_bar
+        (y_bar, wb1) = f^T|_{y_i} f1_bar
+        bar{y_i} = c + h2_bar + y_bar + ysbar[i]
+    """
+    h = scal_ref[0]
+    scalars = (scal_ref[1], scal_ref[2], scal_ref[3], scal_ref[4])
+    T = ys_ref.shape[0]
+    B = ys_ref.shape[1]
+    w = w_ref[:]
+    w_t = w.T
+    consts = c_ref[:]
+    g = g_ref[:]  # (1, 48)
+
+    def step(k, carry):
+        c_adj, wbar = carry
+        i = T - 2 - k
+        y = ys_ref[i]
+        s0 = stim_ref[:, i, :]
+        s1 = stim_ref[:, jnp.minimum(i + 1, T - 1), :]
+        s_mid = s0 + 0.75 * (s1 - s0)
+        i10_h = (i10_ref[i, :] / h)[:, None]
+
+        f1 = _drift_fwd_full(y, s0, w_t, consts, scalars)
+        h2 = y + 0.75 * h * f1 + 1.5 * i10_h * g
+
+        f2_bar = (2.0 * h / 3.0) * c_adj
+        h2_bar, wb2 = _drift_vjp(h2, f2_bar, w, consts, scalars)
+        f1_bar = (h / 3.0) * c_adj + 0.75 * h * h2_bar
+        y_bar, wb1 = _drift_vjp(y, f1_bar, w, consts, scalars)
+
+        c_new = c_adj + h2_bar + y_bar + ysbar_ref[i]
+        return (c_new, wbar + wb1 + wb2)
+
+    init = (ysbar_ref[T - 1], jnp.zeros((16, 16), dtype=jnp.float32))
+    _, wbar = jax.lax.fori_loop(0, T - 1, step, init)
+    wbar_ref[:] = wbar
+
+
+def make_wta_rollout_diff(area: AreaParams, ts, noise_std: float = 100.0,
+                          membrane_only: bool = False,
+                          interpret: bool = False):
+    """Build a differentiable fused WTA rollout.
+
+    Returns ``rollout(w, stim_tables, i1, i10) -> (B, T, 48)`` where only the
+    recurrent-weight matrix ``w`` receives a cotangent (stimulus and noise
+    are data in every reference workload; their cotangents are zero).
+    Forward and backward are each ONE Pallas kernel; the only residual is the
+    forward trajectory, which the loss needs anyway.
+    """
+    import numpy as np
+
+    ts_host = np.asarray(ts)
+    h = float(ts_host[1] - ts_host[0])
+    scalars = jnp.asarray(
+        [h, area.tau_syn, area.tau_mem, area.tau_adapt, area.resistance],
+        dtype=jnp.float32,
+    )
+    consts = jnp.stack([
+        jnp.asarray(area.background_current),
+        jnp.asarray(area.feedforward_weights),
+        jnp.asarray(area.adaptation_strength),
+    ])
+    g = jnp.full((1, 48), noise_std, dtype=jnp.float32)
+    if membrane_only:
+        g = g.at[:, 16:].set(0.0)
+
+    def _bwd_call(w, stim_tables, i10, ys_tb, ysbar_tb):
+        return pl.pallas_call(
+            _rollout_bwd_kernel,
+            out_shape=jax.ShapeDtypeStruct((16, 16), jnp.float32),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(scalars, w, consts, g, stim_tables, i10, ys_tb, ysbar_tb)
+
+    @jax.custom_vjp
+    def rollout(w, stim_tables, i1, i10):
+        out = _forward_call(scalars, w, consts, g, stim_tables, i1, i10,
+                            interpret=interpret)
+        return jnp.transpose(out, (1, 0, 2))
+
+    def fwd(w, stim_tables, i1, i10):
+        out = _forward_call(scalars, w, consts, g, stim_tables, i1, i10,
+                            interpret=interpret)
+        return jnp.transpose(out, (1, 0, 2)), (w, stim_tables, i1, i10, out)
+
+    def bwd(res, ys_bar):
+        w, stim_tables, i1, i10, ys_tb = res
+        ysbar_tb = jnp.transpose(ys_bar, (1, 0, 2)).astype(jnp.float32)
+        w_bar = _bwd_call(w, stim_tables, i10, ys_tb, ysbar_tb)
+        return (w_bar, jnp.zeros_like(stim_tables), jnp.zeros_like(i1),
+                jnp.zeros_like(i10))
+
+    rollout.defvjp(fwd, bwd)
+    return rollout

@@ -58,10 +58,29 @@ def build_task(cfg: ColumnConfig, key, lr: float = 10.0, alpha: float = 0.9,
     return WTATask(params, area, ts, dt_grid, grad_mask, optimizer)
 
 
-def batched_rollout(params, task: WTATask, stims, keys, method="srk"):
-    """Integrate a batch of stimuli: stims (B, 2), keys (B,) -> (B, T, 48)."""
+def batched_rollout(params, task: WTATask, stims, keys, method="srk",
+                    use_fused: bool | None = None):
+    """Integrate a batch of stimuli: stims (B, 2), keys (B,) -> (B, T, 48).
+
+    ``use_fused`` selects the single-Pallas-kernel SRA1 rollout
+    (kernels.column_step) with its custom-VJP backward kernel; ``None``
+    auto-selects it on TPU. Both paths draw the identical Brownian pack per
+    sample key, so they produce the same trajectories (up to fp32 ordering).
+    """
     time_steps = task.ts.shape[0]
     dt = task.dt
+    if use_fused is None:
+        use_fused = jax.default_backend() not in ("cpu",)
+    if use_fused and method == "srk":
+        from columnflow.kernels.column_step import make_wta_rollout_diff
+        from columnflow.solvers.sde import _brownian_pack
+
+        tables = jax.vmap(lambda s: wta_stim_three_phases(s, time_steps))(stims)
+        _, i1, i10, _, _ = jax.vmap(
+            lambda k: _brownian_pack(k, task.ts, (), jnp.float32)
+        )(keys)  # i1, i10: (B, T-1)
+        rollout = make_wta_rollout_diff(task.area, task.ts)
+        return rollout(params["recurrent_weights"], tables, i1.T, i10.T)
 
     def drift(t, y, p, table):
         return wta_drift(t, y, p, task.area, Stimulus(0.0, dt, table))

@@ -78,3 +78,68 @@ class TestFusedRollout:
                               membrane_only=False, interpret=True)
         # With zero noise the variants coincide (deterministic path).
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestDifferentiableFusedRollout:
+    """The custom-VJP fused rollout: value AND gradient parity vs the
+    differentiable lax.scan solver path (the WTA training fast path)."""
+
+    def _losses(self, B=3, T=80):
+        from columnflow.kernels.column_step import make_wta_rollout_diff
+        from columnflow.ops.losses import huber_trajectory_loss_wta
+
+        params, area, tables, ts = _setup(B=B, T=T)
+        tables = tables[:B]
+        h = float(ts[1] - ts[0])
+        z1, z2 = jax.random.normal(jax.random.PRNGKey(3), (2, T - 1, B))
+        i1 = jnp.sqrt(h) * z1
+        i10 = h * (0.5 * i1 + jnp.sqrt(h / 12.0) * z2)
+        true = 0.5 * jnp.ones((B, T, 2))
+        ow = params["output_weights"]
+        rollout = make_wta_rollout_diff(area, ts, interpret=True)
+
+        def loss_fused(w):
+            return huber_trajectory_loss_wta(
+                rollout(w, tables, i1, i10), true, ow
+            )
+
+        def loss_scan(w):
+            ys = wta_rollout_reference(
+                dict(params, recurrent_weights=w), area, tables, ts, i1, i10
+            )
+            return huber_trajectory_loss_wta(ys, true, ow)
+
+        return params["recurrent_weights"], loss_fused, loss_scan
+
+    def test_value_parity(self):
+        w, loss_fused, loss_scan = self._losses()
+        lf, ls = float(loss_fused(w)), float(loss_scan(w))
+        np.testing.assert_allclose(lf, ls, rtol=1e-4)
+
+    def test_gradient_parity(self):
+        w, loss_fused, loss_scan = self._losses()
+        gf = jax.grad(loss_fused)(w)
+        gs = jax.grad(loss_scan)(w)
+        # fp32 SDE gradients are ill-conditioned; both paths sit ~ the same
+        # distance from the f64 truth (verified offline), so compare in
+        # relative L2, not elementwise.
+        num = float(jnp.linalg.norm(gf - gs))
+        den = float(jnp.linalg.norm(gs))
+        assert num < 0.05 * den, (num, den)
+
+    def test_zero_cotangent_for_data_inputs(self):
+        from columnflow.kernels.column_step import make_wta_rollout_diff
+
+        params, area, tables, ts = _setup(B=2, T=40)
+        T, B = 40, 2
+        tables = tables[:B]
+        h = float(ts[1] - ts[0])
+        i1 = jnp.sqrt(h) * jax.random.normal(jax.random.PRNGKey(5), (T - 1, B))
+        i10 = h * 0.5 * i1
+        rollout = make_wta_rollout_diff(area, ts, interpret=True)
+        g_tab = jax.grad(
+            lambda tab: jnp.sum(
+                rollout(params["recurrent_weights"], tab, i1, i10)
+            )
+        )(tables)
+        assert float(jnp.max(jnp.abs(g_tab))) == 0.0
