@@ -20,6 +20,47 @@ from columnflow.ops.transfer import compute_firing_rate
 from columnflow.solvers import odeint, sdeint
 
 
+def _wta_segment_runner(params, area, ts, use_fused: bool | None = None):
+    """Jitted SRA1 segment integrator ``run(y0 (48,), key, stim_row (16,))
+    -> (T, 48)`` with a constant stimulus row.
+
+    ``use_fused=None`` auto-selects the chunked Pallas rollout on TPU (one
+    kernel call per VMEM-sized chunk — the 10 s rivalry segments are ~100k
+    steps); both paths draw the identical Brownian pack from the key, so
+    trajectories agree up to fp32 ordering.
+    """
+    if use_fused is None:
+        use_fused = jax.default_backend() not in ("cpu",)
+    T = ts.shape[0]
+    total_time = float(np.asarray(ts)[-1])
+
+    if use_fused:
+        from columnflow.kernels.column_step import wta_rollout_fused_chunked
+        from columnflow.solvers.sde import _brownian_pack
+
+        @jax.jit
+        def run(y0, k, stim_row):
+            tables = jnp.broadcast_to(stim_row[None, None, :], (1, T, 16))
+            _, i1, i10, _, _ = _brownian_pack(k, ts, (), jnp.float32)
+            ys = wta_rollout_fused_chunked(
+                params, area, y0[None], tables, ts, i1[:, None], i10[:, None]
+            )
+            return ys[0]
+
+        return run
+
+    @jax.jit
+    def run(y0, k, stim_row):
+        stim = Stimulus(0.0, total_time, jnp.tile(stim_row, (2, 1)))
+        return sdeint(
+            lambda t, y: wta_drift(t, y, params, area, stim),
+            lambda t, y: wta_diffusion(t, y, params, area, stim),
+            y0, ts, k, method="srk", additive=True,
+        )
+
+    return run
+
+
 def coherence_sweep(params, area, coherences=None, mu_base: float = 20.0,
                     dt: float = 1e-4, stim_phase: float = 0.05,
                     window=(400, 1000)):
@@ -64,7 +105,8 @@ def coherence_sweep(params, area, coherences=None, mu_base: float = 20.0,
 def bistable_perception(params, area, key, mu_a: float = 20.0,
                         mu_b: float = 20.0, nr_iterations: int = 10,
                         phase: float = 10.0, dt: float = 1e-4,
-                        sliding_window: int = 10_000):
+                        sliding_window: int = 10_000,
+                        use_fused: bool | None = None):
     """Equal-evidence rivalry runs with dominance statistics (reference:
     scripts/plotting_results.py:290-431): ``nr_iterations`` chained 10 s SDE
     segments, constant stimulation of both columns, firing rates recomputed
@@ -75,28 +117,18 @@ def bistable_perception(params, area, key, mu_a: float = 20.0,
     """
     time_steps = int(phase / dt)
     ts = jnp.linspace(0.0, time_steps * dt, time_steps)
-    grid_dt = float(np.asarray(ts)[1])
-    table = jnp.zeros((2, 16))
-    table = table.at[:, jnp.array([2, 3])].set(mu_a)
-    table = table.at[:, jnp.array([10, 11])].set(mu_b)
-    stim = Stimulus(0.0, phase, table)  # constant stimulus
-
-    def drift(t, y):
-        return wta_drift(t, y, params, area, stim)
-
-    def diffusion(t, y):
-        return wta_diffusion(t, y, params, area, stim)
-
-    segment = jax.jit(
-        lambda y0, k: sdeint(drift, diffusion, y0, ts, k, method="srk",
-                             additive=True)
+    stim_row = (
+        jnp.zeros(16)
+        .at[jnp.array([2, 3])].set(mu_a)
+        .at[jnp.array([10, 11])].set(mu_b)
     )
+    segment = _wta_segment_runner(params, area, ts, use_fused)
 
     state = jnp.zeros(48)
     chunks = []
     for i in range(nr_iterations):
         key, k = jax.random.split(key)
-        ys = segment(state, k)
+        ys = segment(state, k, stim_row)
         state = ys[-1]
         fr = compute_firing_rate(ys[:, :16] - ys[:, 16:32])
         chunks.append(np.asarray(fr))
@@ -110,7 +142,8 @@ def bistable_perception(params, area, key, mu_a: float = 20.0,
 
 
 def wta_timecourse(params, area, key, stim_sequence=None, phase: float = 0.5,
-                   dt: float = 1e-4, initial_membrane=None):
+                   dt: float = 1e-4, initial_membrane=None,
+                   use_fused: bool | None = None):
     """Chained stimulus-sequence run for the WTA/bistable poster figure
     (reference: scripts/plotting_results.py:469-562).
 
@@ -127,28 +160,20 @@ def wta_timecourse(params, area, key, stim_sequence=None, phase: float = 0.5,
     if initial_membrane is not None:
         state = state.at[:16].set(jnp.tile(jnp.asarray(initial_membrane), 2))
 
-    def make_segment():
-        def run(y0, k, table):
-            stim = Stimulus(0.0, phase, table)
-            return sdeint(
-                lambda t, y: wta_drift(t, y, params, area, stim),
-                lambda t, y: wta_diffusion(t, y, params, area, stim),
-                y0, ts, k, method="srk", additive=True,
-            )
-        return jax.jit(run)
-
-    segment = make_segment()
+    segment = _wta_segment_runner(params, area, ts, use_fused)
     rate_chunks, stim_chunks = [], []
     for pair in stim_sequence:
         key, k = jax.random.split(key)
-        table = jnp.zeros((2, 16))
-        table = table.at[:, jnp.array([2, 3])].set(pair[0])
-        table = table.at[:, jnp.array([10, 11])].set(pair[1])
-        ys = segment(state, k, table)
+        stim_row = (
+            jnp.zeros(16)
+            .at[jnp.array([2, 3])].set(pair[0])
+            .at[jnp.array([10, 11])].set(pair[1])
+        )
+        ys = segment(state, k, stim_row)
         state = ys[-1]
         fr = compute_firing_rate(ys[:, :16] - ys[:, 16:32])
         rate_chunks.append(np.asarray(fr))
-        stim_chunks.append(np.tile(np.asarray(table[0]), (time_steps, 1)))
+        stim_chunks.append(np.tile(np.asarray(stim_row), (time_steps, 1)))
     return np.concatenate(rate_chunks), np.concatenate(stim_chunks)
 
 
@@ -198,3 +223,86 @@ def xor_timecourse(params, net, key, conditions=None, dt: float = 1e-3,
             axis=1,
         ))
     return np.concatenate(rate_chunks), np.concatenate(stim_chunks)
+
+
+def main():
+    """CLI: run an analysis experiment on a trained WTA/XOR checkpoint and
+    write figures (reference entry point: scripts/plotting_results.py:652-667).
+
+    Without ``--checkpoint``, analyses the anatomical (untrained) weights.
+    """
+    import argparse
+
+    from columnflow.config import ColumnConfig
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("experiment", choices=["coherence", "bistable",
+                                          "wta-timecourse", "xor-timecourse"])
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint path from the wta/xor task trainers")
+    p.add_argument("--out-dir", default="results")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--iterations", type=int, default=10,
+                   help="bistable: number of chained 10 s segments")
+    args = p.parse_args()
+
+    import os
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    cfg = ColumnConfig.load()
+    key = jax.random.PRNGKey(args.seed)
+
+    if args.experiment == "xor-timecourse":
+        from columnflow.analysis.plots import plot_timecourse
+        from columnflow.models import build_xor_network
+
+        params, net = build_xor_network(cfg, jax.random.PRNGKey(0))
+        if args.checkpoint:
+            from columnflow.train import load_checkpoint
+
+            params = load_checkpoint(args.checkpoint,
+                                     params_like=params)["params"]
+        rates, stim = xor_timecourse(params, net, key)
+        plot_timecourse(rates, stim, 1e-3,
+                        f"{args.out_dir}/xor_timecourse.png",
+                        columns=(0, 8, 16))
+        print(f"wrote {args.out_dir}/xor_timecourse.png")
+        return
+
+    from columnflow.models import build_wta
+
+    params, area = build_wta(cfg, jax.random.PRNGKey(0))
+    if args.checkpoint:
+        from columnflow.train import load_checkpoint
+
+        params = load_checkpoint(args.checkpoint, params_like=params)["params"]
+
+    if args.experiment == "coherence":
+        from columnflow.analysis.plots import plot_coherence_sweep
+
+        coherences = jnp.arange(0.0, 21.0, 2.0)
+        layers = coherence_sweep(params, area, coherences)
+        plot_coherence_sweep(np.asarray(layers), np.asarray(coherences),
+                             f"{args.out_dir}/coherence.png")
+        print(f"wrote {args.out_dir}/coherence.png")
+    elif args.experiment == "bistable":
+        from columnflow.analysis.plots import plot_dominance_histogram
+
+        out = bistable_perception(params, area, key,
+                                  nr_iterations=args.iterations)
+        print(f"alternation rate: {out['alternation_rate']:.4f} Hz "
+              f"({out['alternations']} alternations)")
+        plot_dominance_histogram(out["dominance"],
+                                 f"{args.out_dir}/dominance.png")
+        print(f"wrote {args.out_dir}/dominance.png")
+    else:  # wta-timecourse
+        from columnflow.analysis.plots import plot_timecourse
+
+        rates, stim = wta_timecourse(params, area, key)
+        plot_timecourse(rates, stim, 1e-4,
+                        f"{args.out_dir}/wta_timecourse.png")
+        print(f"wrote {args.out_dir}/wta_timecourse.png")
+
+
+if __name__ == "__main__":
+    main()

@@ -97,17 +97,18 @@ def fused_drift(y, stim_t, params, area: AreaParams, interpret: bool = False):
     )(scalars, y, stim_t, params["recurrent_weights"], consts)
 
 
-def _rollout_kernel(scal_ref, w_ref, c_ref, g_ref, stim_ref, i1_ref, i10_ref,
-                    out_ref):
+def _rollout_kernel(scal_ref, w_ref, c_ref, g_ref, y0_ref, stim_ref, i1_ref,
+                    i10_ref, out_ref):
     """Full SRA1 rollout, everything VMEM-resident.
 
     scal: SMEM (5,) = (h, tau_s, tau_m, tau_a, R)
     w:    (16, 16) recurrent weights
     c:    (3, 16) [bg_current, ffw, adapt]
     g:    (1, 48) constant diffusion vector
+    y0:   (B, 48) initial state
     stim: (B, T, 16)
     i1/i10: (T-1, B) Brownian increments / time integrals
-    out:  (T, B, 48) trajectory (out[0] written as zeros = y0)
+    out:  (T, B, 48) trajectory (out[0] = y0)
     """
     h = scal_ref[0]
     scalars = (scal_ref[1], scal_ref[2], scal_ref[3], scal_ref[4])
@@ -117,7 +118,7 @@ def _rollout_kernel(scal_ref, w_ref, c_ref, g_ref, stim_ref, i1_ref, i10_ref,
     consts = c_ref[:]
     g = g_ref[:]  # (1, 48)
 
-    y0 = jnp.zeros((B, 48), dtype=jnp.float32)
+    y0 = y0_ref[:]
     out_ref[0] = y0
 
     def drift(y, s):
@@ -148,7 +149,7 @@ def _rollout_kernel(scal_ref, w_ref, c_ref, g_ref, stim_ref, i1_ref, i10_ref,
 
 def wta_rollout_fused(params, area: AreaParams, stim_tables, ts, i1, i10,
                       noise_std: float = 100.0, membrane_only: bool = False,
-                      interpret: bool = False):
+                      interpret: bool = False, y0=None):
     """Batched SRA1 rollout of the WTA model in ONE Pallas kernel.
 
     Args:
@@ -156,8 +157,9 @@ def wta_rollout_fused(params, area: AreaParams, stim_tables, ts, i1, i10,
         ts: (T,) uniform time grid.
         i1, i10: (T-1, B) Brownian increment / time-integral per step+sample
             (same convention as solvers.sde._brownian_pack).
+        y0: (B, 48) initial state; zeros if None.
 
-    Returns (B, T, 48) trajectories from zero initial state.
+    Returns (B, T, 48) trajectories.
     """
     import numpy as np
 
@@ -179,12 +181,14 @@ def wta_rollout_fused(params, area: AreaParams, stim_tables, ts, i1, i10,
     if membrane_only:
         g = g.at[:, 16:].set(0.0)
 
-    out = _forward_call(scalars, params["recurrent_weights"], consts, g,
+    if y0 is None:
+        y0 = jnp.zeros((stim_tables.shape[0], 48), dtype=jnp.float32)
+    out = _forward_call(scalars, params["recurrent_weights"], consts, g, y0,
                         stim_tables, i1, i10, interpret=interpret)
     return jnp.transpose(out, (1, 0, 2))
 
 
-def _forward_call(scalars, w, consts, g, stim_tables, i1, i10,
+def _forward_call(scalars, w, consts, g, y0, stim_tables, i1, i10,
                   interpret: bool = False):
     """Raw forward rollout pallas_call; returns (T, B, 48)."""
     B, T, _ = stim_tables.shape
@@ -199,10 +203,11 @@ def _forward_call(scalars, w, consts, g, stim_tables, i1, i10,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(scalars, w, consts, g, stim_tables, i1, i10)
+    )(scalars, w, consts, g, y0, stim_tables, i1, i10)
 
 
 def wta_rollout_reference(params, area: AreaParams, stim_tables, ts, i1, i10,
@@ -396,15 +401,18 @@ def make_wta_rollout_diff(area: AreaParams, ts, noise_std: float = 100.0,
             interpret=interpret,
         )(scalars, w, consts, g, stim_tables, i10, ys_tb, ysbar_tb)
 
+    def _zeros_y0(stim_tables):
+        return jnp.zeros((stim_tables.shape[0], 48), dtype=jnp.float32)
+
     @jax.custom_vjp
     def rollout(w, stim_tables, i1, i10):
-        out = _forward_call(scalars, w, consts, g, stim_tables, i1, i10,
-                            interpret=interpret)
+        out = _forward_call(scalars, w, consts, g, _zeros_y0(stim_tables),
+                            stim_tables, i1, i10, interpret=interpret)
         return jnp.transpose(out, (1, 0, 2))
 
     def fwd(w, stim_tables, i1, i10):
-        out = _forward_call(scalars, w, consts, g, stim_tables, i1, i10,
-                            interpret=interpret)
+        out = _forward_call(scalars, w, consts, g, _zeros_y0(stim_tables),
+                            stim_tables, i1, i10, interpret=interpret)
         return jnp.transpose(out, (1, 0, 2)), (w, stim_tables, i1, i10, out)
 
     def bwd(res, ys_bar):
@@ -416,3 +424,66 @@ def make_wta_rollout_diff(area: AreaParams, ts, noise_std: float = 100.0,
 
     rollout.defvjp(fwd, bwd)
     return rollout
+
+
+def wta_rollout_fused_chunked(params, area: AreaParams, y0, stim_tables, ts,
+                              i1, i10, chunk: int = 8192,
+                              noise_std: float = 100.0,
+                              membrane_only: bool = False,
+                              interpret: bool = False):
+    """Long-horizon fused rollout: the time axis is split into VMEM-sized
+    chunks, each one Pallas kernel call, chained with a ``lax.scan`` carry.
+
+    Chunks overlap by one stimulus row (the SRA1 stage at a chunk's last
+    step reads stim[i+1]), so the result is identical to the unchunked
+    kernel. Inference path for the analysis suite's 10 s rivalry segments
+    (reference: scripts/plotting_results.py:290-431), whose ~100k-step
+    trajectories exceed the VMEM budget of a single kernel invocation.
+
+    Args mirror ``wta_rollout_fused`` plus explicit ``y0`` (B, 48).
+    Returns (B, T, 48).
+    """
+    import numpy as np
+
+    B, T, _ = stim_tables.shape
+    n_steps = T - 1
+    ts_host = np.asarray(ts)
+    h = float(ts_host[1] - ts_host[0])
+    scalars = jnp.asarray(
+        [h, area.tau_syn, area.tau_mem, area.tau_adapt, area.resistance],
+        dtype=jnp.float32,
+    )
+    consts = jnp.stack([
+        jnp.asarray(area.background_current),
+        jnp.asarray(area.feedforward_weights),
+        jnp.asarray(area.adaptation_strength),
+    ])
+    g = jnp.full((1, 48), noise_std, dtype=jnp.float32)
+    if membrane_only:
+        g = g.at[:, 16:].set(0.0)
+    w = params["recurrent_weights"]
+
+    K = min(chunk, n_steps)
+    n_full = n_steps // K
+    rem = n_steps - n_full * K
+
+    def body(y, c):
+        tab = jax.lax.dynamic_slice(stim_tables, (0, c * K, 0), (B, K + 1, 16))
+        i1_c = jax.lax.dynamic_slice(i1, (c * K, 0), (K, B))
+        i10_c = jax.lax.dynamic_slice(i10, (c * K, 0), (K, B))
+        out = _forward_call(scalars, w, consts, g, y, tab, i1_c, i10_c,
+                            interpret=interpret)  # (K+1, B, 48)
+        return out[-1], out[1:]
+
+    y_last, chunks = jax.lax.scan(body, y0, jnp.arange(n_full))
+    ys = chunks.reshape(n_full * K, B, 48)
+
+    if rem:
+        tab = stim_tables[:, n_full * K:, :]
+        out = _forward_call(scalars, w, consts, g, y_last, tab,
+                            i1[n_full * K:], i10[n_full * K:],
+                            interpret=interpret)
+        ys = jnp.concatenate([ys, out[1:]], axis=0)
+
+    ys = jnp.concatenate([y0[None], ys], axis=0)  # (T, B, 48)
+    return jnp.transpose(ys, (1, 0, 2))

@@ -143,3 +143,26 @@ class TestDifferentiableFusedRollout:
             )
         )(tables)
         assert float(jnp.max(jnp.abs(g_tab))) == 0.0
+
+
+class TestChunkedFusedRollout:
+    def test_matches_unchunked_exactly(self):
+        """Chunking (incl. a remainder chunk) must be bit-identical: same
+        step math, same stimulus overlap rows."""
+        from columnflow.kernels.column_step import (
+            wta_rollout_fused,
+            wta_rollout_fused_chunked,
+        )
+
+        params, area, tables, ts = _setup(B=2, T=101)
+        tables, B, T = tables[:2], 2, 101
+        h = float(ts[1] - ts[0])
+        z1, z2 = jax.random.normal(jax.random.PRNGKey(2), (2, T - 1, B))
+        i1 = jnp.sqrt(h) * z1
+        i10 = h * (0.5 * i1 + jnp.sqrt(h / 12.0) * z2)
+        y0 = 0.1 * jax.random.normal(jax.random.PRNGKey(4), (B, 48))
+        full = wta_rollout_fused(params, area, tables, ts, i1, i10,
+                                 interpret=True, y0=y0)
+        chunked = wta_rollout_fused_chunked(params, area, y0, tables, ts,
+                                            i1, i10, chunk=24, interpret=True)
+        np.testing.assert_array_equal(np.asarray(full), np.asarray(chunked))
