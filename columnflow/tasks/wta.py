@@ -11,6 +11,17 @@ over ``lax.scan``, and the optimizer update (torch-RMSprop lr=10.0 alpha=0.9
 + ExponentialLR gamma=0.99, gradients masked to the 4 trainable entries) is
 fused into the same jitted step. Optionally shards the batch across a device
 mesh (data parallelism over ICI) via ``columnflow.parallel``.
+
+Faithfulness note on convergence: with the current config/model.toml the
+anatomical recurrent weights are O(300) (verified identical to the reference
+class run directly) and RMSprop(lr=10.0) moves the 4 trainable entries by
+O(10)/step, so the SmoothL1 loss is noisy and does not converge to a small
+value — this is the reference protocol's own behavior at this weight scale
+(every piece — weight construction, loss, optimizer+schedule, SRK solver —
+is parity-tested against the reference/torch; the hardcoded "trained" matrix
+in the reference's scripts/plotting_results.py:36-101 has O(0.1) weights,
+i.e. it predates the current config). Pass a smaller ``lr`` to ``build_task``
+for stable optimization.
 """
 
 from __future__ import annotations
