@@ -21,7 +21,7 @@ from columnflow.data import make_hopf_dataset
 from columnflow.models import build_hopf_mlp, hopf_mlp_drift
 from columnflow.models.column import Stimulus
 from columnflow.ops.losses import smooth_l1
-from columnflow.train import MetricsLogger, torch_rmsprop
+from columnflow.train import MetricsLogger, StepProfiler, torch_rmsprop
 
 TOTAL_TIME = 25.0
 TIME_POINTS = 1000  # scripts/bifurcation_ode.py:186-189
@@ -87,6 +87,7 @@ def train_bifurcation(
     test_freq: int = 3,
     max_steps: int = 4096,
     metrics_path: str | None = None,
+    profile_dir: str | None = None,
     checkpoint_path: str | None = None,
     dataset=None,
     plot_dir: str | None = None,
@@ -117,11 +118,13 @@ def train_bifurcation(
     opt_state = task.optimizer.init(task.params)
     params = task.params
     logger = MetricsLogger(metrics_path)
+    profiler = StepProfiler(profile_dir)
     history = []
     n = train_ds.shape[1]
     ii = 0
 
     for it in range(n // batch_size):
+        profiler.step(it)
         key, k_perm = jax.random.split(key)
         idx = jax.random.permutation(k_perm, n)[:batch_size]
         batch = train_ds[:, idx, :]
@@ -150,6 +153,7 @@ def train_bifurcation(
 
         save_checkpoint(checkpoint_path, params=params, opt_state=opt_state,
                         key=key, step=len(history))
+    profiler.close()
     logger.close()
     return params, history
 
@@ -163,6 +167,8 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--metrics-out", default=None)
+    p.add_argument("--profile-dir", default=None,
+                   help="dump a jax.profiler trace of steps 2-4 here")
     p.add_argument("--checkpoint-out", default=None)
     args = p.parse_args()
 
@@ -170,11 +176,13 @@ def main():
         params, hist = train_bifurcation(
             nr_samples=16, batch_size=8, time_points=100, total_time=2.5,
             max_steps=512, seed=args.seed, metrics_path=args.metrics_out,
+            profile_dir=args.profile_dir,
         )
     else:
         params, hist = train_bifurcation(
             nr_samples=args.samples, batch_size=args.batch_size,
             seed=args.seed, metrics_path=args.metrics_out,
+            profile_dir=args.profile_dir,
             checkpoint_path=args.checkpoint_out,
         )
     print(f"final loss {hist[-1]['loss']:.5f}")

@@ -25,7 +25,7 @@ from columnflow.config import ColumnConfig
 from columnflow.data import make_parity_batch, parity_stim_table
 from columnflow.models import Stimulus, build_column_network, network_drift
 from columnflow.ops.transfer import compute_firing_rate
-from columnflow.train import MetricsLogger, adam, clamp_params, mask_grads
+from columnflow.train import MetricsLogger, StepProfiler, adam, clamp_params, mask_grads
 
 DT = 1e-3
 STIM_DURATION = 0.5
@@ -141,6 +141,7 @@ def train_parity(
     time_steps: int = TIME_STEPS,
     max_steps: int = 4096,
     metrics_path: str | None = None,
+    profile_dir: str | None = None,
     checkpoint_path: str | None = None,
     checkpoint_every: int = 5,
     plot_dir: str | None = None,
@@ -164,9 +165,11 @@ def train_parity(
     opt_state = task.optimizer.init(task.params)
     params = task.params
     logger = MetricsLogger(metrics_path)
+    profiler = StepProfiler(profile_dir)
     history = []
 
     for it in range(nr_samples // batch_size):
+        profiler.step(it)
         key, k_batch = jax.random.split(key)
         stims = make_parity_batch(k_batch, n_inputs, batch_size)
         params, opt_state, loss, out, gnorm, finite = step_fn(
@@ -188,6 +191,7 @@ def train_parity(
 
             plot_weight_matrices(params, f"{plot_dir}/parity_{it:04d}")
 
+    profiler.close()
     logger.close()
     return params, history
 
@@ -201,6 +205,8 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--metrics-out", default=None)
+    p.add_argument("--profile-dir", default=None,
+                   help="dump a jax.profiler trace of steps 2-4 here")
     p.add_argument("--checkpoint-out", default=None)
     args = p.parse_args()
 
@@ -208,11 +214,13 @@ def main():
         params, hist = train_parity(
             nr_samples=8, batch_size=4, seed=args.seed, time_steps=200,
             max_steps=1024, metrics_path=args.metrics_out,
+            profile_dir=args.profile_dir,
         )
     else:
         params, hist = train_parity(
             nr_samples=args.samples, batch_size=args.batch_size,
             seed=args.seed, metrics_path=args.metrics_out,
+            profile_dir=args.profile_dir,
             checkpoint_path=args.checkpoint_out,
         )
     print(f"final loss {hist[-1]['loss']:.5f}")

@@ -38,7 +38,7 @@ from columnflow.data import make_wta_dataset, wta_stim_three_phases
 from columnflow.models import Stimulus, build_wta, wta_diffusion, wta_drift
 from columnflow.models.wta import wta_lat_in_mask
 from columnflow.ops.losses import huber_trajectory_loss_wta
-from columnflow.train import MetricsLogger, exponential_lr, mask_grads, torch_rmsprop
+from columnflow.train import MetricsLogger, StepProfiler, exponential_lr, mask_grads, torch_rmsprop
 
 DT = 1e-4
 STIM_PHASE = 0.05  # s; three phases -> 1500 steps (scripts/wta_ode.py:145-147)
@@ -160,6 +160,7 @@ def train_wta(
     seed: int = 0,
     time_steps: int = TIME_STEPS,
     metrics_path: str | None = None,
+    profile_dir: str | None = None,
     checkpoint_path: str | None = None,
     dataset=None,
     plot_dir: str | None = None,
@@ -181,6 +182,7 @@ def train_wta(
 
     opt_state = task.optimizer.init(task.params)
     logger = MetricsLogger(metrics_path)
+    profiler = StepProfiler(profile_dir)
     params = task.params
     step_fn = make_train_step(task)
     val_fn = jax.jit(
@@ -193,6 +195,7 @@ def train_wta(
     history = []
 
     for it in range(num_batches):
+        profiler.step(it)
         key, k_perm, k_noise, k_val = jax.random.split(key, 4)
         idx = jax.random.permutation(k_perm, n)[:batch_size]
         bs, bst = states[idx[:-1]], stims[idx[:-1]]  # last held out
@@ -225,6 +228,7 @@ def train_wta(
 
         save_checkpoint(checkpoint_path, params=params, opt_state=opt_state,
                         key=key, step=num_batches)
+    profiler.close()
     logger.close()
     return params, history
 
@@ -239,18 +243,22 @@ def main():
     p.add_argument("--smoke", action="store_true",
                    help="tiny run: 48 samples, 300 steps")
     p.add_argument("--metrics-out", default=None)
+    p.add_argument("--profile-dir", default=None,
+                   help="dump a jax.profiler trace of steps 2-4 here")
     p.add_argument("--checkpoint-out", default=None)
     args = p.parse_args()
 
     if args.smoke:
         params, hist = train_wta(
             nr_samples=48, batch_size=8, seed=args.seed, time_steps=300,
-            metrics_path=args.metrics_out, checkpoint_path=args.checkpoint_out,
+            metrics_path=args.metrics_out,
+            profile_dir=args.profile_dir, checkpoint_path=args.checkpoint_out,
         )
     else:
         params, hist = train_wta(
             nr_samples=args.samples, batch_size=args.batch_size,
             seed=args.seed, metrics_path=args.metrics_out,
+            profile_dir=args.profile_dir,
             checkpoint_path=args.checkpoint_out,
         )
     print(f"final loss {hist[-1]['loss']:.5f} | val {hist[-1]['val_loss']:.5f}")

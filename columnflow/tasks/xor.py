@@ -25,7 +25,7 @@ from columnflow.data import prep_xor_stim, xor_conditions
 from columnflow.models import Stimulus, build_xor_network, xor_drift
 from columnflow.models.xor import FF_SOURCE_MASK, FF_TARGET_MASK, XOR_STATE_DIM
 from columnflow.ops.transfer import compute_firing_rate
-from columnflow.train import MetricsLogger, exponential_lr, mask_grads, torch_rmsprop
+from columnflow.train import MetricsLogger, StepProfiler, exponential_lr, mask_grads, torch_rmsprop
 
 DT = 1e-3
 STIM_DURATION = 0.5
@@ -116,6 +116,7 @@ def train_xor(
     time_steps: int = TIME_STEPS,
     max_steps: int = 4096,
     metrics_path: str | None = None,
+    profile_dir: str | None = None,
     checkpoint_path: str | None = None,
     plot_dir: str | None = None,
     plot_every: int = 5,
@@ -139,9 +140,11 @@ def train_xor(
     opt_state = task.optimizer.init(task.params)
     params = task.params
     logger = MetricsLogger(metrics_path)
+    profiler = StepProfiler(profile_dir)
     history = []
 
     for it in range(nr_samples // batch_size):
+        profiler.step(it)
         key, k_shuf = jax.random.split(key)
         conds = conds_all[jax.random.permutation(k_shuf, 4)]
         params, opt_state, loss = step_fn(params, opt_state, conds)
@@ -172,6 +175,7 @@ def train_xor(
 
         save_checkpoint(checkpoint_path, params=params, opt_state=opt_state,
                         key=key, step=len(history))
+    profiler.close()
     logger.close()
     return params, history
 
@@ -184,15 +188,19 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--metrics-out", default=None)
+    p.add_argument("--profile-dir", default=None,
+                   help="dump a jax.profiler trace of steps 2-4 here")
     p.add_argument("--checkpoint-out", default=None)
     args = p.parse_args()
 
     if args.smoke:
         params, hist = train_xor(nr_samples=8, time_steps=200, max_steps=1024,
-                                 seed=args.seed, metrics_path=args.metrics_out)
+                                 seed=args.seed, metrics_path=args.metrics_out,
+            profile_dir=args.profile_dir)
     else:
         params, hist = train_xor(nr_samples=args.samples, seed=args.seed,
                                  metrics_path=args.metrics_out,
+            profile_dir=args.profile_dir,
                                  checkpoint_path=args.checkpoint_out)
     print(f"final loss {hist[-1]['loss']:.5f} | acc {hist[-1]['acc']:.2f}")
 

@@ -6,7 +6,7 @@ from columnflow.train.optim import (
     adam,
 )
 from columnflow.train.checkpoint import save_checkpoint, load_checkpoint
-from columnflow.train.metrics import MetricsLogger
+from columnflow.train.metrics import MetricsLogger, StepProfiler
 
 __all__ = [
     "torch_rmsprop",
@@ -17,4 +17,5 @@ __all__ = [
     "save_checkpoint",
     "load_checkpoint",
     "MetricsLogger",
+    "StepProfiler",
 ]

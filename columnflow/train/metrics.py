@@ -44,3 +44,41 @@ class MetricsLogger:
     def close(self):
         if self._fh:
             self._fh.close()
+
+
+class StepProfiler:
+    """Traces a window of training steps with ``jax.profiler`` (SURVEY.md
+    section 5: the reference has no tracing at all; this is the TPU-native
+    replacement — open the dump with TensorBoard or xprof).
+
+    Usage: call ``prof.step(it)`` at the top of each training iteration;
+    steps in [start, stop) are captured. A no-op when ``profile_dir`` is
+    falsy, so call sites can pass the CLI flag straight through.
+    """
+
+    def __init__(self, profile_dir: str | None, start: int = 2,
+                 stop: int = 5):
+        self.profile_dir = profile_dir
+        self.start = start
+        self.stop = stop
+        self._active = False
+
+    def step(self, it: int):
+        if not self.profile_dir:
+            return
+        import jax
+
+        if it == self.start and not self._active:
+            os.makedirs(self.profile_dir, exist_ok=True)
+            jax.profiler.start_trace(self.profile_dir)
+            self._active = True
+        elif it == self.stop and self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+
+    def close(self):
+        if self._active:
+            import jax
+
+            jax.profiler.stop_trace()
+            self._active = False
