@@ -106,7 +106,8 @@ def _rollout_kernel(scal_ref, w_ref, c_ref, g_ref, y0_ref, stim_ref, i1_ref,
     c:    (3, 16) [bg_current, ffw, adapt]
     g:    (1, 48) constant diffusion vector
     y0:   (B, 48) initial state
-    stim: (B, T, 16)
+    stim: (T, B, 16) — time-major so per-step reads and host-side time
+          chunking are contiguous
     i1/i10: (T-1, B) Brownian increments / time integrals
     out:  (T, B, 48) trajectory (out[0] = y0)
     """
@@ -128,8 +129,8 @@ def _rollout_kernel(scal_ref, w_ref, c_ref, g_ref, y0_ref, stim_ref, i1_ref,
         return jnp.concatenate([dv, da, dr], axis=1)
 
     def step(i, y):
-        s0 = stim_ref[:, i, :]  # (B, 16)
-        s1 = stim_ref[:, jnp.minimum(i + 1, T - 1), :]
+        s0 = stim_ref[i]  # (B, 16)
+        s1 = stim_ref[jnp.minimum(i + 1, T - 1)]
         s_mid = s0 + 0.75 * (s1 - s0)
 
         i1 = i1_ref[i, :][:, None]  # (B, 1)
@@ -184,14 +185,16 @@ def wta_rollout_fused(params, area: AreaParams, stim_tables, ts, i1, i10,
     if y0 is None:
         y0 = jnp.zeros((stim_tables.shape[0], 48), dtype=jnp.float32)
     out = _forward_call(scalars, params["recurrent_weights"], consts, g, y0,
-                        stim_tables, i1, i10, interpret=interpret)
+                        jnp.transpose(stim_tables, (1, 0, 2)), i1, i10,
+                        interpret=interpret)
     return jnp.transpose(out, (1, 0, 2))
 
 
-def _forward_call(scalars, w, consts, g, y0, stim_tables, i1, i10,
+def _forward_call(scalars, w, consts, g, y0, stim_tb, i1, i10,
                   interpret: bool = False):
-    """Raw forward rollout pallas_call; returns (T, B, 48)."""
-    B, T, _ = stim_tables.shape
+    """Raw forward rollout pallas_call; stim_tb is TIME-MAJOR (T, B, 16).
+    Returns (T, B, 48)."""
+    T, B, _ = stim_tb.shape
     return pl.pallas_call(
         _rollout_kernel,
         out_shape=jax.ShapeDtypeStruct((T, B, 48), jnp.float32),
@@ -207,7 +210,7 @@ def _forward_call(scalars, w, consts, g, y0, stim_tables, i1, i10,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(scalars, w, consts, g, y0, stim_tables, i1, i10)
+    )(scalars, w, consts, g, y0, stim_tb, i1, i10)
 
 
 def wta_rollout_reference(params, area: AreaParams, stim_tables, ts, i1, i10,
@@ -334,8 +337,8 @@ def _rollout_bwd_kernel(scal_ref, w_ref, c_ref, g_ref, stim_ref, i10_ref,
         c_adj, wbar = carry
         i = T - 2 - k
         y = ys_ref[i]
-        s0 = stim_ref[:, i, :]
-        s1 = stim_ref[:, jnp.minimum(i + 1, T - 1), :]
+        s0 = stim_ref[i]  # stim is time-major (T, B, 16)
+        s1 = stim_ref[jnp.minimum(i + 1, T - 1)]
         s_mid = s0 + 0.75 * (s1 - s0)
         i10_h = (i10_ref[i, :] / h)[:, None]
 
@@ -383,7 +386,7 @@ def make_wta_rollout_diff(area: AreaParams, ts, noise_std: float = 100.0,
     if membrane_only:
         g = g.at[:, 16:].set(0.0)
 
-    def _bwd_call(w, stim_tables, i10, ys_tb, ysbar_tb):
+    def _bwd_call(w, stim_tb, i10, ys_tb, ysbar_tb):
         return pl.pallas_call(
             _rollout_bwd_kernel,
             out_shape=jax.ShapeDtypeStruct((16, 16), jnp.float32),
@@ -399,7 +402,7 @@ def make_wta_rollout_diff(area: AreaParams, ts, noise_std: float = 100.0,
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             interpret=interpret,
-        )(scalars, w, consts, g, stim_tables, i10, ys_tb, ysbar_tb)
+        )(scalars, w, consts, g, stim_tb, i10, ys_tb, ysbar_tb)
 
     def _zeros_y0(stim_tables):
         return jnp.zeros((stim_tables.shape[0], 48), dtype=jnp.float32)
@@ -407,20 +410,23 @@ def make_wta_rollout_diff(area: AreaParams, ts, noise_std: float = 100.0,
     @jax.custom_vjp
     def rollout(w, stim_tables, i1, i10):
         out = _forward_call(scalars, w, consts, g, _zeros_y0(stim_tables),
-                            stim_tables, i1, i10, interpret=interpret)
+                            jnp.transpose(stim_tables, (1, 0, 2)), i1, i10,
+                            interpret=interpret)
         return jnp.transpose(out, (1, 0, 2))
 
     def fwd(w, stim_tables, i1, i10):
+        stim_tb = jnp.transpose(stim_tables, (1, 0, 2))
         out = _forward_call(scalars, w, consts, g, _zeros_y0(stim_tables),
-                            stim_tables, i1, i10, interpret=interpret)
-        return jnp.transpose(out, (1, 0, 2)), (w, stim_tables, i1, i10, out)
+                            stim_tb, i1, i10, interpret=interpret)
+        return jnp.transpose(out, (1, 0, 2)), (w, stim_tb, i1, i10, out)
 
     def bwd(res, ys_bar):
-        w, stim_tables, i1, i10, ys_tb = res
+        w, stim_tb, i1, i10, ys_tb = res
         ysbar_tb = jnp.transpose(ys_bar, (1, 0, 2)).astype(jnp.float32)
-        w_bar = _bwd_call(w, stim_tables, i10, ys_tb, ysbar_tb)
-        return (w_bar, jnp.zeros_like(stim_tables), jnp.zeros_like(i1),
-                jnp.zeros_like(i10))
+        w_bar = _bwd_call(w, stim_tb, i10, ys_tb, ysbar_tb)
+        T, B, S = stim_tb.shape  # primal stim cotangent is batch-major
+        return (w_bar, jnp.zeros((B, T, S), stim_tb.dtype),
+                jnp.zeros_like(i1), jnp.zeros_like(i10))
 
     rollout.defvjp(fwd, bwd)
     return rollout
@@ -462,13 +468,17 @@ def wta_rollout_fused_chunked(params, area: AreaParams, y0, stim_tables, ts,
     if membrane_only:
         g = g.at[:, 16:].set(0.0)
     w = params["recurrent_weights"]
+    # Time-major stim: chunk slices along the leading axis are contiguous
+    # in HBM (slicing the middle axis of (B, T, 16) is a strided gather
+    # that dominated the sweep wall-clock at large B).
+    stim_tb = jnp.transpose(stim_tables, (1, 0, 2))  # (T, B, 16)
 
     K = min(chunk, n_steps)
     n_full = n_steps // K
     rem = n_steps - n_full * K
 
     def body(y, c):
-        tab = jax.lax.dynamic_slice(stim_tables, (0, c * K, 0), (B, K + 1, 16))
+        tab = jax.lax.dynamic_slice(stim_tb, (c * K, 0, 0), (K + 1, B, 16))
         i1_c = jax.lax.dynamic_slice(i1, (c * K, 0), (K, B))
         i10_c = jax.lax.dynamic_slice(i10, (c * K, 0), (K, B))
         out = _forward_call(scalars, w, consts, g, y, tab, i1_c, i10_c,
@@ -479,11 +489,22 @@ def wta_rollout_fused_chunked(params, area: AreaParams, y0, stim_tables, ts,
     ys = chunks.reshape(n_full * K, B, 48)
 
     if rem:
-        tab = stim_tables[:, n_full * K:, :]
-        out = _forward_call(scalars, w, consts, g, y_last, tab,
+        out = _forward_call(scalars, w, consts, g, y_last,
+                            stim_tb[n_full * K:],
                             i1[n_full * K:], i10[n_full * K:],
                             interpret=interpret)
         ys = jnp.concatenate([ys, out[1:]], axis=0)
 
     ys = jnp.concatenate([y0[None], ys], axis=0)  # (T, B, 48)
     return jnp.transpose(ys, (1, 0, 2))
+
+
+def auto_chunk(batch: int, budget_bytes: int = 8 << 20) -> int:
+    """Time-chunk size for ``wta_rollout_fused_chunked`` under a VMEM budget.
+
+    Per-chunk VMEM ~ (K+1) * B * 4 bytes * (48 out + 16 stim + 2 noise).
+    The 16 MB/core VMEM also holds weights/consts and double-buffering
+    headroom, hence the default 8 MB budget for the rollout blocks.
+    """
+    per_step = batch * 4 * (48 + 16 + 2)
+    return max(16, budget_bytes // per_step)

@@ -86,9 +86,10 @@ def sdeint_adaptive(
 
     ts = jnp.asarray(ts, dtype=y0.dtype)
     t_start, t_end = ts[0], ts[-1]
+    # t0/t1 may be tracers (sdeint_adaptive called under jit with traced ts);
+    # VirtualBrownianTree only uses them in jnp ops.
     tree = VirtualBrownianTree(
-        t0=float(ts[0]), t1=float(ts[-1]), key=key, depth=levy_depth,
-        dtype=y0.dtype,
+        t0=t_start, t1=t_end, key=key, depth=levy_depth, dtype=y0.dtype,
     )
 
     h0 = jnp.asarray(dt0 if dt0 is not None

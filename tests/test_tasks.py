@@ -75,3 +75,47 @@ class TestBifurcationTask:
         assert _finite(hist)
         # Three steps of RMSprop on a smooth problem: loss should not grow.
         assert hist[-1]["loss"] <= hist[0]["loss"] * 1.5
+
+
+class TestWTASweep:
+    def test_psychometric_monotone_scan_path(self):
+        import numpy as np
+
+        from columnflow.config import ColumnConfig
+        from columnflow.models import build_wta
+        from columnflow.tasks.wta_sweep import (
+            psychometric_curve,
+            sweep_noise_realizations,
+        )
+
+        cfg = ColumnConfig.load()
+        params, area = build_wta(cfg, jax.random.PRNGKey(0))
+        out = sweep_noise_realizations(
+            params, area, jax.random.PRNGKey(1), [25.0, 15.0],
+            n_realizations=8, time_steps=150, use_fused=False,
+        )
+        assert out["trajectories"].shape == (8, 150, 48)
+        assert 0.0 <= out["frac_a_wins"] <= 1.0
+
+        c, f = psychometric_curve(
+            params, area, jax.random.PRNGKey(2),
+            coherences=[-20.0, 0.0, 20.0], n_realizations=8,
+            time_steps=150, use_fused=False,
+        )
+        # Strong evidence for B at -20 and for A at +20 must order correctly.
+        assert f[0] <= f[-1]
+        assert f.shape == (3,)
+
+    def test_sweep_adaptive_path(self):
+        from columnflow.config import ColumnConfig
+        from columnflow.models import build_wta
+        from columnflow.tasks.wta_sweep import sweep_noise_realizations
+
+        cfg = ColumnConfig.load()
+        params, area = build_wta(cfg, jax.random.PRNGKey(0))
+        out = sweep_noise_realizations(
+            params, area, jax.random.PRNGKey(1), [25.0, 15.0],
+            n_realizations=2, time_steps=60, adaptive=True,
+        )
+        assert out["trajectories"].shape == (2, 60, 48)
+        assert bool(jnp.all(jnp.isfinite(out["trajectories"])))
