@@ -29,7 +29,7 @@ BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "benchmarks", "baseline_torch_cpu.json")
 
 
-def bench_columnflow(iters: int = 10):
+def bench_columnflow(iters: int = 100):
     import jax
     import jax.numpy as jnp
 
@@ -39,28 +39,27 @@ def bench_columnflow(iters: int = 10):
     cfg = ColumnConfig.load()
     task = wta_task.build_task(cfg, jax.random.PRNGKey(0),
                                time_steps=TIME_STEPS)
-    step_fn = wta_task.make_train_step(task)
+    scan_fn = wta_task.make_train_scan(task)
 
     n = BATCH - 1
-    true_states = 0.5 * jnp.ones((n, TIME_STEPS, 2))
-    stims = jnp.tile(jnp.asarray([[20.0, 8.0]]), (n, 1))
+    true_states = jnp.broadcast_to(
+        0.5 * jnp.ones((n, TIME_STEPS, 2)), (iters, n, TIME_STEPS, 2)
+    )
+    stims = jnp.broadcast_to(jnp.asarray([[20.0, 8.0]]), (iters, n, 2))
     params = task.params
     opt_state = task.optimizer.init(params)
-    key = jax.random.PRNGKey(1)
 
     # Warmup/compile.
-    for _ in range(2):
-        key, k = jax.random.split(key)
-        params, opt_state, loss, _ = step_fn(params, opt_state, true_states,
-                                             stims, k)
-    loss.block_until_ready()
+    keys = jax.random.split(jax.random.PRNGKey(1), iters)
+    params, opt_state, losses, _ = scan_fn(params, opt_state, true_states,
+                                           stims, keys)
+    losses.block_until_ready()
 
     t0 = time.perf_counter()
-    for _ in range(iters):
-        key, k = jax.random.split(key)
-        params, opt_state, loss, _ = step_fn(params, opt_state, true_states,
-                                             stims, k)
-    loss.block_until_ready()
+    keys = jax.random.split(jax.random.PRNGKey(2), iters)
+    params, opt_state, losses, _ = scan_fn(params, opt_state, true_states,
+                                           stims, keys)
+    losses.block_until_ready()
     dt = time.perf_counter() - t0
     return iters / dt
 

@@ -119,3 +119,39 @@ class TestWTASweep:
         )
         assert out["trajectories"].shape == (2, 60, 48)
         assert bool(jnp.all(jnp.isfinite(out["trajectories"])))
+
+
+class TestTrainScan:
+    def test_scan_matches_sequential_steps(self):
+        """K steps under make_train_scan == K make_train_step calls with the
+        same per-step keys (exactness: same ops, same order)."""
+        from columnflow.config import ColumnConfig
+        from columnflow.tasks import wta as wta_task
+
+        cfg = ColumnConfig.load()
+        task = wta_task.build_task(cfg, jax.random.PRNGKey(0), time_steps=60)
+        K, B = 3, 4
+        true_states = 0.5 * jnp.ones((B, 60, 2))
+        stims = jnp.tile(jnp.asarray([[20.0, 8.0]]), (B, 1))
+        keys = jax.random.split(jax.random.PRNGKey(7), K)
+
+        step = wta_task.make_train_step(task)
+        p1 = jax.tree_util.tree_map(jnp.array, task.params)
+        o1 = task.optimizer.init(p1)
+        seq_losses = []
+        for k in keys:
+            p1, o1, loss, _ = step(p1, o1, true_states, stims, k)
+            seq_losses.append(float(loss))
+
+        scan = wta_task.make_train_scan(task)
+        p2 = jax.tree_util.tree_map(jnp.array, task.params)
+        o2 = task.optimizer.init(p2)
+        ts_b = jnp.broadcast_to(true_states, (K,) + true_states.shape)
+        st_b = jnp.broadcast_to(stims, (K,) + stims.shape)
+        p2, o2, losses, _ = scan(p2, o2, ts_b, st_b, keys)
+
+        np.testing.assert_allclose(np.asarray(losses), seq_losses, rtol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(p1["recurrent_weights"]),
+            np.asarray(p2["recurrent_weights"]), rtol=2e-5,
+        )
