@@ -50,6 +50,7 @@ def odeint(
     dt0: float | None = None,
     max_steps: int = 2048,
     adjoint: str = "replay",
+    remat: bool = True,
 ):
     """Integrate dy/dt = func(t, y, *args) and return states at ``ts``.
 
@@ -81,7 +82,7 @@ def odeint(
             ys = odeint_dopri5(
                 f, flat_y0, ts, *args,
                 rtol=rtol, atol=atol, dt0=dt0, max_steps=max_steps,
-                differentiable=True,
+                differentiable=True, remat=remat,
             )
         elif adjoint in (None, "none"):
             ys = odeint_dopri5(

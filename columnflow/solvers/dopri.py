@@ -175,13 +175,19 @@ def _adaptive_pass(func, y0, t_start, t_end, rtol, atol, dt0, max_steps, *args):
     return jax.lax.while_loop(cond, body, init)
 
 
-def _replay_pass(func, y0, ts, step_times, naccept, max_steps, *args):
+def _replay_pass(func, y0, ts, step_times, naccept, max_steps, *args,
+                 remat=True):
     """Differentiable re-integration over a fixed accepted-step sequence.
 
     Steps through ``step_times`` with plain dopri5 stages under ``lax.scan``
     (FSAL chained), collecting dense coefficients per step, then interpolates
     every requested output time with one vectorized gather. Intervals beyond
     ``naccept`` have h == 0 and contribute nothing.
+
+    ``remat=True`` checkpoints each step (O(max_steps * state) memory,
+    backward recomputes stages); ``remat=False`` stores all stage
+    intermediates — ~1/3 faster backward when the activations fit in HBM
+    (they do for every reference workload).
     """
     f0 = func(ts[0], y0, *args)
 
@@ -194,7 +200,8 @@ def _replay_pass(func, y0, ts, step_times, naccept, max_steps, *args):
         coeffs = dense_coeffs(y, y1, h, ks)
         return (y1, f1), coeffs
 
-    body = jax.checkpoint(body)
+    if remat:
+        body = jax.checkpoint(body)
     (_, _), all_coeffs = jax.lax.scan(
         body, (y0, f0), jnp.arange(max_steps, dtype=jnp.int32)
     )
@@ -224,6 +231,7 @@ def odeint_dopri5(
     dt0: float | None = None,
     max_steps: int = 2048,
     differentiable: bool = True,
+    remat: bool = True,
 ):
     """Adaptive dopri5 returning states at ``ts`` (ys[0] == y0).
 
@@ -241,9 +249,11 @@ def odeint_dopri5(
         )
         step_times = jax.lax.stop_gradient(carry.step_times)
         naccept = jax.lax.stop_gradient(carry.naccept)
-        return _replay_pass(func, y0, ts, step_times, naccept, max_steps, *args)
+        return _replay_pass(func, y0, ts, step_times, naccept, max_steps,
+                            *args, remat=remat)
     carry = _adaptive_pass(func, y0, ts[0], ts[-1], rtol, atol, dt0, max_steps, *args)
-    return _replay_pass(func, y0, ts, carry.step_times, carry.naccept, max_steps, *args)
+    return _replay_pass(func, y0, ts, carry.step_times, carry.naccept,
+                        max_steps, *args, remat=remat)
 
 
 def odeint_stats(

@@ -48,7 +48,7 @@ class ParityTask(NamedTuple):
 def build_task(cfg: ColumnConfig, key, lr: float = 0.1,
                columns_per_area=(8, 4, 1), n_inputs: int = 4,
                time_steps: int = TIME_STEPS, dt: float = DT,
-               max_steps: int = 4096) -> ParityTask:
+               max_steps: int = 3072) -> ParityTask:
     params, net = build_column_network(
         cfg, key, columns_per_area=columns_per_area, n_inputs=n_inputs
     )
@@ -86,6 +86,7 @@ def batched_rollout(params, task: ParityTask, stims_raw, method="dopri5",
             drift, jnp.zeros(state_dim), task.ts, params, table,
             method=method, max_steps=task.max_steps,
             adjoint="replay" if differentiable else "none",
+            remat=False,  # activations fit in HBM; ~1/3 faster backward
         )
 
     return jax.vmap(one)(stims_raw)
@@ -139,7 +140,7 @@ def train_parity(
     columns_per_area=(8, 4, 1),
     n_inputs: int = 4,
     time_steps: int = TIME_STEPS,
-    max_steps: int = 4096,
+    max_steps: int = 3072,
     metrics_path: str | None = None,
     profile_dir: str | None = None,
     checkpoint_path: str | None = None,

@@ -44,7 +44,7 @@ class XORTask(NamedTuple):
 
 def build_task(cfg: ColumnConfig, key, lr: float = 0.5, alpha: float = 0.95,
                lr_gamma: float = 0.8, time_steps: int = TIME_STEPS,
-               dt: float = DT, max_steps: int = 4096) -> XORTask:
+               dt: float = DT, max_steps: int = 3072) -> XORTask:
     params, net = build_xor_network(cfg, key)
     ts = jnp.linspace(0.0, time_steps * dt, time_steps)
     grad_mask = {
@@ -72,6 +72,7 @@ def batched_rollout(params, task: XORTask, conditions, method="dopri5",
             drift, jnp.zeros(XOR_STATE_DIM), task.ts, params, table,
             method=method, max_steps=task.max_steps,
             adjoint="replay" if differentiable else "none",
+            remat=False,  # activations fit in HBM; ~1/3 faster backward
         )
 
     return jax.vmap(one)(conditions)
@@ -114,7 +115,7 @@ def train_xor(
     batch_size: int = 4,
     seed: int = 0,
     time_steps: int = TIME_STEPS,
-    max_steps: int = 4096,
+    max_steps: int = 3072,
     metrics_path: str | None = None,
     profile_dir: str | None = None,
     checkpoint_path: str | None = None,
