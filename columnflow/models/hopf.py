@@ -52,12 +52,12 @@ def mlp_apply(params, x):
     return h
 
 
-def hopf_mlp_drift(t, y, params, stim: Stimulus):
+def hopf_mlp_drift(t, y, params, stim: Stimulus, interp_fn=interp_at):
     """Neural-ODE drift: y (B, 2), stim table (T, B) of mu values -> (B, 2).
 
     Mirrors the reference's forward (scripts/bifurcation_ode.py:101-106):
     the net sees (x, y, mu(t)).
     """
-    mu_t = interp_at(t, stim.t0, stim.dt, stim.table)  # (B,)
+    mu_t = interp_fn(t, stim.t0, stim.dt, stim.table)  # (B,)
     inp = jnp.concatenate([y, mu_t[..., None]], axis=-1)
     return mlp_apply(params, inp)

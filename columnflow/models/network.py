@@ -237,14 +237,15 @@ def build_column_network(
     return params, static
 
 
-def network_drift(t, y, params, net: NetworkStatic, stim: Stimulus):
+def network_drift(t, y, params, net: NetworkStatic, stim: Stimulus,
+                  interp_fn=interp_at):
     """dy/dt for the (3P,) state — a single fused matvec over the whole
     network (reference semantics: src/coupled_columns.py:753-788)."""
     P = net.num_pops
     v, a, r = y[:P], y[P : 2 * P], y[2 * P :]
     fr = compute_firing_rate(v - a)
 
-    ext = interp_at(t, stim.t0, stim.dt, stim.table)  # (n_inputs,)
+    ext = interp_fn(t, stim.t0, stim.dt, stim.table)  # (n_inputs,)
 
     hi = jax.lax.Precision.HIGHEST
     w = jnp.asarray(net.inner_weights) + params["lateral"] + params["feedforward"]
@@ -269,3 +270,34 @@ def network_diffusion(t, y, params, net: NetworkStatic, stim: Stimulus,
     if membrane_only:
         return jnp.zeros_like(y).at[: net.num_pops].set(NETWORK_NOISE_STD)
     return jnp.full_like(y, NETWORK_NOISE_STD)
+
+
+def network_drift_batched(t, y, params, net: NetworkStatic, stim: Stimulus,
+                          interp_fn=interp_at):
+    """Batched ``network_drift``: y (B, 3P) -> (B, 3P), stim table
+    (T, B, n_inputs) — per-sample stimulus, one shared solve.
+
+    Every contraction is strictly 2Dx2D — required inside fused Pallas
+    solver kernels, where Mosaic cannot lower 1-D matvec/outer-product
+    dot shapes (and their VJPs). Semantics identical to ``network_drift``
+    per row.
+    """
+    P = net.num_pops
+    v, a, r = y[:, :P], y[:, P : 2 * P], y[:, 2 * P :]
+    fr = compute_firing_rate(v - a)
+
+    ext = interp_fn(t, stim.t0, stim.dt, stim.table)  # (B, n_inputs)
+
+    hi = jax.lax.Precision.HIGHEST
+    w = jnp.asarray(net.inner_weights) + params["lateral"] + params["feedforward"]
+    current = (
+        jnp.matmul(fr, w.T, precision=hi)
+        + jnp.matmul(ext, params["input_weights"].T, precision=hi)
+        + jnp.asarray(net.background_current)[None, :]
+    )
+    total = current * net.tau_syn
+
+    dv = (-v + total * net.resistance) / net.tau_mem
+    da = (-a + jnp.asarray(net.adaptation_strength)[None, :] * fr) / net.tau_adapt
+    dr = (-r + fr) / net.tau_syn
+    return jnp.concatenate([dv, da, dr], axis=1)

@@ -65,12 +65,13 @@ def build_wta(cfg: ColumnConfig, key, area: str = "mt", init_std: float = 1e-4):
     return params, area_p
 
 
-def wta_drift(t, y, params, area: AreaParams, stim: Stimulus):
+def wta_drift(t, y, params, area: AreaParams, stim: Stimulus,
+              interp_fn=interp_at):
     """dy/dt for the 48-dim WTA state; pure function of its inputs."""
     v, a, r = y[:NUM_POPS], y[NUM_POPS : 2 * NUM_POPS], y[2 * NUM_POPS :]
     fr = compute_firing_rate(v - a)
 
-    ff_rate = interp_at(t, stim.t0, stim.dt, stim.table)
+    ff_rate = interp_fn(t, stim.t0, stim.dt, stim.table)
     ff_current = area.feedforward_weights * ff_rate
     recurrent_current = jnp.matmul(
         params["recurrent_weights"], fr, precision=jax.lax.Precision.HIGHEST

@@ -80,7 +80,8 @@ def build_xor_network(cfg: ColumnConfig, key, areas=("mt", "mt"), init_std=0.1):
     return params, net
 
 
-def xor_drift(t, y, params, net: XORNetwork, stim: Stimulus):
+def xor_drift(t, y, params, net: XORNetwork, stim: Stimulus,
+              interp_fn=interp_at):
     """dy/dt for the 72-dim XOR state (reference: src/coupled_columns.py:407-442)."""
     P = NUM_POPS
     v, a, r = y[:P], y[P : 2 * P], y[2 * P :]
@@ -88,7 +89,7 @@ def xor_drift(t, y, params, net: XORNetwork, stim: Stimulus):
     fr0, fr1 = fr[:16], fr[16:]
 
     # stim table (T, 2, 16): both orderings of the two inputs.
-    ext = interp_at(t, stim.t0, stim.dt, stim.table)  # (2, 16)
+    ext = interp_fn(t, stim.t0, stim.dt, stim.table)  # (2, 16)
 
     hi = jax.lax.Precision.HIGHEST
     # Area 0: elementwise input vectors (src/coupled_columns.py:385-388).
@@ -119,3 +120,79 @@ def xor_diffusion(t, y, params, net: XORNetwork, stim: Stimulus):
     this is the one diffusion in the reference whose indexing matches its
     docstring — SURVEY.md section 2.4)."""
     return jnp.zeros_like(y).at[:NUM_POPS].set(XOR_NOISE_STD)
+
+
+def build_xor_fused_consts(net: XORNetwork) -> dict:
+    """Kernel-friendly constants for ``xor_drift_batched``: the two areas
+    unified into one 24-pop network (block-diag recurrent matrix, matmul
+    embeddings P0/P1 placing per-area feedforward currents) so the drift is
+    pure equal-width 2Dx2D math — unequal-width lane concats are an
+    unimplemented Mosaic pattern."""
+    w24 = np.zeros((24, 24), dtype=np.float32)
+    w24[:16, :16] = np.asarray(net.area0.recurrent_weights)
+    w24[16:, 16:] = np.asarray(net.area1.recurrent_weights)
+    bg24 = np.concatenate([np.asarray(net.area0.background_current),
+                           np.asarray(net.area1.background_current)])
+    p0 = np.zeros((16, 24), dtype=np.float32)
+    p0[:, :16] = np.eye(16)
+    p1 = np.zeros((8, 24), dtype=np.float32)
+    p1[:, 16:] = np.eye(8)
+    return {
+        "w24": w24, "bg24": bg24.astype(np.float32), "p0": p0, "p1": p1,
+        "src_mask": np.asarray(net.ff_source_mask, np.float32)[:, None],
+        "adapt": np.asarray(net.consts.adaptation_strength, np.float32),
+        "tau_syn": float(net.consts.tau_syn),
+        "tau_mem": float(net.consts.tau_mem),
+        "tau_adapt": float(net.consts.tau_adapt),
+        "resistance": float(net.consts.resistance),
+    }
+
+
+def split_xor_params(params: dict) -> dict:
+    """Split the (2, ...) per-source ff weights into (1, ...) rows OUTSIDE
+    the kernel: the VJP of in-kernel row indexing is a pad, another
+    unimplemented Mosaic pattern. Differentiable, so gradients flow back
+    into the original ``params`` structure."""
+    return {"w00": params["ff_w0"][0:1], "w01": params["ff_w0"][1:2],
+            "w10": params["ff_w1"][0:1], "w11": params["ff_w1"][1:2]}
+
+
+def xor_drift_batched(t, y, pf, fc: dict, stim: Stimulus,
+                      interp_fn=interp_at):
+    """Batched ``xor_drift``: y (B, 72) -> (B, 72), stim table (T, B, 32) —
+    the two 16-pop stimulus slots flattened along the last axis (4-D tables
+    lane-pad to ~16 MB in VMEM inside fused kernels). ``pf`` comes from
+    ``split_xor_params``, ``fc`` from ``build_xor_fused_consts``.
+
+    Strictly equal-width 2Dx2D contractions for the fused Pallas solver
+    kernels (Mosaic cannot lower 1-D dot shapes, their VJP outer products,
+    unequal-width lane concats, or the pad transpose of row indexing).
+    Semantics identical to ``xor_drift`` per row.
+    """
+    P = NUM_POPS
+    v, a, r = y[:, :P], y[:, P : 2 * P], y[:, 2 * P :]
+    fr = compute_firing_rate(v - a)
+    fr0 = fr[:, :16]
+
+    ext = interp_fn(t, stim.t0, stim.dt, stim.table)  # (B, 32)
+
+    hi = jax.lax.Precision.HIGHEST
+    # Area 0: sum_i ext_slot_i * ff_w0[i], unrolled over the two inputs.
+    ff0 = ext[:, :16] * pf["w00"] + ext[:, 16:] * pf["w01"]  # (B, 16)
+    # Area 1: summed L2/3e rate of each source column x10 through its ff
+    # vector, via (B,1)x(1,8) broadcasts.
+    src_a = jnp.matmul(fr0[:, :8], fc["src_mask"], precision=hi)  # (B, 1)
+    src_b = jnp.matmul(fr0[:, 8:], fc["src_mask"], precision=hi)
+    ff1 = FF_GAIN * (src_a * pf["w10"] + src_b * pf["w11"])  # (B, 8)
+
+    ff24 = (jnp.matmul(ff0, fc["p0"], precision=hi)
+            + jnp.matmul(ff1, fc["p1"], precision=hi))  # (B, 24)
+    rec24 = jnp.matmul(fr, fc["w24"].T, precision=hi)
+
+    # Both areas share tau_syn (same TOML constants).
+    total = (ff24 + fc["bg24"][None] + rec24) * fc["tau_syn"]
+
+    dv = (-v + total * fc["resistance"]) / fc["tau_mem"]
+    da = (-a + fc["adapt"][None] * fr) / fc["tau_adapt"]
+    dr = (-r + fr) / fc["tau_syn"]
+    return jnp.concatenate([dv, da, dr], axis=1)

@@ -13,6 +13,7 @@ the expensive part.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -45,3 +46,32 @@ def interp_at(x, t0, dt, fp):
     y1 = fp[idx + 1]
     frac = jnp.reshape(frac, jnp.shape(frac) + (1,) * (fp.ndim - 1))
     return y0 + frac * (y1 - y0)
+
+
+def interp_at_onehot(x, t0, dt, fp):
+    """``interp_at`` without gathers: one-hot contraction over the time axis.
+
+    Mosaic (Pallas TPU) does not lower ``dynamic_slice`` on register values,
+    so inside fused solver kernels the table lookup becomes a masked
+    reduction: sum over rows selected by an iota comparison. O(T) work per
+    lookup instead of O(1), but T*n is tiny for every reference stimulus
+    table and it runs on the VPU with no memory traffic.
+    """
+    T = fp.shape[0]
+    pos = jnp.clip((x - t0) / dt, 0.0, T - 1.0)
+    idx = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, T - 2)
+    frac = (pos - idx).astype(fp.dtype)
+    if fp.ndim == 2:
+        # Fold the linear blend into one selection row: (1-frac) at idx plus
+        # frac at idx+1, contracted as a strict 2Dx2D matmul.
+        rows = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+        sel = ((rows == idx).astype(fp.dtype) * (1.0 - frac)
+               + (rows == idx + 1).astype(fp.dtype) * frac)
+        return jnp.matmul(sel, fp,
+                          precision=jax.lax.Precision.HIGHEST)[0]
+    # Higher-rank tables: masked reduction over the (untiled) time axis —
+    # reshaping tiled trailing dims is an unsupported Mosaic shape cast.
+    rows = jax.lax.broadcasted_iota(jnp.int32, (T,) + (1,) * (fp.ndim - 1), 0)
+    sel = ((rows == idx).astype(fp.dtype) * (1.0 - frac)
+           + (rows == idx + 1).astype(fp.dtype) * frac)
+    return jnp.sum(sel * fp, axis=0)

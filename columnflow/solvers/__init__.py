@@ -22,9 +22,11 @@ from columnflow.solvers.sde import sdeint
 from columnflow.solvers.sde_adaptive import sdeint_adaptive
 from columnflow.solvers.brownian import VirtualBrownianTree
 from columnflow.solvers.dopri import SolverStats, odeint_stats
+from columnflow.solvers.fused import odeint_dopri5_fused
 
 __all__ = [
     "odeint",
+    "odeint_dopri5_fused",
     "sdeint",
     "sdeint_adaptive",
     "VirtualBrownianTree",

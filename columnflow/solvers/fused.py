@@ -1,0 +1,453 @@
+"""Fused adaptive dopri5: the whole solve is a handful of Pallas TPU kernels.
+
+The XLA path (dopri.py) pays per-op dispatch inside its ``while_loop``/
+``scan`` — ~10 us per solver step for small states. Here the adaptive pass,
+the differentiable replay, and the replay's backward sweep each run INSIDE a
+Pallas kernel, with the user's drift function traced directly into the kernel
+body and its reverse-mode derivative obtained by calling ``jax.vjp`` in-kernel
+(Mosaic lowers the transposed ops like any other traced code). Works for any
+pure-jnp drift whose operands fit VMEM — the whole reference model family.
+
+Semantics are identical to dopri.py: torchdiffeq-default tolerances, one
+shared controller across the batch state (the reference's batched-Hopf
+behavior, scripts/bifurcation_ode.py:210), dense output at the requested
+``ts``, gradients = discrete backprop through the frozen accepted-step
+sequence. Parity-tested against the XLA path for values and gradients.
+
+Stage math is unrolled with Python-float tableau coefficients (Pallas
+kernels cannot capture array constants; unrolling also removes the
+``tensordot`` over stages).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from columnflow.solvers.dopri import _error_ratio, _rms_norm
+from columnflow.solvers.rk import DOPRI5, DOPRI5_DENSE_D
+
+_SAFETY, _IFACTOR, _DFACTOR, _ORDER = 0.9, 10.0, 0.2, 5
+
+
+def _pow(x, p: float):
+    """x**p for positive x via exp/log (Mosaic does not legalize powf)."""
+    return jnp.exp(p * jnp.log(x))
+
+
+def _next_step_size_k(h, error_ratio):
+    # log(0) -> -inf -> exp(+inf) -> clipped to IFACTOR: same result as the
+    # XLA path's explicit ratio<=0 branch.
+    factor = jnp.clip(_SAFETY * _pow(error_ratio, -1.0 / _ORDER),
+                      _DFACTOR, _IFACTOR)
+    return h * factor
+
+
+def _initial_step_size_k(func, t0, y0, f0, rtol, atol, *args):
+    """Hairer's starting-step heuristic (kernel-safe pow)."""
+    scale = atol + rtol * jnp.abs(y0)
+    d0 = _rms_norm(y0 / scale)
+    d1 = _rms_norm(f0 / scale)
+    h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / d1)
+    y1 = y0 + h0 * f0
+    f1 = func(t0 + h0, y1, *args)
+    d2 = _rms_norm((f1 - f0) / scale) / h0
+    h1 = jnp.where(
+        (d1 <= 1e-15) & (d2 <= 1e-15),
+        jnp.maximum(1e-6, h0 * 1e-3),
+        _pow(0.01 / jnp.maximum(d1, d2), 1.0 / _ORDER),
+    )
+    return jnp.minimum(100.0 * h0, h1)
+
+# Tableau as Python floats (kernel-safe scalar constants).
+_C = [float(x) for x in np.asarray(DOPRI5.c)]
+_A = [[float(x) for x in row] for row in np.asarray(DOPRI5.a)]
+_B = [float(x) for x in np.asarray(DOPRI5.b)]
+_BE = [float(x) for x in np.asarray(DOPRI5.b_err)]
+_D = [float(x) for x in np.asarray(DOPRI5_DENSE_D)]
+_N_STAGES = len(_C)
+
+
+def _rk_step_u(func, t, y, h, f0, args):
+    """One dopri5 step, stages unrolled with scalar coefficients.
+
+    Returns (y1, f_last, ks list). FSAL: f0 is stage 0; ks[-1] == f(t+h, y1).
+    """
+    ks = [f0]
+    for i in range(1, _N_STAGES):
+        yi = y
+        for j, aij in enumerate(_A[i]):
+            if aij != 0.0:
+                yi = yi + (h * aij) * ks[j]
+        ks.append(func(t + _C[i] * h, yi, *args))
+    y1 = y
+    for j, bj in enumerate(_B):
+        if bj != 0.0:
+            y1 = y1 + (h * bj) * ks[j]
+    return y1, ks[-1], ks
+
+
+def _err_u(h, ks):
+    e = None
+    for j, bej in enumerate(_BE):
+        if bej != 0.0:
+            term = (h * bej) * ks[j]
+            e = term if e is None else e + term
+    return e
+
+
+def _dense_coeffs_u(y0, y1, h, ks):
+    """Hairer CONTD5 coefficients, unrolled (see dopri.dense_coeffs)."""
+    dy = y1 - y0
+    r3 = h * ks[0] - dy
+    r4 = dy - h * ks[-1] - r3
+    r5 = None
+    for j, dj in enumerate(_D):
+        if dj != 0.0:
+            term = (h * dj) * ks[j]
+            r5 = term if r5 is None else r5 + term
+    return (y0, dy, r3, r4, r5)
+
+
+def _step_with_coeffs(func, t0, h, y, args):
+    """Replay step: recompute FSAL stage 0, step, return (y1, coeffs(5,S))."""
+    f0 = func(t0, y, *args)
+    y1, _, ks = _rk_step_u(func, t0, y, h, f0, args)
+    return y1, jnp.stack(_dense_coeffs_u(y, y1, h, ks))
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+
+def _make_adaptive_kernel(func, n_args, t_start, t_end, rtol, atol, dt0,
+                          max_steps):
+    def kernel(y0_ref, *refs):
+        arg_refs = refs[:n_args]
+        st_ref, stats_ref = refs[n_args], refs[n_args + 1]
+        args = tuple(r[:] for r in arg_refs)
+        y0 = y0_ref[:]
+
+        f0 = func(t_start, y0, *args)
+        if dt0 is None:
+            h0 = _initial_step_size_k(func, t_start, y0, f0, rtol, atol, *args)
+        else:
+            h0 = jnp.asarray(dt0, y0.dtype)
+        h0 = jnp.minimum(h0, t_end - t_start)
+
+        # Record accepted step times by scalar stores into the SMEM output
+        # (Mosaic lowers neither `scatter` nor 1-D dynamic_update_slice on
+        # register values; stateful ref stores at a dynamic index work).
+        def fill(i, _):
+            st_ref[i] = jnp.asarray(t_end, y0.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, max_steps + 1, fill, 0)
+        st_ref[0] = jnp.asarray(t_start, y0.dtype)
+
+        def cond(s):
+            t, y, f, h, na, nr = s
+            return (t < t_end) & (na < max_steps) & (nr < 4 * max_steps + 64)
+
+        def body(s):
+            t, y, f, h, na, nr = s
+            h = jnp.minimum(h, t_end - t)
+            y1, f1, ks = _rk_step_u(func, t, y, h, f, args)
+            ratio = _error_ratio(_err_u(h, ks), rtol, atol, y, y1)
+            accept = ratio <= 1.0
+            t_new = jnp.where(accept, t + h, t)
+            y_new = jnp.where(accept, y1, y)
+            f_new = jnp.where(accept, f1, f)
+            na_new = na + accept.astype(jnp.int32)
+            nr_new = nr + (1 - accept.astype(jnp.int32))
+            # On reject this rewrites st_ref[na] with the unchanged t — a
+            # no-op, so the store can be unconditional.
+            st_ref[na_new] = t_new
+            return (t_new, y_new, f_new, _next_step_size_k(h, ratio),
+                    na_new, nr_new)
+
+        init = (jnp.asarray(t_start, y0.dtype), y0, f0, h0,
+                jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+        t, _, _, _, na, nr = jax.lax.while_loop(cond, body, init)
+        stats_ref[0] = na
+        stats_ref[1] = nr
+        stats_ref[2] = (t >= t_end).astype(jnp.int32)
+
+    return kernel
+
+
+def _make_replay_chunk_kernel(func, n_args, chunk):
+    """Forward replay over one chunk of the step sequence.
+
+    Inputs: st (chunk+1,) step times, y_in (state), arg refs.
+    Outputs: y_out (state), ys_steps (chunk,)+state step-START states,
+    coeffs (chunk, 5)+state dense coefficients.
+    """
+
+    def kernel(st_ref, y_ref, *refs):
+        arg_refs = refs[:n_args]
+        yout_ref, ys_ref, co_ref = refs[n_args:]
+        args = tuple(r[:] for r in arg_refs)
+
+        def body(k, y):
+            t0 = st_ref[k]
+            h = st_ref[k + 1] - t0
+            ys_ref[k] = y
+            y1, coeffs = _step_with_coeffs(func, t0, h, y, args)
+            co_ref[k] = coeffs
+            return y1
+
+        y = jax.lax.fori_loop(0, chunk, body, y_ref[:])
+        yout_ref[:] = y
+
+    return kernel
+
+
+def _make_bwd_chunk_kernel(func, n_args, chunk, diff_idx):
+    """Reverse sweep over one chunk: VJP of the replay steps via in-kernel
+    ``jax.vjp`` of the full 6-stage step (drift included).
+
+    Only args at positions ``diff_idx`` are differentiated — data args
+    (stimulus tables, model anatomy) stay out of the vjp, which kills their
+    per-stage cotangent temporaries (lane-padded small-trailing-dim tables
+    would otherwise blow the VMEM budget 30x).
+
+    Inputs: st (chunk+1,), ys_steps (chunk,)+S, coeffs_bar (chunk, 5)+S,
+    ybar_in (S cotangent entering from the later chunk), arg refs.
+    Outputs: ybar_out (S), cotangent accumulators for the diff args.
+    """
+
+    def kernel(st_ref, ys_ref, cobar_ref, ybar_ref, *refs):
+        arg_refs = refs[:n_args]
+        ybarout_ref = refs[n_args]
+        abar_refs = refs[n_args + 1:]
+        args = tuple(r[:] for r in arg_refs)
+
+        abar0 = tuple(jnp.zeros(r.shape, r.dtype) for r in abar_refs)
+
+        def body(kk, carry):
+            ybar, abars = carry
+            k = chunk - 1 - kk
+            t0 = st_ref[k]
+            h = st_ref[k + 1] - t0
+            y = ys_ref[k]
+
+            def stepfn(y, *diff_vals):
+                full = list(args)
+                for i, v in zip(diff_idx, diff_vals):
+                    full[i] = v
+                return _step_with_coeffs(func, t0, h, y, tuple(full))
+
+            _, vjp = jax.vjp(stepfn, y, *(args[i] for i in diff_idx))
+            grads = vjp((ybar, cobar_ref[k]))
+            ybar_new = grads[0]
+            abars_new = tuple(a + g for a, g in zip(abars, grads[1:]))
+            return (ybar_new, abars_new)
+
+        ybar, abars = jax.lax.fori_loop(0, chunk, body, (ybar_ref[:], abar0))
+        ybarout_ref[:] = ybar
+        for r, a in zip(abar_refs, abars):
+            r[:] = a
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# Public entry
+# ---------------------------------------------------------------------------
+
+_VMEM = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+
+
+def odeint_dopri5_fused(
+    func: Callable,
+    y0: jax.Array,
+    ts,
+    *args,
+    rtol: float = 1e-7,
+    atol: float = 1e-9,
+    dt0: float | None = None,
+    max_steps: int = 2048,
+    chunk: int | None = None,
+    nondiff_args: tuple = (),
+    interpret: bool = False,
+):
+    """Adaptive dopri5 with every hot loop inside a Pallas kernel.
+
+    Drop-in for ``odeint(..., method="dopri5", adjoint="replay")`` when
+    ``ts`` is concrete, the state and ``args`` fit VMEM, and ``func`` is
+    pure jnp. Gradients flow to ``y0`` and every entry of ``args`` except
+    positions listed in ``nondiff_args`` (mark data args — stimulus tables,
+    model anatomy — both for speed and because their per-stage cotangent
+    temporaries can blow the VMEM budget when lane-padded).
+
+    ``chunk`` is the replay-kernel step-chunk length (``max_steps`` is
+    rounded up to a multiple); ``None`` sizes it so the per-chunk blocks
+    (~6x state per step forward, ~11x with the backward cotangents) stay
+    well under the VMEM budget.
+    """
+    # ts must be concrete (the integration span is baked into the kernels);
+    # np.asarray fails loudly on a traced ts.
+    ts_host = np.asarray(ts)
+    y0 = jnp.asarray(y0)
+    if not jnp.issubdtype(y0.dtype, jnp.inexact):
+        y0 = y0.astype(jnp.float32)
+    ts = jnp.asarray(ts_host, y0.dtype)
+    # args may be arbitrary pytrees (e.g. a params dict, a model-constants
+    # NamedTuple); kernels take flat array operands, so flatten here and
+    # rebuild inside the traced drift. Host scalars (python/numpy numbers)
+    # stay baked into the kernel as constants — Pallas allows scalar
+    # captures but rejects captured array constants, so every array leaf
+    # becomes a kernel input. 0-d array leaves ride along as (1,) inputs.
+    nondiff = set(nondiff_args)
+    flat_args, args_treedef = jax.tree_util.tree_flatten(args)
+    # Leaf order of tree_flatten(args) is the concatenation of per-arg
+    # leaves, so ownership (which original arg a leaf belongs to — the
+    # granularity at which differentiability is declared) is positional.
+    owners = []
+    for ai, a in enumerate(args):
+        owners.extend([ai] * len(jax.tree_util.tree_leaves(a)))
+    is_static = [isinstance(l, (int, float, bool, np.floating, np.integer))
+                 for l in flat_args]
+    dyn_in, dyn_diff = [], []
+    for leaf, st, owner in zip(flat_args, is_static, owners):
+        if not st:
+            a = jnp.asarray(leaf)
+            dyn_in.append(a.reshape(1) if a.ndim == 0 else a)
+            dyn_diff.append(owner not in nondiff
+                            and jnp.issubdtype(a.dtype, jnp.inexact))
+    diff_idx = tuple(i for i, d in enumerate(dyn_diff) if d)
+    dyn_shapes = [jnp.ndim(l) == 0
+                  for l, st in zip(flat_args, is_static) if not st]
+    user_func = func
+
+    def func(t, y, *dyn_leaves):
+        leaves, it = [], iter(zip(dyn_leaves, dyn_shapes))
+        for leaf, st in zip(flat_args, is_static):
+            if st:
+                leaves.append(leaf)
+            else:
+                a, was_scalar = next(it)
+                leaves.append(a[0] if was_scalar else a)
+        return user_func(t, y,
+                         *jax.tree_util.tree_unflatten(args_treedef, leaves))
+
+    args = tuple(dyn_in)
+    n_args = len(args)
+    t_start = float(ts_host[0])
+    t_end = float(ts_host[-1])
+    if chunk is None:
+        # Per chunk step: ys (1x) + coeffs (5x) fwd; bwd adds coeffs_bar (5x)
+        # plus per-step vjp temporaries. Budget ~2 MB for the 11x blocks.
+        state_bytes = 4 * int(np.prod(y0.shape))
+        chunk = int(max(16, min(256, (2 << 20) // (11 * state_bytes))))
+    n_chunks = -(-max_steps // chunk)
+    max_steps = n_chunks * chunk
+    S = y0.shape
+
+    # --- adaptive pass (defines the frozen step sequence; no gradients) ---
+    adaptive = pl.pallas_call(
+        _make_adaptive_kernel(func, n_args, t_start, t_end, rtol, atol, dt0,
+                              max_steps),
+        out_shape=(jax.ShapeDtypeStruct((max_steps + 1,), y0.dtype),
+                   jax.ShapeDtypeStruct((3,), jnp.int32)),
+        in_specs=[_VMEM()] * (1 + n_args),
+        out_specs=(pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        interpret=interpret,
+    )
+    step_times, stats = adaptive(jax.lax.stop_gradient(y0),
+                                 *jax.lax.stop_gradient(args))
+    step_times = jax.lax.stop_gradient(step_times)
+    naccept = jax.lax.stop_gradient(stats[0])
+
+    replay_call = pl.pallas_call(
+        _make_replay_chunk_kernel(func, n_args, chunk),
+        out_shape=(jax.ShapeDtypeStruct(S, y0.dtype),
+                   jax.ShapeDtypeStruct((chunk,) + S, y0.dtype),
+                   jax.ShapeDtypeStruct((chunk, 5) + S, y0.dtype)),
+        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                  + [_VMEM()] * (1 + n_args)),
+        out_specs=(_VMEM(),) * 3,
+        interpret=interpret,
+    )
+    bwd_call = pl.pallas_call(
+        _make_bwd_chunk_kernel(func, n_args, chunk, diff_idx),
+        out_shape=((jax.ShapeDtypeStruct(S, y0.dtype),)
+                   + tuple(jax.ShapeDtypeStruct(args[i].shape, args[i].dtype)
+                           for i in diff_idx)),
+        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                  + [_VMEM()] * (3 + n_args)),
+        out_specs=(_VMEM(),) * (1 + len(diff_idx)),
+        interpret=interpret,
+    )
+
+    @jax.custom_vjp
+    def replay(y0, *args):
+        coeffs, _ = _replay_fwd_impl(y0, *args)
+        return coeffs
+
+    def _replay_fwd_impl(y0, *args):
+        def body(y, c):
+            st_c = jax.lax.dynamic_slice(step_times, (c * chunk,),
+                                         (chunk + 1,))
+            y1, ys_c, co_c = replay_call(st_c, y, *args)
+            return y1, (ys_c, co_c)
+
+        _, (ys_steps, coeffs) = jax.lax.scan(
+            body, y0, jnp.arange(n_chunks)
+        )  # (n_chunks, chunk, ...) each
+        return (coeffs.reshape((max_steps, 5) + S),
+                ys_steps.reshape((max_steps,) + S))
+
+    def replay_fwd(y0, *args):
+        coeffs, ys_steps = _replay_fwd_impl(y0, *args)
+        return coeffs, (ys_steps, args)
+
+    def replay_bwd(res, coeffs_bar):
+        ys_steps, args = res
+        ys_steps = ys_steps.reshape((n_chunks, chunk) + S)
+        coeffs_bar = coeffs_bar.reshape((n_chunks, chunk, 5) + S)
+
+        def body(carry, c):
+            ybar, abars = carry
+            ci = n_chunks - 1 - c
+            st_c = jax.lax.dynamic_slice(step_times, (ci * chunk,),
+                                         (chunk + 1,))
+            out = bwd_call(st_c, ys_steps[ci], coeffs_bar[ci], ybar, *args)
+            ybar_new = out[0]
+            abars_new = tuple(a + g for a, g in zip(abars, out[1:]))
+            return (ybar_new, abars_new), None
+
+        init = (jnp.zeros(S, y0.dtype),
+                tuple(jnp.zeros(args[i].shape, args[i].dtype)
+                      for i in diff_idx))
+        (ybar, abars), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+        full = [jnp.zeros(a.shape, a.dtype) for a in args]
+        for i, g in zip(diff_idx, abars):
+            full[i] = g
+        return (ybar,) + tuple(full)
+
+    replay.defvjp(replay_fwd, replay_bwd)
+
+    all_coeffs = replay(y0, *args)  # (max_steps, 5) + S
+
+    # --- dense-output interpolation (XLA; differentiable wrt coeffs) ---
+    idx = jnp.clip(
+        jnp.searchsorted(step_times, ts, side="right") - 1, 0, naccept - 1
+    ).astype(jnp.int32)
+    t0s = step_times[idx]
+    hs = step_times[idx + 1] - t0s
+    theta = jnp.where(hs > 0, (ts - t0s) / jnp.where(hs > 0, hs, 1.0), 0.0)
+    r1, r2, r3, r4, r5 = jnp.moveaxis(all_coeffs[idx], 1, 0)
+    th = theta.reshape(theta.shape + (1,) * y0.ndim)
+    s1 = 1.0 - th
+    ys = r1 + th * (r2 + s1 * (r3 + th * (r4 + s1 * r5)))
+    return ys.at[0].set(y0)

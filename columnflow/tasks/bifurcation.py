@@ -44,9 +44,32 @@ def build_task(key, lr: float = 1e-3, time_points: int = TIME_POINTS,
                     torch_rmsprop(lr, alpha=0.99), max_steps)
 
 
-def rollout(params, task: HopfTask, y0, mu_table, differentiable=True):
+def rollout(params, task: HopfTask, y0, mu_table, differentiable=True,
+            use_fused: bool | None = None):
     """Batched integration with one shared adaptive controller:
-    y0 (B, 2), mu_table (T, B) -> (T, B, 2)."""
+    y0 (B, 2), mu_table (T, B) -> (T, B, 2).
+
+    ``use_fused`` selects the Pallas fused dopri5 (solvers.fused) — same
+    shared-controller semantics, every solver loop in-kernel; ``None``
+    auto-selects it on TPU.
+    """
+    if use_fused is None:
+        use_fused = jax.default_backend() not in ("cpu",)
+    if use_fused:
+        from columnflow.ops.interp import interp_at_onehot
+        from columnflow.solvers import odeint_dopri5_fused
+
+        dt = task.dt
+
+        def drift(t, y, p, mu_tab):
+            return hopf_mlp_drift(t, y, p, Stimulus(0.0, dt, mu_tab),
+                                  interp_fn=interp_at_onehot)
+
+        return odeint_dopri5_fused(
+            drift, y0, task.ts, params, mu_table, max_steps=task.max_steps,
+            nondiff_args=(1,),  # mu(t) is data
+        )
+
     from columnflow.solvers import odeint
 
     stim = Stimulus(0.0, task.dt, mu_table)

@@ -57,11 +57,44 @@ def build_task(cfg: ColumnConfig, key, lr: float = 0.5, alpha: float = 0.95,
 
 
 def batched_rollout(params, task: XORTask, conditions, method="dopri5",
-                    differentiable=True):
-    """Integrate the four XOR conditions: (4, 2) -> (4, T, 72)."""
+                    differentiable=True, use_fused: bool = False):
+    """Integrate the four XOR conditions: (4, 2) -> (4, T, 72).
+
+    ``use_fused=True``: one shared-controller Pallas fused dopri5 solve for
+    the whole batch (see tasks.parity.batched_rollout for the semantics
+    trade-off vs the reference's per-sample solves)."""
     from columnflow.solvers import odeint
 
     time_steps = task.ts.shape[0]
+
+    if use_fused and method == "dopri5":
+        from columnflow.models.xor import (
+            build_xor_fused_consts,
+            split_xor_params,
+            xor_drift_batched,
+        )
+        from columnflow.ops.interp import interp_at_onehot
+        from columnflow.solvers import odeint_dopri5_fused
+
+        dt = task.dt
+        fc = build_xor_fused_consts(task.net)
+
+        def drift(t, y, p, fc, tab):
+            return xor_drift_batched(t, y, p, fc, Stimulus(0.0, dt, tab),
+                                     interp_fn=interp_at_onehot)
+
+        tables = jax.vmap(lambda c: prep_xor_stim(c, time_steps))(conditions)
+        B = conditions.shape[0]
+        # time-major, slots flattened: (T, B, 32) (see xor_drift_batched)
+        tables = jnp.transpose(tables, (1, 0, 2, 3)).reshape(
+            time_steps, B, 32)
+        y0 = jnp.zeros((conditions.shape[0], XOR_STATE_DIM))
+        ys = odeint_dopri5_fused(
+            drift, y0, task.ts, split_xor_params(params), fc, tables,
+            max_steps=task.max_steps,
+            nondiff_args=(1, 2),  # anatomy + stimulus are data
+        )
+        return jnp.transpose(ys, (1, 0, 2))
 
     def drift(t, y, p, table):
         return xor_drift(t, y, p, task.net, Stimulus(0.0, task.dt, table))

@@ -1,0 +1,143 @@
+"""Fused Pallas dopri5 engine tests (interpret mode on CPU; compiled TPU
+behavior exercised by the verify drive and the task benchmarks).
+
+The bar: value and gradient parity with the XLA adaptive path (dopri.py) —
+same controller, same accepted-step sequence, same dense output.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from columnflow.config import ColumnConfig
+from columnflow.ops.interp import interp_at, interp_at_onehot
+from columnflow.solvers import odeint
+from columnflow.solvers.fused import odeint_dopri5_fused
+
+CFG = ColumnConfig.load()
+
+
+def _exp_drift(t, y, k):
+    return -k * y + jnp.sin(3.0 * t) * jnp.ones_like(y)
+
+
+class TestFusedSolver:
+    def _setup(self):
+        ts = jnp.linspace(0.0, 5.0, 80)
+        y0 = jnp.arange(1.0, 9.0).reshape(2, 4)
+        k = jnp.full((2, 4), 0.7)
+        return ts, y0, k
+
+    def test_trajectory_parity(self):
+        ts, y0, k = self._setup()
+        ys_x = odeint(_exp_drift, y0, ts, k, method="dopri5")
+        ys_f = odeint_dopri5_fused(_exp_drift, y0, ts, k, max_steps=256,
+                                   chunk=64, interpret=True)
+        np.testing.assert_allclose(np.asarray(ys_f), np.asarray(ys_x),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_gradient_parity_args_and_y0(self):
+        ts, y0, k = self._setup()
+
+        def loss(solver):
+            def f(y0, k):
+                return jnp.sum(solver(y0, k) ** 2)
+            return f
+
+        solve_x = lambda y0, k: odeint(_exp_drift, y0, ts, k, method="dopri5")
+        solve_f = lambda y0, k: odeint_dopri5_fused(
+            _exp_drift, y0, ts, k, max_steps=256, chunk=64, interpret=True
+        )
+        gx = jax.grad(loss(solve_x), argnums=(0, 1))(y0, k)
+        gf = jax.grad(loss(solve_f), argnums=(0, 1))(y0, k)
+        for a, b in zip(gx, gf):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-3, atol=1e-6)
+
+    def test_pytree_args(self):
+        ts, y0, _ = self._setup()
+        params = {"k": jnp.full((2, 4), 0.5), "c": 0.3}
+
+        def f(t, y, p):
+            return -p["k"] * y + p["c"]
+
+        ys_x = odeint(f, y0, ts, params, method="dopri5")
+        ys_f = odeint_dopri5_fused(f, y0, ts, params, max_steps=256,
+                                   chunk=64, interpret=True)
+        np.testing.assert_allclose(np.asarray(ys_f), np.asarray(ys_x),
+                                   rtol=1e-5, atol=1e-6)
+        g = jax.grad(lambda p: jnp.sum(odeint_dopri5_fused(
+            f, y0, ts, p, max_steps=256, chunk=64, interpret=True)))(params)
+        assert float(jnp.max(jnp.abs(g["k"]))) > 0.0
+
+
+class TestBatchedDrifts:
+    """The 2Dx2D drift variants must match the per-sample drifts row-wise."""
+
+    def test_network_drift_batched(self):
+        from columnflow.data import parity_stim_table
+        from columnflow.models import Stimulus, build_column_network
+        from columnflow.models.network import network_drift, network_drift_batched
+
+        params, net = build_column_network(
+            CFG, jax.random.PRNGKey(0), columns_per_area=(2, 1), n_inputs=2
+        )
+        S = 3 * net.num_pops
+        B, T = 3, 50
+        stims = jnp.asarray([[15.0, 0.0], [0.0, 15.0], [15.0, 15.0]])
+        tables = jax.vmap(lambda s: parity_stim_table(s, T))(stims)
+        y = jax.random.normal(jax.random.PRNGKey(1), (B, S))
+        t = 0.033
+        dt = 1e-3
+
+        want = jax.vmap(
+            lambda yy, tab: network_drift(t, yy, params, net,
+                                          Stimulus(0.0, dt, tab))
+        )(y, tables)
+        got = network_drift_batched(
+            t, y, params, net,
+            Stimulus(0.0, dt, jnp.transpose(tables, (1, 0, 2))),
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=1e-4)
+
+    def test_xor_drift_batched(self):
+        from columnflow.data import prep_xor_stim, xor_conditions
+        from columnflow.models import Stimulus, build_xor_network
+        from columnflow.models.xor import (
+            XOR_STATE_DIM,
+            build_xor_fused_consts,
+            split_xor_params,
+            xor_drift,
+            xor_drift_batched,
+        )
+
+        params, net = build_xor_network(CFG, jax.random.PRNGKey(0))
+        B, T = 4, 50
+        conds = jnp.asarray(xor_conditions())
+        tables = jax.vmap(lambda c: prep_xor_stim(c, T))(conds)
+        y = jax.random.normal(jax.random.PRNGKey(1), (B, XOR_STATE_DIM))
+        t, dt = 0.033, 1e-3
+
+        want = jax.vmap(
+            lambda yy, tab: xor_drift(t, yy, params, net,
+                                      Stimulus(0.0, dt, tab))
+        )(y, tables)
+        got = xor_drift_batched(
+            t, y, split_xor_params(params), build_xor_fused_consts(net),
+            Stimulus(0.0, dt,
+                     jnp.transpose(tables, (1, 0, 2, 3)).reshape(T, B, 32)),
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=1e-4)
+
+
+class TestInterpOneHot:
+    def test_matches_interp_at(self):
+        fp = jnp.asarray(np.random.default_rng(0).normal(size=(40, 3, 5))
+                         .astype(np.float32))
+        for x in [0.0, 0.004, 0.0151, 0.039, 0.05, -1.0]:
+            a = interp_at(jnp.asarray(x), 0.0, 1e-3, fp)
+            b = interp_at_onehot(jnp.asarray(x), 0.0, 1e-3, fp)
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-5, atol=1e-6)
