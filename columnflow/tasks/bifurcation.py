@@ -36,7 +36,7 @@ class HopfTask(NamedTuple):
 
 
 def build_task(key, lr: float = 1e-3, time_points: int = TIME_POINTS,
-               total_time: float = TOTAL_TIME, max_steps: int = 4096):
+               total_time: float = TOTAL_TIME, max_steps: int = 1024):
     params = build_hopf_mlp(key)
     ts = jnp.linspace(0.0, total_time, time_points)
     # torch RMSprop default alpha = 0.99 (scripts/bifurcation_ode.py:198).
@@ -108,7 +108,7 @@ def train_bifurcation(
     time_points: int = TIME_POINTS,
     total_time: float = TOTAL_TIME,
     test_freq: int = 3,
-    max_steps: int = 4096,
+    max_steps: int = 1024,
     metrics_path: str | None = None,
     profile_dir: str | None = None,
     checkpoint_path: str | None = None,

@@ -141,11 +141,11 @@ def parity_targets(stims_raw, level: float = 15.0):
     return even.astype(jnp.float32) * TARGET_EVEN
 
 
-def make_train_step(task: ParityTask):
+def make_train_step(task: ParityTask, use_fused: bool = False):
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, stims_raw):
         def loss_fn(p):
-            ys = batched_rollout(p, task, stims_raw)
+            ys = batched_rollout(p, task, stims_raw, use_fused=use_fused)
             out = readout(ys, p, task.net)
             return jnp.mean(jnp.abs(out - parity_targets(stims_raw))), out
 
@@ -179,6 +179,7 @@ def train_parity(
     checkpoint_every: int = 5,
     plot_dir: str | None = None,
     plot_every: int = 5,
+    use_fused: bool = False,
 ):
     """Reference defaults: 6400 samples / batch 4 -> 1600 iterations
     (scripts/parity_ode.py:286-294)."""
@@ -194,7 +195,7 @@ def train_parity(
 
         save_checkpoint(checkpoint_path + ".pre", params=task.params, step=0)
 
-    step_fn = make_train_step(task)
+    step_fn = make_train_step(task, use_fused=use_fused)
     opt_state = task.optimizer.init(task.params)
     params = task.params
     logger = MetricsLogger(metrics_path)
@@ -237,6 +238,9 @@ def main():
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--smoke", action="store_true")
+    p.add_argument("--fused", action="store_true",
+                   help="shared-controller Pallas fused dopri5 (faster; "
+                        "torchdiffeq-batched semantics)")
     p.add_argument("--metrics-out", default=None)
     p.add_argument("--profile-dir", default=None,
                    help="dump a jax.profiler trace of steps 2-4 here")
@@ -246,13 +250,15 @@ def main():
     if args.smoke:
         params, hist = train_parity(
             nr_samples=8, batch_size=4, seed=args.seed, time_steps=200,
-            max_steps=1024, metrics_path=args.metrics_out,
+            max_steps=1024, use_fused=args.fused,
+            metrics_path=args.metrics_out,
             profile_dir=args.profile_dir,
         )
     else:
         params, hist = train_parity(
             nr_samples=args.samples, batch_size=args.batch_size,
-            seed=args.seed, metrics_path=args.metrics_out,
+            seed=args.seed, use_fused=args.fused,
+            metrics_path=args.metrics_out,
             profile_dir=args.profile_dir,
             checkpoint_path=args.checkpoint_out,
         )

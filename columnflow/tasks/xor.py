@@ -126,11 +126,11 @@ def xor_targets(conditions):
     return jnp.where(diff, 1.0, 0.25)
 
 
-def make_train_step(task: XORTask):
+def make_train_step(task: XORTask, use_fused: bool = False):
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, conditions):
         def loss_fn(p):
-            ys = batched_rollout(p, task, conditions)
+            ys = batched_rollout(p, task, conditions, use_fused=use_fused)
             _, loss = readout(ys, xor_targets(conditions))
             return loss
 
@@ -154,6 +154,7 @@ def train_xor(
     checkpoint_path: str | None = None,
     plot_dir: str | None = None,
     plot_every: int = 5,
+    use_fused: bool = False,
 ):
     """Reference defaults: 160 samples / batch 4 -> 40 iterations
     (scripts/xor_ode.py:202-207)."""
@@ -162,7 +163,7 @@ def train_xor(
     key, k_build = jax.random.split(key)
     task = build_task(cfg, k_build, time_steps=time_steps, max_steps=max_steps)
 
-    step_fn = make_train_step(task)
+    step_fn = make_train_step(task, use_fused=use_fused)
     eval_fn = jax.jit(
         lambda p, conds: readout(
             batched_rollout(p, task, conds, differentiable=False),
@@ -221,6 +222,8 @@ def main():
     p.add_argument("--samples", type=int, default=160)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--smoke", action="store_true")
+    p.add_argument("--fused", action="store_true",
+                   help="shared-controller Pallas fused dopri5")
     p.add_argument("--metrics-out", default=None)
     p.add_argument("--profile-dir", default=None,
                    help="dump a jax.profiler trace of steps 2-4 here")
@@ -233,6 +236,7 @@ def main():
             profile_dir=args.profile_dir)
     else:
         params, hist = train_xor(nr_samples=args.samples, seed=args.seed,
+                                 use_fused=args.fused,
                                  metrics_path=args.metrics_out,
             profile_dir=args.profile_dir,
                                  checkpoint_path=args.checkpoint_out)
