@@ -101,6 +101,20 @@ def make_train_step(task: HopfTask):
     return train_step
 
 
+def make_dp_train_step(task: HopfTask, mesh):
+    """Data-parallel training step: trajectories shard across the mesh.
+    Batch arg: true_y_bt (B, T, 3) — batch-major so the mesh shards the
+    leading axis; transposed to the solver's (T, B, .) internally."""
+    from columnflow.parallel import make_dp_train_step as _mk
+
+    def local_loss(params, true_y_bt):
+        true_y = jnp.transpose(true_y_bt, (1, 0, 2))
+        pred = rollout(params, task, true_y[0, :, :2], true_y[:, :, 2])
+        return smooth_l1(pred, true_y[:, :, :2])
+
+    return _mk(local_loss, task.optimizer, None, mesh, num_batch_args=1)
+
+
 def train_bifurcation(
     nr_samples: int = 5000,
     batch_size: int = 32,

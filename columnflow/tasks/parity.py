@@ -165,6 +165,23 @@ def make_train_step(task: ParityTask, use_fused: bool = False):
     return train_step
 
 
+def make_dp_train_step(task: ParityTask, mesh, use_fused: bool = False):
+    """Data-parallel training step: the sample batch is sharded across the
+    device mesh, gradients pmean-ed over ICI (columnflow.parallel). Batch
+    arg: stims_raw (B, n_inputs), B divisible by mesh size. Note: the
+    reference-matching post-step weight clamps are NOT fused here; apply
+    ``clamp_params(params, task.clamps)`` after each step."""
+    from columnflow.parallel import make_dp_train_step as _mk
+
+    def local_loss(params, stims_raw):
+        ys = batched_rollout(params, task, stims_raw, use_fused=use_fused)
+        out = readout(ys, params, task.net)
+        return jnp.mean(jnp.abs(out - parity_targets(stims_raw)))
+
+    return _mk(local_loss, task.optimizer, task.grad_mask, mesh,
+               num_batch_args=1)
+
+
 def train_parity(
     nr_samples: int = 6400,
     batch_size: int = 4,

@@ -143,6 +143,20 @@ def make_train_step(task: XORTask, use_fused: bool = False):
     return train_step
 
 
+def make_dp_train_step_mesh(task: XORTask, mesh, use_fused: bool = False):
+    """Data-parallel training step over a device mesh (the 4 XOR
+    conditions shard across devices; gradients pmean over ICI)."""
+    from columnflow.parallel import make_dp_train_step as _mk
+
+    def local_loss(params, conditions):
+        ys = batched_rollout(params, task, conditions, use_fused=use_fused)
+        _, loss = readout(ys, xor_targets(conditions))
+        return loss
+
+    return _mk(local_loss, task.optimizer, task.grad_mask, mesh,
+               num_batch_args=1)
+
+
 def train_xor(
     nr_samples: int = 160,
     batch_size: int = 4,

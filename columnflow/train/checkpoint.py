@@ -2,9 +2,10 @@
 
 Replaces the reference's whole-object pickles (reference:
 scripts/wta_ode.py:215-216, scripts/parity_ode.py:210-211,281-282) with flat
-npz checkpoints of (params, optimizer state, RNG key, step) — no code
-objects, stable across refactors. Orbax is used when available for async /
-sharded checkpoints; the npz path has no dependencies.
+npz checkpoints of (params, optimizer state, RNG key, step) + a JSON
+manifest — no code objects, stable across refactors, no dependencies
+beyond numpy. (Orbax integration is a possible future extension; at these
+state sizes — KBs of weights — sync npz is strictly simpler.)
 """
 
 from __future__ import annotations

@@ -83,3 +83,60 @@ class TestDPTraining:
         for _ in range(3):
             params, opt_state, loss = dp_step(params, opt_state, *batch)
             assert np.isfinite(float(loss))
+
+
+class TestTaskDPSteps:
+    """Every task family exposes a mesh-sharded training step; on the
+    virtual 8-device CPU mesh each must run and produce finite loss."""
+
+    def test_parity_dp_step(self):
+        from columnflow.config import ColumnConfig
+        from columnflow.data import make_parity_batch
+        from columnflow.parallel import make_mesh, replicate, shard_batch
+        from columnflow.tasks import parity as pt
+
+        cfg = ColumnConfig.load()
+        task = pt.build_task(cfg, jax.random.PRNGKey(0),
+                             columns_per_area=(2, 1), n_inputs=2,
+                             time_steps=60, max_steps=512)
+        mesh = make_mesh(8)
+        step = pt.make_dp_train_step(task, mesh)
+        params = replicate(task.params, mesh)
+        opt_state = replicate(task.optimizer.init(task.params), mesh)
+        stims = shard_batch(make_parity_batch(jax.random.PRNGKey(1), 2, 8),
+                            mesh)
+        params, opt_state, loss = step(params, opt_state, stims)
+        assert bool(jnp.isfinite(loss))
+
+    def test_xor_dp_step(self):
+        from columnflow.config import ColumnConfig
+        from columnflow.parallel import make_mesh, replicate, shard_batch
+        from columnflow.tasks import xor as xt
+
+        cfg = ColumnConfig.load()
+        task = xt.build_task(cfg, jax.random.PRNGKey(0), time_steps=60,
+                             max_steps=512)
+        mesh = make_mesh(8)
+        step = xt.make_dp_train_step_mesh(task, mesh)
+        params = replicate(task.params, mesh)
+        opt_state = replicate(task.optimizer.init(task.params), mesh)
+        conds = shard_batch(jnp.tile(jnp.asarray(xt.xor_conditions()), (2, 1)),
+                            mesh)
+        params, opt_state, loss = step(params, opt_state, conds)
+        assert bool(jnp.isfinite(loss))
+
+    def test_bifurcation_dp_step(self):
+        from columnflow.parallel import make_mesh, replicate, shard_batch
+        from columnflow.tasks import bifurcation as bt
+
+        task = bt.build_task(jax.random.PRNGKey(0), time_points=40,
+                             total_time=2.0, max_steps=256)
+        mesh = make_mesh(8)
+        step = bt.make_dp_train_step(task, mesh)
+        params = replicate(task.params, mesh)
+        opt_state = replicate(task.optimizer.init(task.params), mesh)
+        true_y = shard_batch(
+            0.3 * jax.random.normal(jax.random.PRNGKey(2), (8, 40, 3)), mesh
+        )
+        params, opt_state, loss = step(params, opt_state, true_y)
+        assert bool(jnp.isfinite(loss))
