@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from columnflow.config import ColumnConfig
-from columnflow.data import make_parity_batch, parity_stim_table
+from columnflow.data import make_parity_batch, parity_combinations, parity_stim_table
 from columnflow.models import Stimulus, build_column_network, network_drift
 from columnflow.ops.transfer import compute_firing_rate
 from columnflow.train import MetricsLogger, StepProfiler, adam, clamp_params, mask_grads
@@ -157,10 +157,21 @@ def make_train_step(task: ParityTask, use_fused: bool = False):
             jnp.asarray([jnp.all(jnp.isfinite(g))
                          for g in jax.tree_util.tree_leaves(grads)])
         )
-        updates, opt_state = task.optimizer.update(grads, opt_state, params)
-        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
-        params = clamp_params(params, task.clamps)
-        return params, opt_state, loss, out, gnorm, grads_finite
+        # Stiff excursions can exhaust the solver and produce non-finite
+        # gradients; the reference merely warns and steps anyway
+        # (scripts/parity_ode.py:255-261), permanently corrupting the
+        # params. Skip the update instead so training survives.
+        new_updates, new_opt_state = task.optimizer.update(grads, opt_state,
+                                                           params)
+        new_params = clamp_params(
+            jax.tree_util.tree_map(lambda p, u: p + u, params, new_updates),
+            task.clamps,
+        )
+        pick = lambda new, old: jax.tree_util.tree_map(
+            lambda a, b: jnp.where(grads_finite, a, b), new, old
+        )
+        return (pick(new_params, params), pick(new_opt_state, opt_state),
+                loss, out, gnorm, grads_finite)
 
     return train_step
 
@@ -242,6 +253,18 @@ def train_parity(
 
             plot_weight_matrices(params, f"{plot_dir}/parity_{it:04d}")
 
+    # Final classification check over the fixed patterns: even-parity
+    # patterns must read out above TARGET_EVEN/2 (reference evaluates by
+    # eye from the printed losses; this makes it a number).
+    eval_stims = jnp.asarray(parity_combinations(n_inputs))
+    ys = batched_rollout(params, task, eval_stims, differentiable=False,
+                         use_fused=use_fused)
+    out = readout(ys, params, task.net)
+    targets = parity_targets(eval_stims)
+    acc = float(jnp.mean((out > TARGET_EVEN / 2) == (targets > 0)))
+    print(f"final parity accuracy over {eval_stims.shape[0]} patterns: "
+          f"{acc:.2f} (readouts {np.asarray(out).round(2).tolist()})")
+    history.append({"acc": acc})
     profiler.close()
     logger.close()
     return params, history

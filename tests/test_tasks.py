@@ -16,7 +16,7 @@ from columnflow.tasks.xor import train_xor
 
 
 def _finite(history, key="loss"):
-    return all(np.isfinite(h[key]) for h in history)
+    return all(np.isfinite(h[key]) for h in history if key in h)
 
 
 class TestWTATask:
@@ -56,7 +56,8 @@ class TestParityTask:
     def test_smoke(self):
         params, hist = train_parity(nr_samples=8, batch_size=4, seed=0,
                                     time_steps=120, max_steps=512)
-        assert len(hist) == 2
+        assert len(hist) == 3  # 2 steps + final accuracy record
+        assert "acc" in hist[-1]
         assert _finite(hist)
         # Clamps respected after updates.
         assert np.all(np.asarray(params["lateral"]) <= 0.0)
