@@ -22,12 +22,13 @@ from columnflow.solvers.sde import sdeint
 from columnflow.solvers.sde_adaptive import sdeint_adaptive
 from columnflow.solvers.brownian import VirtualBrownianTree
 from columnflow.solvers.dopri import SolverStats, odeint_stats
-from columnflow.solvers.fused import odeint_dopri5_fused
+from columnflow.solvers.fused import odeint_dopri5_fused, sdeint_fused
 
 __all__ = [
     "odeint",
     "odeint_dopri5_fused",
     "sdeint",
+    "sdeint_fused",
     "sdeint_adaptive",
     "VirtualBrownianTree",
     "SolverStats",

@@ -266,6 +266,52 @@ def _make_bwd_chunk_kernel(func, n_args, chunk, diff_idx):
 _VMEM = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
 
 
+def _flatten_for_kernel(user_func, args, nondiff_args):
+    """Flatten pytree ``args`` into kernel-ready array operands.
+
+    args may be arbitrary pytrees (a params dict, a model-constants
+    NamedTuple); kernels take flat array operands, so flatten here and
+    rebuild inside the traced drift. Host scalars (python/numpy numbers)
+    stay baked into the kernel as constants — Pallas allows scalar captures
+    but rejects captured array constants, so every array leaf becomes a
+    kernel input; 0-d array leaves ride along as (1,) inputs.
+
+    Returns (wrapped_func(t, y, *dyn_leaves), dyn_leaf_tuple, diff_idx)
+    where diff_idx indexes the dyn leaves belonging to differentiable
+    original args (ownership is positional in tree_flatten order).
+    """
+    nondiff = set(nondiff_args)
+    flat_args, args_treedef = jax.tree_util.tree_flatten(args)
+    owners = []
+    for ai, a in enumerate(args):
+        owners.extend([ai] * len(jax.tree_util.tree_leaves(a)))
+    is_static = [isinstance(l, (int, float, bool, np.floating, np.integer))
+                 for l in flat_args]
+    dyn_in, dyn_diff = [], []
+    for leaf, st, owner in zip(flat_args, is_static, owners):
+        if not st:
+            a = jnp.asarray(leaf)
+            dyn_in.append(a.reshape(1) if a.ndim == 0 else a)
+            dyn_diff.append(owner not in nondiff
+                            and jnp.issubdtype(a.dtype, jnp.inexact))
+    diff_idx = tuple(i for i, d in enumerate(dyn_diff) if d)
+    dyn_shapes = [jnp.ndim(l) == 0
+                  for l, st in zip(flat_args, is_static) if not st]
+
+    def wrapped(t, y, *dyn_leaves):
+        leaves, it = [], iter(zip(dyn_leaves, dyn_shapes))
+        for leaf, st in zip(flat_args, is_static):
+            if st:
+                leaves.append(leaf)
+            else:
+                a, was_scalar = next(it)
+                leaves.append(a[0] if was_scalar else a)
+        return user_func(t, y,
+                         *jax.tree_util.tree_unflatten(args_treedef, leaves))
+
+    return wrapped, tuple(dyn_in), diff_idx
+
+
 def odeint_dopri5_fused(
     func: Callable,
     y0: jax.Array,
@@ -300,46 +346,7 @@ def odeint_dopri5_fused(
     if not jnp.issubdtype(y0.dtype, jnp.inexact):
         y0 = y0.astype(jnp.float32)
     ts = jnp.asarray(ts_host, y0.dtype)
-    # args may be arbitrary pytrees (e.g. a params dict, a model-constants
-    # NamedTuple); kernels take flat array operands, so flatten here and
-    # rebuild inside the traced drift. Host scalars (python/numpy numbers)
-    # stay baked into the kernel as constants — Pallas allows scalar
-    # captures but rejects captured array constants, so every array leaf
-    # becomes a kernel input. 0-d array leaves ride along as (1,) inputs.
-    nondiff = set(nondiff_args)
-    flat_args, args_treedef = jax.tree_util.tree_flatten(args)
-    # Leaf order of tree_flatten(args) is the concatenation of per-arg
-    # leaves, so ownership (which original arg a leaf belongs to — the
-    # granularity at which differentiability is declared) is positional.
-    owners = []
-    for ai, a in enumerate(args):
-        owners.extend([ai] * len(jax.tree_util.tree_leaves(a)))
-    is_static = [isinstance(l, (int, float, bool, np.floating, np.integer))
-                 for l in flat_args]
-    dyn_in, dyn_diff = [], []
-    for leaf, st, owner in zip(flat_args, is_static, owners):
-        if not st:
-            a = jnp.asarray(leaf)
-            dyn_in.append(a.reshape(1) if a.ndim == 0 else a)
-            dyn_diff.append(owner not in nondiff
-                            and jnp.issubdtype(a.dtype, jnp.inexact))
-    diff_idx = tuple(i for i, d in enumerate(dyn_diff) if d)
-    dyn_shapes = [jnp.ndim(l) == 0
-                  for l, st in zip(flat_args, is_static) if not st]
-    user_func = func
-
-    def func(t, y, *dyn_leaves):
-        leaves, it = [], iter(zip(dyn_leaves, dyn_shapes))
-        for leaf, st in zip(flat_args, is_static):
-            if st:
-                leaves.append(leaf)
-            else:
-                a, was_scalar = next(it)
-                leaves.append(a[0] if was_scalar else a)
-        return user_func(t, y,
-                         *jax.tree_util.tree_unflatten(args_treedef, leaves))
-
-    args = tuple(dyn_in)
+    func, args, diff_idx = _flatten_for_kernel(func, args, nondiff_args)
     n_args = len(args)
     t_start = float(ts_host[0])
     t_end = float(ts_host[-1])
@@ -451,3 +458,260 @@ def odeint_dopri5_fused(
     s1 = 1.0 - th
     ys = r1 + th * (r2 + s1 * (r3 + th * (r4 + s1 * r5)))
     return ys.at[0].set(y0)
+
+
+# ---------------------------------------------------------------------------
+# Fused fixed-step SDE solver
+# ---------------------------------------------------------------------------
+
+
+def _make_sde_chunk_kernel(drift, diffusion, n_args, chunk, h, t_base,
+                           method):
+    """Forward SDE chunk: fixed-grid steps with everything VMEM-resident.
+
+    Inputs: offs (SMEM (1,) i32 global step offset), y_in (S), i1/i10 chunk
+    ((chunk,) + noise shape), arg refs. Outputs: y_out (S), ys (chunk,)+S
+    (states AFTER each step).
+    """
+
+    def step(t0, y, i1, i10, args):
+        if method == "euler":
+            g = diffusion(t0, y, *args)
+            return y + h * drift(t0, y, *args) + g * i1
+        # SRA1 (strong order 1.5, additive noise), matching sde._sra1_step.
+        i10_h = i10 / h
+        f1 = drift(t0, y, *args)
+        g_end = diffusion(t0 + h, y, *args)
+        h2 = y + 0.75 * h * f1 + 1.5 * i10_h * g_end
+        f2 = drift(t0 + 0.75 * h, h2, *args)
+        g_start = diffusion(t0, y, *args)
+        return (y + h * (f1 / 3.0 + 2.0 * f2 / 3.0)
+                + (i1 - i10_h) * g_end + i10_h * g_start)
+
+    def kernel(off_ref, y_ref, i1_ref, i10_ref, *refs):
+        arg_refs = refs[:n_args]
+        yout_ref, ys_ref = refs[n_args:]
+        args = tuple(r[:] for r in arg_refs)
+        t_off = off_ref[0].astype(jnp.float32) * h + t_base
+
+        def body(k, y):
+            t0 = t_off + k.astype(jnp.float32) * h
+            y1 = step(t0, y, i1_ref[k], i10_ref[k], args)
+            ys_ref[k] = y1
+            return y1
+
+        yout_ref[:] = jax.lax.fori_loop(0, chunk, body, y_ref[:])
+
+    return kernel, step
+
+
+def _make_sde_bwd_chunk_kernel(step, n_args, chunk, h, t_base, diff_idx):
+    """Reverse SDE chunk: in-kernel ``jax.vjp`` of the step.
+
+    Inputs: offs (SMEM (1,)), ys_prev (chunk,)+S (states BEFORE each step),
+    ysbar (chunk,)+S (cotangents on states AFTER each step), ybar_in (S),
+    i1/i10 chunks, arg refs. Outputs: ybar_out, diff-arg accumulators.
+    """
+
+    def kernel(off_ref, ysprev_ref, ysbar_ref, ybar_ref, i1_ref, i10_ref,
+               *refs):
+        arg_refs = refs[:n_args]
+        ybarout_ref = refs[n_args]
+        abar_refs = refs[n_args + 1:]
+        args = tuple(r[:] for r in arg_refs)
+        t_off = off_ref[0].astype(jnp.float32) * h + t_base
+
+        abar0 = tuple(jnp.zeros(r.shape, r.dtype) for r in abar_refs)
+
+        def body(kk, carry):
+            ybar, abars = carry
+            k = chunk - 1 - kk
+            t0 = t_off + k.astype(jnp.float32) * h
+            y = ysprev_ref[k]
+            i1 = i1_ref[k]
+            i10 = i10_ref[k]
+
+            def stepfn(y, *diff_vals):
+                full = list(args)
+                for i, v in zip(diff_idx, diff_vals):
+                    full[i] = v
+                return step(t0, y, i1, i10, tuple(full))
+
+            _, vjp = jax.vjp(stepfn, y, *(args[i] for i in diff_idx))
+            grads = vjp(ybar + ysbar_ref[k])
+            abars = tuple(a + g for a, g in zip(abars, grads[1:]))
+            return (grads[0], abars)
+
+        ybar, abars = jax.lax.fori_loop(0, chunk, body, (ybar_ref[:], abar0))
+        ybarout_ref[:] = ybar
+        for r, a in zip(abar_refs, abars):
+            r[:] = a
+
+    return kernel
+
+
+def sdeint_fused(
+    drift: Callable,
+    diffusion: Callable,
+    y0: jax.Array,
+    ts,
+    key,
+    *args,
+    method: str = "srk",
+    noise_shape: tuple = (),
+    noise_pack=None,
+    nondiff_args: tuple = (),
+    chunk: int | None = None,
+    interpret: bool = False,
+):
+    """Fixed-grid Ito SDE integration, every step loop a Pallas kernel.
+
+    Generic counterpart of ``kernels.column_step``'s hand-written WTA
+    rollout: any pure-jnp drift/diffusion pair whose operands fit VMEM.
+    ``method``: "srk" (SRA1, strong 1.5, ADDITIVE noise — diffusion must not
+    depend on y, the reference regime) or "euler" (Euler-Maruyama, general).
+    Brownian increments come from ``solvers.sde._brownian_pack`` on ``key``
+    (identical convention to the ``lax.scan`` path, so trajectories match
+    pathwise), or from an explicit ``noise_pack`` (i1, i10) with leading
+    axis len(ts)-1. Gradients flow to y0 and diff args; noise is data.
+
+    Returns ys with ys[0] == y0, shape (len(ts),) + y0.shape.
+    """
+    from columnflow.solvers.sde import _brownian_pack
+
+    if method not in ("srk", "euler"):
+        raise ValueError(f"unknown fused SDE method: {method!r}")
+    ts_host = np.asarray(ts)
+    y0 = jnp.asarray(y0)
+    if not jnp.issubdtype(y0.dtype, jnp.inexact):
+        y0 = y0.astype(jnp.float32)
+    n_steps = int(ts_host.shape[0]) - 1
+    h = float(ts_host[1] - ts_host[0])
+    t_base = float(ts_host[0])
+
+    if noise_pack is None:
+        _, i1, i10, _, _ = _brownian_pack(
+            key, jnp.asarray(ts_host, y0.dtype), noise_shape, y0.dtype
+        )
+    else:
+        i1, i10 = noise_pack
+    # Broadcast noise against the state once, outside the kernels, so the
+    # kernel step math is shape-stable (scalar noise -> (T-1,) + S).
+    i1 = jnp.broadcast_to(
+        jnp.reshape(i1, i1.shape + (1,) * (y0.ndim - (i1.ndim - 1))),
+        (n_steps,) + y0.shape,
+    ).astype(y0.dtype)
+    i10 = jnp.broadcast_to(
+        jnp.reshape(i10, i10.shape + (1,) * (y0.ndim - (i10.ndim - 1))),
+        (n_steps,) + y0.shape,
+    ).astype(y0.dtype)
+
+    def drift2(t, y, *a):
+        return drift(t, y, *a)
+
+    wrapped_drift, dyn, diff_idx = _flatten_for_kernel(drift2, args,
+                                                       nondiff_args)
+    wrapped_diff, _, _ = _flatten_for_kernel(
+        lambda t, y, *a: diffusion(t, y, *a), args, nondiff_args
+    )
+    n_args = len(dyn)
+    S = y0.shape
+
+    if chunk is None:
+        state_bytes = 4 * int(np.prod(y0.shape))
+        chunk = int(max(16, min(1024, (2 << 20) // (6 * state_bytes))))
+    chunk = min(chunk, n_steps)
+    n_full = n_steps // chunk
+    rem = n_steps - n_full * chunk
+
+    def make_calls(c):
+        fwd_kernel, step = _make_sde_chunk_kernel(
+            wrapped_drift, wrapped_diff, n_args, c, h, t_base, method
+        )
+        fwd = pl.pallas_call(
+            fwd_kernel,
+            out_shape=(jax.ShapeDtypeStruct(S, y0.dtype),
+                       jax.ShapeDtypeStruct((c,) + S, y0.dtype)),
+            in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                      + [_VMEM()] * (3 + n_args)),
+            out_specs=(_VMEM(), _VMEM()),
+            interpret=interpret,
+        )
+        bwd = pl.pallas_call(
+            _make_sde_bwd_chunk_kernel(step, n_args, c, h, t_base, diff_idx),
+            out_shape=((jax.ShapeDtypeStruct(S, y0.dtype),)
+                       + tuple(jax.ShapeDtypeStruct(dyn[i].shape,
+                                                    dyn[i].dtype)
+                               for i in diff_idx)),
+            in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                      + [_VMEM()] * (5 + n_args)),
+            out_specs=(_VMEM(),) * (1 + len(diff_idx)),
+            interpret=interpret,
+        )
+        return fwd, bwd
+
+    fwd_call, bwd_call = make_calls(chunk)
+    if rem:
+        fwd_rem, bwd_rem = make_calls(rem)
+
+    @jax.custom_vjp
+    def rollout(y0, *dyn):
+        return _fwd_impl(y0, *dyn)
+
+    def _fwd_impl(y0, *dyn):
+        def body(y, c):
+            off = (c * chunk)[None].astype(jnp.int32)
+            i1_c = jax.lax.dynamic_slice_in_dim(i1, c * chunk, chunk)
+            i10_c = jax.lax.dynamic_slice_in_dim(i10, c * chunk, chunk)
+            y1, ys_c = fwd_call(off, y, i1_c, i10_c, *dyn)
+            return y1, ys_c
+
+        y_last, chunks = jax.lax.scan(body, y0, jnp.arange(n_full))
+        ys = chunks.reshape((n_full * chunk,) + S)
+        if rem:
+            off = jnp.asarray([n_full * chunk], jnp.int32)
+            _, ys_r = fwd_rem(off, y_last, i1[n_full * chunk:],
+                              i10[n_full * chunk:], *dyn)
+            ys = jnp.concatenate([ys, ys_r], axis=0)
+        return jnp.concatenate([y0[None], ys], axis=0)  # (T,) + S
+
+    def fwd(y0, *dyn):
+        ys = _fwd_impl(y0, *dyn)
+        return ys, (ys, dyn)
+
+    def bwd(res, ys_bar):
+        ys, dyn = res
+        ys_prev = ys[:-1]  # state BEFORE each step
+        ysbar_steps = ys_bar[1:]
+        abars = tuple(jnp.zeros(dyn[i].shape, dyn[i].dtype) for i in diff_idx)
+        ybar = jnp.zeros(S, y0.dtype)
+        if rem:
+            off = jnp.asarray([n_full * chunk], jnp.int32)
+            out = bwd_rem(off, ys_prev[n_full * chunk:],
+                          ysbar_steps[n_full * chunk:], ybar,
+                          i1[n_full * chunk:], i10[n_full * chunk:], *dyn)
+            ybar = out[0]
+            abars = tuple(a + g for a, g in zip(abars, out[1:]))
+
+        def body(carry, c):
+            ybar, abars = carry
+            ci = n_full - 1 - c
+            off = (ci * chunk)[None].astype(jnp.int32)
+            i1_c = jax.lax.dynamic_slice_in_dim(i1, ci * chunk, chunk)
+            i10_c = jax.lax.dynamic_slice_in_dim(i10, ci * chunk, chunk)
+            ysp = jax.lax.dynamic_slice_in_dim(ys_prev, ci * chunk, chunk)
+            ysb = jax.lax.dynamic_slice_in_dim(ysbar_steps, ci * chunk, chunk)
+            out = bwd_call(off, ysp, ysb, ybar, i1_c, i10_c, *dyn)
+            abars = tuple(a + g for a, g in zip(abars, out[1:]))
+            return (out[0], abars), None
+
+        (ybar, abars), _ = jax.lax.scan(body, (ybar, abars),
+                                        jnp.arange(n_full))
+        ybar = ybar + ys_bar[0]
+        full = [jnp.zeros(a.shape, a.dtype) for a in dyn]
+        for i, g in zip(diff_idx, abars):
+            full[i] = g
+        return (ybar,) + tuple(full)
+
+    rollout.defvjp(fwd, bwd)
+    return rollout(y0, *dyn)

@@ -141,3 +141,76 @@ class TestInterpOneHot:
             b = interp_at_onehot(jnp.asarray(x), 0.0, 1e-3, fp)
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=1e-5, atol=1e-6)
+
+
+class TestFusedSDE:
+    """Generic fused fixed-grid SDE solver vs the lax.scan sdeint with a
+    pinned noise pack: pathwise value and gradient parity."""
+
+    def _setup(self):
+        from columnflow.solvers.sde import _brownian_pack
+
+        ts = jnp.linspace(0.0, 2.0, 120)
+        y0 = jnp.arange(12.0).reshape(3, 4) / 6.0
+        p = {"k": jnp.full((3, 4), 0.8), "b": jnp.full((3, 4), 0.1)}
+        key = jax.random.PRNGKey(3)
+        _, i1, i10, i11, i111 = _brownian_pack(key, ts, (), jnp.float32)
+        return ts, y0, p, key, (i1, i10, i11, i111)
+
+    @staticmethod
+    def _drift(t, y, p):
+        return -p["k"] * y + p["b"] + 0.2 * jnp.sin(t)
+
+    @staticmethod
+    def _diff(t, y, p):
+        return 0.5 * jnp.ones_like(y)
+
+    def _paths(self, method):
+        from columnflow.solvers import sdeint
+        from columnflow.solvers.fused import sdeint_fused
+
+        ts, y0, p, key, (i1, i10, i11, i111) = self._setup()
+        ones = jnp.ones((1, 3, 4))
+        scan_pack = tuple(x[:, None, None] * ones for x in (i1, i10, i11, i111))
+
+        def scan_path(p):
+            return sdeint(self._drift, self._diff, y0, ts, key, p,
+                          method=method, additive=True, noise_pack=scan_pack)
+
+        def fused_path(p):
+            return sdeint_fused(self._drift, self._diff, y0, ts, key, p,
+                                method=method, noise_pack=(i1, i10),
+                                interpret=True)
+
+        return p, scan_path, fused_path
+
+    def test_srk_pathwise_and_grads(self):
+        p, scan_path, fused_path = self._paths("srk")
+        np.testing.assert_allclose(np.asarray(fused_path(p)),
+                                   np.asarray(scan_path(p)),
+                                   rtol=1e-5, atol=1e-5)
+        gs = jax.grad(lambda p: jnp.sum(scan_path(p) ** 2))(p)
+        gf = jax.grad(lambda p: jnp.sum(fused_path(p) ** 2))(p)
+        for k in gs:
+            np.testing.assert_allclose(np.asarray(gf[k]), np.asarray(gs[k]),
+                                       rtol=1e-3, atol=1e-5)
+
+    def test_euler_pathwise(self):
+        p, scan_path, fused_path = self._paths("euler")
+        np.testing.assert_allclose(np.asarray(fused_path(p)),
+                                   np.asarray(scan_path(p)),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_key_convention_matches_scan(self):
+        """Without an explicit noise_pack, the same key must give the same
+        path as the scan sdeint (same _brownian_pack convention)."""
+        from columnflow.solvers import sdeint
+        from columnflow.solvers.fused import sdeint_fused
+
+        ts, y0, p, key, _ = self._setup()
+        ys_s = sdeint(self._drift, self._diff, y0, ts, key, p, method="srk",
+                      additive=True, noise="scalar")
+        ys_f = sdeint_fused(self._drift, self._diff, y0, ts, key, p,
+                            method="srk", interpret=True)
+        np.testing.assert_allclose(np.asarray(ys_f), np.asarray(ys_s),
+                                   rtol=1e-5, atol=1e-5)
