@@ -157,10 +157,12 @@ def make_train_step(task: ParityTask, use_fused: bool = False):
             jnp.asarray([jnp.all(jnp.isfinite(g))
                          for g in jax.tree_util.tree_leaves(grads)])
         )
-        # Stiff excursions can exhaust the solver and produce non-finite
-        # gradients; the reference merely warns and steps anyway
+        # Stiff excursions make the discrete backprop explode (finite loss,
+        # gradient norms jumping ~0.2 -> 9e4 in one step) and then go NaN;
+        # the reference merely warns at norm > 1e4 and steps anyway
         # (scripts/parity_ode.py:255-261), permanently corrupting the
-        # params. Skip the update instead so training survives.
+        # params. Skip such updates instead so training survives.
+        ok = grads_finite & (gnorm < 1e4)
         new_updates, new_opt_state = task.optimizer.update(grads, opt_state,
                                                            params)
         new_params = clamp_params(
@@ -168,10 +170,10 @@ def make_train_step(task: ParityTask, use_fused: bool = False):
             task.clamps,
         )
         pick = lambda new, old: jax.tree_util.tree_map(
-            lambda a, b: jnp.where(grads_finite, a, b), new, old
+            lambda a, b: jnp.where(ok, a, b), new, old
         )
         return (pick(new_params, params), pick(new_opt_state, opt_state),
-                loss, out, gnorm, grads_finite)
+                loss, out, gnorm, ok)
 
     return train_step
 
@@ -234,14 +236,15 @@ def train_parity(
         profiler.step(it)
         key, k_batch = jax.random.split(key)
         stims = make_parity_batch(k_batch, n_inputs, batch_size)
-        params, opt_state, loss, out, gnorm, finite = step_fn(
+        params, opt_state, loss, out, gnorm, ok = step_fn(
             params, opt_state, stims
         )
         logger.log(it, loss=loss, grad_norm=gnorm,
-                   grads_finite=int(finite))
+                   update_applied=int(ok))
         history.append({"loss": float(loss), "grad_norm": float(gnorm)})
-        if not bool(finite):
-            print(f"WARNING: non-finite gradients at iter {it}")
+        if not bool(ok):
+            print(f"WARNING: skipped update at iter {it} "
+                  f"(non-finite or exploding gradients, norm {float(gnorm):.3g})")
         if checkpoint_path and it % checkpoint_every == 0:
             from columnflow.train import save_checkpoint
 
