@@ -178,12 +178,16 @@ def wta_timecourse(params, area, key, stim_sequence=None, phase: float = 0.5,
 
 
 def xor_timecourse(params, net, key, conditions=None, dt: float = 1e-3,
-                   stim_duration: float = 0.5, stochastic: bool = True):
+                   stim_duration: float = 0.5, stochastic: bool = True,
+                   use_fused: bool | None = None):
     """Chained XOR-condition run for the poster figure (reference:
     scripts/plotting_results.py:565-647): an extra leading (0,0) condition,
     then the four XOR conditions, state carried through.
 
-    Returns (rates (T_total, 24), stim_course (T_total, 2)).
+    ``use_fused`` runs the stochastic segments through the generic fused
+    Pallas SDE solver (same Brownian key convention -> same paths); ``None``
+    auto-selects it on TPU. Returns (rates (T_total, 24),
+    stim_course (T_total, 2)).
     """
     from columnflow.data import xor_conditions
 
@@ -194,20 +198,53 @@ def xor_timecourse(params, net, key, conditions=None, dt: float = 1e-3,
     ts = jnp.linspace(0.0, time_steps * dt, time_steps)
     grid_dt = float(np.asarray(ts)[1])
 
-    def run(y0, k, table):
-        stim = Stimulus(0.0, grid_dt, table)
-        if stochastic:
-            return sdeint(
-                lambda t, y: xor_drift(t, y, params, net, stim),
-                lambda t, y: xor_diffusion(t, y, params, net, stim),
-                y0, ts, k, method="srk", additive=True,
-            )
-        return odeint(
-            lambda t, y: xor_drift(t, y, params, net, stim),
-            y0, ts, method="dopri5", adjoint="none", max_steps=8192,
-        )
+    if use_fused is None:
+        use_fused = stochastic and jax.default_backend() not in ("cpu",)
 
-    segment = jax.jit(run)
+    if stochastic and use_fused:
+        from columnflow.models.xor import (
+            XOR_NOISE_STD,
+            build_xor_fused_consts,
+            split_xor_params,
+            xor_drift_batched,
+        )
+        from columnflow.ops.interp import interp_at_onehot
+        from columnflow.solvers import sdeint_fused
+
+        fc = build_xor_fused_consts(net)
+        pf = split_xor_params(params)
+        g_const = jnp.zeros((1, 72)).at[:, :24].set(XOR_NOISE_STD)
+
+        def drift(t, y, pf, fc, tab, g):
+            return xor_drift_batched(t, y, pf, fc,
+                                     Stimulus(0.0, grid_dt, tab),
+                                     interp_fn=interp_at_onehot)
+
+        def diffusion(t, y, pf, fc, tab, g):
+            return g
+
+        @jax.jit
+        def segment(y0, k, table):
+            tab = table.reshape(time_steps, 1, 32)  # slots flattened, B=1
+            ys = sdeint_fused(drift, diffusion, y0[None], ts, k,
+                              pf, fc, tab, g_const,
+                              method="srk", nondiff_args=(1, 2, 3))
+            return ys[:, 0]
+    else:
+        def run(y0, k, table):
+            stim = Stimulus(0.0, grid_dt, table)
+            if stochastic:
+                return sdeint(
+                    lambda t, y: xor_drift(t, y, params, net, stim),
+                    lambda t, y: xor_diffusion(t, y, params, net, stim),
+                    y0, ts, k, method="srk", additive=True,
+                )
+            return odeint(
+                lambda t, y: xor_drift(t, y, params, net, stim),
+                y0, ts, method="dopri5", adjoint="none", max_steps=8192,
+            )
+
+        segment = jax.jit(run)
     state = jnp.zeros(72)
     rate_chunks, stim_chunks = [], []
     for cond in conditions:
