@@ -228,6 +228,7 @@ def train_parity(
     step_fn = make_train_step(task, use_fused=use_fused)
     opt_state = task.optimizer.init(task.params)
     params = task.params
+    best = (float("inf"), params)  # the late regime is stiff; keep the best
     logger = MetricsLogger(metrics_path)
     profiler = StepProfiler(profile_dir)
     history = []
@@ -242,6 +243,8 @@ def train_parity(
         logger.log(it, loss=loss, grad_norm=gnorm,
                    update_applied=int(ok))
         history.append({"loss": float(loss), "grad_norm": float(gnorm)})
+        if float(loss) < best[0]:
+            best = (float(loss), jax.tree_util.tree_map(jnp.array, params))
         if not bool(ok):
             print(f"WARNING: skipped update at iter {it} "
                   f"(non-finite or exploding gradients, norm {float(gnorm):.3g})")
@@ -260,14 +263,25 @@ def train_parity(
     # patterns must read out above TARGET_EVEN/2 (reference evaluates by
     # eye from the printed losses; this makes it a number).
     eval_stims = jnp.asarray(parity_combinations(n_inputs))
-    ys = batched_rollout(params, task, eval_stims, differentiable=False,
-                         use_fused=use_fused)
-    out = readout(ys, params, task.net)
     targets = parity_targets(eval_stims)
-    acc = float(jnp.mean((out > TARGET_EVEN / 2) == (targets > 0)))
+
+    def evaluate(p):
+        ys = batched_rollout(p, task, eval_stims, differentiable=False,
+                             use_fused=use_fused)
+        out = readout(ys, p, task.net)
+        return float(jnp.mean((out > TARGET_EVEN / 2) == (targets > 0))), out
+
+    acc, out = evaluate(params)
+    best_acc, _ = evaluate(best[1])
     print(f"final parity accuracy over {eval_stims.shape[0]} patterns: "
-          f"{acc:.2f} (readouts {np.asarray(out).round(2).tolist()})")
-    history.append({"acc": acc})
+          f"{acc:.2f} (readouts {np.asarray(out).round(2).tolist()}); "
+          f"best-loss params (loss {best[0]:.3f}): acc {best_acc:.2f}")
+    history.append({"acc": acc, "best_acc": best_acc, "best_loss": best[0]})
+    if checkpoint_path:
+        from columnflow.train import save_checkpoint
+
+        save_checkpoint(checkpoint_path + ".best", params=best[1],
+                        step=len(history))
     profiler.close()
     logger.close()
     return params, history
@@ -305,7 +319,10 @@ def main():
             profile_dir=args.profile_dir,
             checkpoint_path=args.checkpoint_out,
         )
-    print(f"final loss {hist[-1]['loss']:.5f}")
+    final = next(h for h in reversed(hist) if "loss" in h)
+    print(f"final loss {final['loss']:.5f} | "
+          f"acc {hist[-1].get('acc', float('nan')):.2f} | "
+          f"best acc {hist[-1].get('best_acc', float('nan')):.2f}")
 
 
 if __name__ == "__main__":
