@@ -21,7 +21,6 @@ time loop. Parity-tested against the ``lax.scan`` solver path
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from columnflow.config import POPS_PER_COLUMN, ColumnConfig
-from columnflow.models.column import AreaParams, Stimulus, build_area_params
+from columnflow.models.column import Stimulus, build_area_params
 from columnflow.ops.interp import interp_at
 from columnflow.ops.transfer import compute_firing_rate
 

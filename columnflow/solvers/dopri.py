@@ -26,7 +26,6 @@ inside user drift functions should use ``preferred_element_type=float32``.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple
 
 import jax

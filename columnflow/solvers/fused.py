@@ -606,14 +606,9 @@ def sdeint_fused(
         (n_steps,) + y0.shape,
     ).astype(y0.dtype)
 
-    def drift2(t, y, *a):
-        return drift(t, y, *a)
-
-    wrapped_drift, dyn, diff_idx = _flatten_for_kernel(drift2, args,
+    wrapped_drift, dyn, diff_idx = _flatten_for_kernel(drift, args,
                                                        nondiff_args)
-    wrapped_diff, _, _ = _flatten_for_kernel(
-        lambda t, y, *a: diffusion(t, y, *a), args, nondiff_args
-    )
+    wrapped_diff, _, _ = _flatten_for_kernel(diffusion, args, nondiff_args)
     n_args = len(dyn)
     S = y0.shape
 
