@@ -6,6 +6,7 @@ from columnflow.analysis.stats import (
 from columnflow.analysis.experiments import (
     coherence_sweep,
     bistable_perception,
+    rivalry_sweep,
     wta_timecourse,
     xor_timecourse,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "alternation_rate",
     "coherence_sweep",
     "bistable_perception",
+    "rivalry_sweep",
     "wta_timecourse",
     "xor_timecourse",
 ]

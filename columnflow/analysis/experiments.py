@@ -106,7 +106,8 @@ def bistable_perception(params, area, key, mu_a: float = 20.0,
                         mu_b: float = 20.0, nr_iterations: int = 10,
                         phase: float = 10.0, dt: float = 1e-4,
                         sliding_window: int = 10_000,
-                        use_fused: bool | None = None):
+                        use_fused: bool | None = None,
+                        segment_runner=None):
     """Equal-evidence rivalry runs with dominance statistics (reference:
     scripts/plotting_results.py:290-431): ``nr_iterations`` chained 10 s SDE
     segments, constant stimulation of both columns, firing rates recomputed
@@ -122,7 +123,10 @@ def bistable_perception(params, area, key, mu_a: float = 20.0,
         .at[jnp.array([2, 3])].set(mu_a)
         .at[jnp.array([10, 11])].set(mu_b)
     )
-    segment = _wta_segment_runner(params, area, ts, use_fused)
+    # Reuse a caller-provided runner (grid sweeps would otherwise retrace
+    # and recompile the rollout once per grid cell).
+    segment = segment_runner or _wta_segment_runner(params, area, ts,
+                                                    use_fused)
 
     state = jnp.zeros(48)
     chunks = []
@@ -139,6 +143,41 @@ def bistable_perception(params, area, key, mu_a: float = 20.0,
     alt_rate, alts = alternation_rate(a1, a2, dt=dt)
     return {"rates": rates, "dominance": dom, "alternation_rate": alt_rate,
             "alternations": alts}
+
+
+def rivalry_sweep(params, area, key, mu_values=None,
+                  nr_iterations: int = 3, phase: float = 10.0,
+                  dt: float = 1e-4, use_fused: bool | None = None):
+    """Dominance-duration and alternation-rate statistics over a
+    (mu_A, mu_B) stimulation grid — the data behind the reference's
+    dominance/alternation heatmaps (scripts/plotting_results.py:434-465).
+
+    Returns dict with 'mu_values' (M,), 'mean_dominance' (M, M),
+    'alternation_rate' (M, M); entry [i, j] is the run at
+    (mu_A = mu_values[i], mu_B = mu_values[j]).
+    """
+    if mu_values is None:
+        mu_values = np.arange(10.0, 21.0, 2.5)
+    mu_values = np.asarray(mu_values, np.float32)
+    M = len(mu_values)
+    mean_dom = np.zeros((M, M))
+    alt = np.zeros((M, M))
+    time_steps = int(phase / dt)
+    ts = jnp.linspace(0.0, time_steps * dt, time_steps)
+    runner = _wta_segment_runner(params, area, ts, use_fused)
+    for i, mu_a in enumerate(mu_values):
+        for j, mu_b in enumerate(mu_values):
+            key, k = jax.random.split(key)
+            out = bistable_perception(
+                params, area, k, mu_a=float(mu_a), mu_b=float(mu_b),
+                nr_iterations=nr_iterations, phase=phase, dt=dt,
+                use_fused=use_fused, segment_runner=runner,
+            )
+            dom = np.abs(out["dominance"])
+            mean_dom[i, j] = float(dom.mean()) if dom.size else float("nan")
+            alt[i, j] = out["alternation_rate"]
+    return {"mu_values": mu_values, "mean_dominance": mean_dom,
+            "alternation_rate": alt}
 
 
 def wta_timecourse(params, area, key, stim_sequence=None, phase: float = 0.5,
@@ -274,7 +313,8 @@ def main():
 
     p = argparse.ArgumentParser(description=main.__doc__)
     p.add_argument("experiment", choices=["coherence", "bistable",
-                                          "wta-timecourse", "xor-timecourse"])
+                                          "rivalry-sweep", "wta-timecourse",
+                                          "xor-timecourse"])
     p.add_argument("--checkpoint", default=None,
                    help="checkpoint path from the wta/xor task trainers")
     p.add_argument("--out-dir", default="results")
@@ -322,6 +362,18 @@ def main():
         plot_coherence_sweep(np.asarray(layers), np.asarray(coherences),
                              f"{args.out_dir}/coherence.png")
         print(f"wrote {args.out_dir}/coherence.png")
+    elif args.experiment == "rivalry-sweep":
+        from columnflow.analysis.plots import plot_dom_alt_heatmaps
+
+        out = rivalry_sweep(params, area, key,
+                            nr_iterations=args.iterations)
+        mv = out["mu_values"]
+        plot_dom_alt_heatmaps(
+            out["mean_dominance"], out["alternation_rate"],
+            f"{args.out_dir}/rivalry_sweep.png",
+            extent=(mv[0], mv[-1], mv[0], mv[-1]),
+        )
+        print(f"wrote {args.out_dir}/rivalry_sweep.png")
     elif args.experiment == "bistable":
         from columnflow.analysis.plots import plot_dominance_histogram
 

@@ -5,6 +5,9 @@
 - xor: XOR classification via feedforward weights (scripts/xor_ode.py)
 - parity: 4-bit parity on a 3-area hierarchy (scripts/parity_ode.py)
 - bifurcation: Hopf-spiral neural ODE regression (scripts/bifurcation_ode.py)
+- wta_sweep: psychometric sweep over (coherence x 100+ noise realizations)
+  (BASELINE.json config 5; no reference equivalent — it runs one SDE at
+  a time)
 
 Each module exposes ``train_*`` (pure-ish: returns params + history) and a
 CLI (``python -m columnflow.tasks.<name> [--smoke]``).

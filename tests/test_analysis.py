@@ -116,3 +116,23 @@ class TestPlots:
         for p in [p1, p2, p3, p4, *written]:
             assert os.path.exists(p) and os.path.getsize(p) > 0
         assert len(written) == 2  # zero-sum group skipped
+
+
+def test_rivalry_sweep_grid():
+    import jax
+    import numpy as np
+
+    from columnflow.analysis import rivalry_sweep
+    from columnflow.config import ColumnConfig
+    from columnflow.models import build_wta
+
+    cfg = ColumnConfig.load()
+    params, area = build_wta(cfg, jax.random.PRNGKey(0))
+    out = rivalry_sweep(
+        params, area, jax.random.PRNGKey(1),
+        mu_values=[15.0, 20.0], nr_iterations=1, phase=0.2,
+        use_fused=False,
+    )
+    assert out["mean_dominance"].shape == (2, 2)
+    assert out["alternation_rate"].shape == (2, 2)
+    assert np.isfinite(out["alternation_rate"]).all()
