@@ -19,6 +19,9 @@ def running_mean(x, N: int, outliers: bool = False):
     are zeroed first.
     """
     x = np.array(x, dtype=np.float64)
+    # A window longer than the trace would yield an empty result (and NaN
+    # statistics downstream); clamp so short traces degrade gracefully.
+    N = min(int(N), x.shape[0])
     if not outliers:
         mean = np.mean(x)
         x[x > mean * 10] = 0.0
