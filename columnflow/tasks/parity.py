@@ -48,9 +48,11 @@ class ParityTask(NamedTuple):
 def build_task(cfg: ColumnConfig, key, lr: float = 0.1,
                columns_per_area=(8, 4, 1), n_inputs: int = 4,
                time_steps: int = TIME_STEPS, dt: float = DT,
-               max_steps: int = 3072) -> ParityTask:
+               max_steps: int = 3072,
+               random_fan_in: bool = False) -> ParityTask:
     params, net = build_column_network(
-        cfg, key, columns_per_area=columns_per_area, n_inputs=n_inputs
+        cfg, key, columns_per_area=columns_per_area, n_inputs=n_inputs,
+        random_fan_in=random_fan_in,
     )
     ts = jnp.linspace(0.0, time_steps * dt, time_steps)
     grad_mask = {
@@ -210,15 +212,20 @@ def train_parity(
     plot_dir: str | None = None,
     plot_every: int = 5,
     use_fused: bool = False,
+    random_fan_in: bool = False,
+    fixed_position: bool = True,
 ):
-    """Reference defaults: 6400 samples / batch 4 -> 1600 iterations
-    (scripts/parity_ode.py:286-294)."""
+    """Reference defaults: 6400 samples / batch 4 -> 1600 iterations,
+    fixed-position patterns (scripts/parity_ode.py:286-294).
+    ``fixed_position=False`` trains on all 2^n binary patterns
+    (scripts/parity_ode.py:134-137); ``random_fan_in`` uses the reference's
+    randomized fan-in masks (src/coupled_columns.py:529-575)."""
     cfg = ColumnConfig.load()
     key = jax.random.PRNGKey(seed)
     key, k_build = jax.random.split(key)
     task = build_task(cfg, k_build, columns_per_area=columns_per_area,
                       n_inputs=n_inputs, time_steps=time_steps,
-                      max_steps=max_steps)
+                      max_steps=max_steps, random_fan_in=random_fan_in)
 
     if checkpoint_path:  # pre-training snapshot (scripts/parity_ode.py:210-211)
         from columnflow.train import save_checkpoint
@@ -236,7 +243,8 @@ def train_parity(
     for it in range(nr_samples // batch_size):
         profiler.step(it)
         key, k_batch = jax.random.split(key)
-        stims = make_parity_batch(k_batch, n_inputs, batch_size)
+        stims = make_parity_batch(k_batch, n_inputs, batch_size,
+                                  fixed_position=fixed_position)
         params, opt_state, loss, out, gnorm, ok = step_fn(
             params, opt_state, stims
         )
@@ -262,7 +270,9 @@ def train_parity(
     # Final classification check over the fixed patterns: even-parity
     # patterns must read out above TARGET_EVEN/2 (reference evaluates by
     # eye from the printed losses; this makes it a number).
-    eval_stims = jnp.asarray(parity_combinations(n_inputs))
+    eval_stims = jnp.asarray(
+        parity_combinations(n_inputs, fixed_position=fixed_position)
+    )
     targets = parity_targets(eval_stims)
 
     def evaluate(p):
@@ -295,6 +305,10 @@ def main():
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--smoke", action="store_true")
+    p.add_argument("--random-fan-in", action="store_true",
+                   help="randomized fan-in masks (src/coupled_columns.py:529-575)")
+    p.add_argument("--position-invariant", action="store_true",
+                   help="train on all 2^n patterns, not just fixed-position")
     p.add_argument("--fused", action="store_true",
                    help="shared-controller Pallas fused dopri5 (faster; "
                         "torchdiffeq-batched semantics)")
@@ -308,6 +322,8 @@ def main():
         params, hist = train_parity(
             nr_samples=8, batch_size=4, seed=args.seed, time_steps=200,
             max_steps=1024, use_fused=args.fused,
+            random_fan_in=args.random_fan_in,
+            fixed_position=not args.position_invariant,
             metrics_path=args.metrics_out,
             profile_dir=args.profile_dir,
         )
@@ -315,6 +331,8 @@ def main():
         params, hist = train_parity(
             nr_samples=args.samples, batch_size=args.batch_size,
             seed=args.seed, use_fused=args.fused,
+            random_fan_in=args.random_fan_in,
+            fixed_position=not args.position_invariant,
             metrics_path=args.metrics_out,
             profile_dir=args.profile_dir,
             checkpoint_path=args.checkpoint_out,

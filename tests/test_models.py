@@ -314,3 +314,30 @@ class TestWongWang:
         )
         want = numpy_sim(30.0, 10.0, 600)
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_random_fan_in_network_builds_and_runs():
+    """The reference's randomized fan-in variant (src/coupled_columns.py:
+    529-575): every target column must receive the required source count."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from columnflow.config import ColumnConfig
+    from columnflow.data import parity_stim_table
+    from columnflow.models import Stimulus, build_column_network, network_drift
+
+    cfg = ColumnConfig.load()
+    params, net = build_column_network(
+        cfg, jax.random.PRNGKey(0), columns_per_area=(4, 2, 1), n_inputs=2,
+        random_fan_in=True,
+    )
+    # input fan-in: each first-area column receives >= 1 input unit
+    im = np.asarray(net.input_mask)[: 4 * 8]
+    per_col = im.reshape(4, 8, -1).sum(axis=(1, 2))
+    assert (per_col > 0).all()
+
+    table = parity_stim_table(jnp.asarray([15.0, 0.0]), 50)
+    dy = network_drift(0.01, jnp.zeros(3 * net.num_pops), params, net,
+                       Stimulus(0.0, 1e-3, table))
+    assert bool(jnp.all(jnp.isfinite(dy)))
