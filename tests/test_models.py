@@ -341,3 +341,55 @@ def test_random_fan_in_network_builds_and_runs():
     dy = network_drift(0.01, jnp.zeros(3 * net.num_pops), params, net,
                        Stimulus(0.0, 1e-3, table))
     assert bool(jnp.all(jnp.isfinite(dy)))
+
+
+def test_all_toml_areas_build():
+    """Every cortical area in config/model.toml (v1..fst) must build a
+    valid ColumnArea parameter set (reference supports the same set,
+    config/model.toml [population_size])."""
+    import numpy as np
+
+    from columnflow.config import ColumnConfig
+    from columnflow.models import build_area_params
+
+    cfg = ColumnConfig.load()
+    for area in cfg.population_sizes:
+        ap = build_area_params(cfg, area, 2, small_network=True)
+        assert np.isfinite(ap.recurrent_weights).all(), area
+        assert ap.recurrent_weights.shape == (16, 16), area
+        assert (ap.population_sizes > 0).all(), area
+
+
+def test_stochastic_network_integration():
+    """The reference's commented-in stochastic option for the hierarchical
+    network (scripts/parity_ode.py:234): sdeint and sdeint_adaptive both
+    integrate network drift+diffusion."""
+    import jax
+    import jax.numpy as jnp
+
+    from columnflow.config import ColumnConfig
+    from columnflow.data import parity_stim_table
+    from columnflow.models import Stimulus, build_column_network
+    from columnflow.models.network import network_diffusion, network_drift
+    from columnflow.solvers import sdeint, sdeint_adaptive
+
+    cfg = ColumnConfig.load()
+    params, net = build_column_network(
+        cfg, jax.random.PRNGKey(0), columns_per_area=(2, 1), n_inputs=2
+    )
+    S = 3 * net.num_pops
+    T = 80
+    ts = jnp.linspace(0.0, 0.08, T)
+    table = parity_stim_table(jnp.asarray([15.0, 0.0]), T)
+    stim = Stimulus(0.0, 1e-3, table)
+
+    drift = lambda t, y: network_drift(t, y, params, net, stim)
+    diff = lambda t, y: network_diffusion(t, y, params, net, stim)
+
+    ys = sdeint(drift, diff, jnp.zeros(S), ts, jax.random.PRNGKey(1),
+                method="srk", noise="scalar", additive=True)
+    assert bool(jnp.all(jnp.isfinite(ys))) and ys.shape == (T, S)
+
+    ys_a = sdeint_adaptive(drift, diff, jnp.zeros(S), ts,
+                           jax.random.PRNGKey(2), method="milstein")
+    assert bool(jnp.all(jnp.isfinite(ys_a))) and ys_a.shape == (T, S)
