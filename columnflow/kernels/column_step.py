@@ -11,12 +11,15 @@ rollout (WTA workload: B=15, state 48 -> ~4.5 MB, well under the ~16 MB/core
 VMEM budget).
 
 The fused rollout is differentiable through ``make_wta_rollout_diff``: a
-``jax.custom_vjp`` whose forward AND backward sweeps are each one Pallas
-kernel (the backward replays the SRA1 steps in reverse with a hand-derived
-transposed drift, accumulating the recurrent-weight cotangent on-chip), so
-the whole train step — rollout, loss, backprop — never leaves VMEM for the
-time loop. Parity-tested against the ``lax.scan`` solver path
-(``wta_rollout_reference``) for both values and gradients.
+``jax.custom_vjp`` whose forward AND backward sweeps run as Pallas kernels
+(the backward replays the SRA1 steps in reverse with a hand-derived
+transposed drift, accumulating the recurrent-weight cotangent on-chip).
+Both sweeps split into VMEM-budgeted time chunks with carried state when
+the (batch x trajectory) footprint demands it, so noise-averaged batches
+of hundreds of rollouts train without leaving the fused path.
+Parity-tested against the ``lax.scan`` solver path
+(``wta_rollout_reference``) for values and gradients, and chunked-vs-
+unchunked for exactness.
 """
 
 from __future__ import annotations

@@ -1,22 +1,28 @@
-"""Fused adaptive dopri5: the whole solve is a handful of Pallas TPU kernels.
+"""Fused solvers: whole ODE/SDE solves as a handful of Pallas TPU kernels.
 
-The XLA path (dopri.py) pays per-op dispatch inside its ``while_loop``/
-``scan`` — ~10 us per solver step for small states. Here the adaptive pass,
-the differentiable replay, and the replay's backward sweep each run INSIDE a
-Pallas kernel, with the user's drift function traced directly into the kernel
-body and its reverse-mode derivative obtained by calling ``jax.vjp`` in-kernel
-(Mosaic lowers the transposed ops like any other traced code). Works for any
-pure-jnp drift whose operands fit VMEM — the whole reference model family.
+The XLA paths (dopri.py, sde.py) pay per-op dispatch inside their
+``while_loop``/``scan`` — ~10 us per solver step for small states. Here
+every hot sweep runs INSIDE a Pallas kernel, with the user's drift (and
+diffusion) traced directly into the kernel body and reverse-mode
+derivatives obtained by calling ``jax.vjp`` in-kernel (Mosaic lowers the
+transposed ops like any other traced code). Works for any pure-jnp
+functions whose operands fit VMEM — the whole reference model family.
 
-Semantics are identical to dopri.py: torchdiffeq-default tolerances, one
-shared controller across the batch state (the reference's batched-Hopf
-behavior, scripts/bifurcation_ode.py:210), dense output at the requested
-``ts``, gradients = discrete backprop through the frozen accepted-step
-sequence. Parity-tested against the XLA path for values and gradients.
+- ``odeint_dopri5_fused``: adaptive pass, differentiable replay, and the
+  replay's backward sweep each one kernel. Semantics identical to
+  dopri.py: torchdiffeq-default tolerances, one shared controller across
+  the batch state (the reference's batched-Hopf behavior,
+  scripts/bifurcation_ode.py:210), dense output at the requested ``ts``,
+  gradients = discrete backprop through the frozen accepted-step sequence.
+- ``sdeint_fused``: fixed-grid SRA1/Euler-Maruyama with chunked forward
+  and backward kernels, same Brownian key convention as the scan path.
 
+Both are parity-tested against the XLA paths for values and gradients.
 Stage math is unrolled with Python-float tableau coefficients (Pallas
 kernels cannot capture array constants; unrolling also removes the
-``tensordot`` over stages).
+``tensordot`` over stages). Kernel-visible drifts must avoid 1-D dots,
+tiled reshapes, unequal lane concats, and row-index transposes — see the
+batched drift variants in ``models/``.
 """
 
 from __future__ import annotations
