@@ -301,3 +301,54 @@ def network_drift_batched(t, y, params, net: NetworkStatic, stim: Stimulus,
     da = (-a + jnp.asarray(net.adaptation_strength)[None, :] * fr) / net.tau_adapt
     dr = (-r + fr) / net.tau_syn
     return jnp.concatenate([dv, da, dr], axis=1)
+
+
+def build_network_fused_consts(net: NetworkStatic) -> dict:
+    """Lean kernel constants for the fused solver path: just the arrays the
+    drift reads (passing the full NetworkStatic would haul its (P, P)
+    structural masks into VMEM for nothing)."""
+    return {
+        "bg": np.asarray(net.background_current, np.float32),
+        "adapt": np.asarray(net.adaptation_strength, np.float32),
+        "tau_syn": float(net.tau_syn),
+        "tau_mem": float(net.tau_mem),
+        "tau_adapt": float(net.tau_adapt),
+        "resistance": float(net.resistance),
+    }
+
+
+def premix_network_weights(params: dict, net: NetworkStatic) -> dict:
+    """Combine inner + lateral + feedforward into one effective matrix at
+    the XLA level (differentiable: the lateral/feedforward cotangents flow
+    back through the sum), so the kernel holds ONE (P, P) operand and skips
+    two matrix adds per stage."""
+    return {
+        "w": jnp.asarray(net.inner_weights) + params["lateral"]
+             + params["feedforward"],
+        "iw": params["input_weights"],
+    }
+
+
+def network_drift_premixed(t, y, pw, fc: dict, stim: Stimulus,
+                           interp_fn=interp_at):
+    """``network_drift_batched`` with pre-mixed weights: y (B, 3P),
+    pw from ``premix_network_weights``, fc from
+    ``build_network_fused_consts``, stim table (T, B, n_inputs)."""
+    P = fc["bg"].shape[0]
+    v, a, r = y[:, :P], y[:, P : 2 * P], y[:, 2 * P :]
+    fr = compute_firing_rate(v - a)
+
+    ext = interp_fn(t, stim.t0, stim.dt, stim.table)  # (B, n_inputs)
+
+    hi = jax.lax.Precision.HIGHEST
+    current = (
+        jnp.matmul(fr, pw["w"].T, precision=hi)
+        + jnp.matmul(ext, pw["iw"].T, precision=hi)
+        + fc["bg"][None, :]
+    )
+    total = current * fc["tau_syn"]
+
+    dv = (-v + total * fc["resistance"]) / fc["tau_mem"]
+    da = (-a + fc["adapt"][None, :] * fr) / fc["tau_adapt"]
+    dr = (-r + fr) / fc["tau_syn"]
+    return jnp.concatenate([dv, da, dr], axis=1)

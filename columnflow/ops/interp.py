@@ -75,3 +75,33 @@ def interp_at_onehot(x, t0, dt, fp):
     sel = ((rows == idx).astype(fp.dtype) * (1.0 - frac)
            + (rows == idx + 1).astype(fp.dtype) * frac)
     return jnp.sum(sel * fp, axis=0)
+
+
+def interp_knots(t, knot_ts, knot_vals):
+    """Piecewise-linear interpolation through K static knots — exact for
+    phase-structured stimuli (the WTA/XOR/parity tables are all flat
+    segments joined by one-grid-step ramps).
+
+    ``knot_ts``: K host floats (ascending); ``knot_vals``: (K, ...) values.
+    Telescoped form: vals[0] + sum_k clip((t-t_{k-1})/(t_k-t_{k-1}), 0, 1)
+    * (vals[k] - vals[k-1]) — O(K) adds, no gather, kernel-safe (Mosaic has
+    no dynamic_slice on register values), and ~T/K times less VMEM than a
+    dense (T, ...) table.
+    """
+    out = knot_vals[0]
+    for k in range(1, len(knot_ts)):
+        t0, t1 = float(knot_ts[k - 1]), float(knot_ts[k])
+        frac = jnp.clip((t - t0) / (t1 - t0), 0.0, 1.0)
+        out = out + frac * (knot_vals[k] - knot_vals[k - 1])
+    return out
+
+
+def step_table_knots(time_steps: int, dt: float, off_vals, on_vals):
+    """Knots reproducing ``interp_at`` on a half-off / half-on step table
+    (the prep_stim_ode pattern, scripts/xor_ode.py:75-91,
+    scripts/parity_ode.py:143-153): off until row T//2 - 1, a one-step ramp,
+    then on. Returns (knot_ts (4,), knot_vals (4, ...))."""
+    hl = time_steps // 2
+    knot_ts = (0.0, (hl - 1) * dt, hl * dt, (time_steps - 1) * dt)
+    vals = jnp.stack([off_vals, off_vals, on_vals, on_vals])
+    return knot_ts, vals

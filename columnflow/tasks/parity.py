@@ -87,26 +87,32 @@ def batched_rollout(params, task: ParityTask, stims_raw, method="dopri5",
     state_dim = 3 * task.net.num_pops
 
     if use_fused and method == "dopri5":
-        from columnflow.models.network import network_drift_batched
-        from columnflow.ops.interp import interp_at_onehot
+        from columnflow.models.network import (
+            build_network_fused_consts,
+            network_drift_premixed,
+            premix_network_weights,
+        )
+        from columnflow.ops.interp import interp_knots, step_table_knots
         from columnflow.solvers import odeint_dopri5_fused
 
         dt = task.dt
+        fc = build_network_fused_consts(task.net)
+        # 4-knot piecewise-linear stimulus (exactly the dense step table,
+        # tests/test_fused.py) — a dense (T, B, n) table lane-pads to MBs
+        # of VMEM inside the kernels.
+        kts, kvals = step_table_knots(time_steps, dt,
+                                      jnp.zeros_like(stims_raw), stims_raw)
 
-        def drift(t, y, p, net, tab):
-            return network_drift_batched(
-                t, y, p, net, Stimulus(0.0, dt, tab),
-                interp_fn=interp_at_onehot,
+        def drift(t, y, pw, fc, kv):
+            return network_drift_premixed(
+                t, y, pw, fc, Stimulus(0.0, dt, kv),
+                interp_fn=lambda t_, t0_, dt_, v: interp_knots(t_, kts, v),
             )
 
-        tables = jax.vmap(lambda s: parity_stim_table(s, time_steps))(
-            stims_raw
-        )  # (B, T, n)
-        tables = jnp.transpose(tables, (1, 0, 2))  # time-major (T, B, n)
         y0 = jnp.zeros((stims_raw.shape[0], state_dim))
         ys = odeint_dopri5_fused(
-            drift, y0, task.ts, params, task.net, tables,
-            max_steps=task.max_steps,
+            drift, y0, task.ts, premix_network_weights(params, task.net),
+            fc, kvals, max_steps=task.max_steps,
             nondiff_args=(1, 2),  # anatomy + stimulus are data
         )  # (T, B, 3P)
         return jnp.transpose(ys, (1, 0, 2))

@@ -73,24 +73,29 @@ def batched_rollout(params, task: XORTask, conditions, method="dopri5",
             split_xor_params,
             xor_drift_batched,
         )
-        from columnflow.ops.interp import interp_at_onehot
+        from columnflow.ops.interp import interp_knots, step_table_knots
         from columnflow.solvers import odeint_dopri5_fused
 
         dt = task.dt
         fc = build_xor_fused_consts(task.net)
-
-        def drift(t, y, p, fc, tab):
-            return xor_drift_batched(t, y, p, fc, Stimulus(0.0, dt, tab),
-                                     interp_fn=interp_at_onehot)
-
-        tables = jax.vmap(lambda c: prep_xor_stim(c, time_steps))(conditions)
         B = conditions.shape[0]
-        # time-major, slots flattened: (T, B, 32) (see xor_drift_batched)
-        tables = jnp.transpose(tables, (1, 0, 2, 3)).reshape(
-            time_steps, B, 32)
+        # On-phase stimulus rows (slots flattened to (B, 32), see
+        # xor_drift_batched), as 4 piecewise-linear knots instead of a
+        # dense lane-padded (T, B, 32) table.
+        tables = jax.vmap(lambda c: prep_xor_stim(c, time_steps))(conditions)
+        on_vals = tables[:, -1].reshape(B, 32)
+        kts, kvals = step_table_knots(time_steps, dt,
+                                      jnp.zeros_like(on_vals), on_vals)
+
+        def drift(t, y, p, fc, kv):
+            return xor_drift_batched(
+                t, y, p, fc, Stimulus(0.0, dt, kv),
+                interp_fn=lambda t_, t0_, dt_, v: interp_knots(t_, kts, v),
+            )
+
         y0 = jnp.zeros((conditions.shape[0], XOR_STATE_DIM))
         ys = odeint_dopri5_fused(
-            drift, y0, task.ts, split_xor_params(params), fc, tables,
+            drift, y0, task.ts, split_xor_params(params), fc, kvals,
             max_steps=task.max_steps,
             nondiff_args=(1, 2),  # anatomy + stimulus are data
         )

@@ -214,3 +214,20 @@ class TestFusedSDE:
                             method="srk", interpret=True)
         np.testing.assert_allclose(np.asarray(ys_f), np.asarray(ys_s),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestInterpKnots:
+    def test_exactly_matches_dense_step_table(self):
+        from columnflow.data import parity_stim_table
+        from columnflow.ops.interp import interp_knots, step_table_knots
+
+        T, dt = 100, 1e-3
+        stim = jnp.asarray([15.0, 0.0, 15.0])
+        table = parity_stim_table(stim, T)  # (T, 3)
+        kts, kvals = step_table_knots(T, dt, jnp.zeros(3), stim)
+        for t in [0.0, 0.0123, 0.0485, 0.0489, 0.04931, 0.0495, 0.07, 0.0991]:
+            dense = interp_at(jnp.asarray(t), 0.0, dt, table)
+            knots = interp_knots(jnp.asarray(t), kts, kvals)
+            # fp32 frac rounding differs between formulations mid-ramp
+            np.testing.assert_allclose(np.asarray(knots), np.asarray(dense),
+                                       rtol=1e-4, atol=1e-5)
