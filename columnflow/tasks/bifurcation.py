@@ -45,7 +45,7 @@ def build_task(key, lr: float = 1e-3, time_points: int = TIME_POINTS,
 
 
 def rollout(params, task: HopfTask, y0, mu_table, differentiable=True,
-            use_fused: bool | None = None):
+            use_fused: bool | None = None, adjoint: str = "replay"):
     """Batched integration with one shared adaptive controller:
     y0 (B, 2), mu_table (T, B) -> (T, B, 2).
 
@@ -54,7 +54,8 @@ def rollout(params, task: HopfTask, y0, mu_table, differentiable=True,
     auto-selects it on TPU.
     """
     if use_fused is None:
-        use_fused = jax.default_backend() not in ("cpu",)
+        use_fused = (adjoint == "replay"
+                     and jax.default_backend() not in ("cpu",))
     if use_fused:
         from columnflow.ops.interp import interp_at_onehot
         from columnflow.solvers import odeint_dopri5_fused
@@ -77,11 +78,11 @@ def rollout(params, task: HopfTask, y0, mu_table, differentiable=True,
         lambda t, y, p: hopf_mlp_drift(t, y, p, stim),
         y0, task.ts, params,
         method="dopri5", max_steps=task.max_steps,
-        adjoint="replay" if differentiable else "none",
+        adjoint=adjoint if differentiable else "none",
     )
 
 
-def make_train_step(task: HopfTask):
+def make_train_step(task: HopfTask, adjoint: str = "replay"):
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, true_y):
         """true_y: (T, B, 3) with channels (x, y, mu)."""
@@ -90,7 +91,7 @@ def make_train_step(task: HopfTask):
         mu_table = true_y[:, :, 2]
 
         def loss_fn(p):
-            pred = rollout(p, task, y0, mu_table)
+            pred = rollout(p, task, y0, mu_table, adjoint=adjoint)
             return smooth_l1(pred, target)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -128,6 +129,7 @@ def train_bifurcation(
     checkpoint_path: str | None = None,
     dataset=None,
     plot_dir: str | None = None,
+    adjoint: str = "replay",
 ):
     """Reference defaults: 5000 samples, batch 32 (scripts/bifurcation_ode.py:179-198)."""
     key = jax.random.PRNGKey(seed)
@@ -143,7 +145,7 @@ def train_bifurcation(
     train_ds = ds[:, :nr_samples, :]
     val_ds = ds[:, nr_samples:, :]
 
-    step_fn = make_train_step(task)
+    step_fn = make_train_step(task, adjoint=adjoint)
     val_fn = jax.jit(
         lambda p, true_y: smooth_l1(
             rollout(p, task, true_y[0, :, :2], true_y[:, :, 2],
@@ -203,6 +205,11 @@ def main():
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--smoke", action="store_true")
+    p.add_argument("--adjoint", default="replay",
+                   choices=["replay", "backsolve"],
+                   help="gradient mode: discrete backprop through the frozen"
+                        " step sequence (reference semantics) or continuous"
+                        " adjoint (O(1) memory)")
     p.add_argument("--metrics-out", default=None)
     p.add_argument("--profile-dir", default=None,
                    help="dump a jax.profiler trace of steps 2-4 here")
@@ -212,13 +219,15 @@ def main():
     if args.smoke:
         params, hist = train_bifurcation(
             nr_samples=16, batch_size=8, time_points=100, total_time=2.5,
-            max_steps=512, seed=args.seed, metrics_path=args.metrics_out,
+            max_steps=512, seed=args.seed, adjoint=args.adjoint,
+            metrics_path=args.metrics_out,
             profile_dir=args.profile_dir,
         )
     else:
         params, hist = train_bifurcation(
             nr_samples=args.samples, batch_size=args.batch_size,
-            seed=args.seed, metrics_path=args.metrics_out,
+            seed=args.seed, adjoint=args.adjoint,
+            metrics_path=args.metrics_out,
             profile_dir=args.profile_dir,
             checkpoint_path=args.checkpoint_out,
         )
