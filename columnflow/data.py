@@ -64,15 +64,18 @@ def sample_wta_mus(key, n_samples: int):
 
 
 def make_wta_dataset(key, n_samples: int, time_steps: int, phase_time: float = 5.0,
-                     dt: float = 1e-3, use_native: bool = True):
+                     dt: float = 1e-3, use_native: bool = False):
     """Wong-Wang training dataset: (states (N, T, 2), stims (N, 2)).
 
     Each sample is a three-phase DM simulation, downsampled x10 and truncated
     to ``time_steps`` (reference: scripts/wta_ode.py:56-94). States are raw
     Wong-Wang rates — the caller scales by /20 (scripts/wta_ode.py:103).
 
-    Uses the native C++ generator when available (the reference's host hot
-    loop #0); the JAX scan path is the fallback and the golden test oracle.
+    Default: one vmapped ``lax.scan`` on the accelerator (3,010 samples in
+    ~10 s on one TPU chip). ``use_native=True`` runs the C++ host generator
+    instead (the reference's host hot loop #0; 13x slower single-threaded
+    but device-free — useful when the chip is busy, and the parity oracle
+    for the JAX path).
     """
     from columnflow.models.ww import wong_wang_three_phase
 
