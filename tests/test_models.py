@@ -393,3 +393,61 @@ def test_stochastic_network_integration():
     ys_a = sdeint_adaptive(drift, diff, jnp.zeros(S), ts,
                            jax.random.PRNGKey(2), method="milstein")
     assert bool(jnp.all(jnp.isfinite(ys_a))) and ys_a.shape == (T, S)
+
+
+def test_weight_construction_matches_reference_exactly():
+    """Golden check against the REFERENCE IMPLEMENTATION ITSELF: import the
+    reference's ColumnArea (plain torch/numpy, no solver deps) and compare
+    every constructed weight array bit-for-bit-ish. Skipped when the
+    reference checkout is not present (the framework is standalone)."""
+    import os
+
+    import pytest
+
+    ref_root = "/root/reference"
+    if not os.path.exists(os.path.join(ref_root, "src", "coupled_columns.py")):
+        pytest.skip("reference checkout not available")
+    torch = pytest.importorskip("torch")
+
+    import importlib.util
+    import sys
+    import tomllib
+
+    import numpy as np
+
+    sys.path.insert(0, ref_root)  # the reference imports `src.utils`
+    spec = importlib.util.spec_from_file_location(
+        "ref_cc", os.path.join(ref_root, "src", "coupled_columns.py")
+    )
+    ref_cc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_cc)
+    with open(os.path.join(ref_root, "config", "model.toml"), "rb") as f:
+        ref_params = tomllib.load(f)
+
+    from columnflow.config import ColumnConfig
+    from columnflow.models import build_area_params
+
+    cfg = ColumnConfig.load()
+    for num_columns, small in [(2, True), (1, True), (3, False)]:
+        ref = ref_cc.ColumnArea(ref_params, "mt", num_columns,
+                                small_network=small)
+        ours = build_area_params(cfg, "mt", num_columns, small_network=small)
+        np.testing.assert_allclose(
+            np.asarray(ours.recurrent_weights),
+            ref.recurrent_weights.detach().numpy(), rtol=1e-4,
+            err_msg=f"recurrent ({num_columns}, small={small})",
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours.background_current),
+            (ref.background_weights * ref.background_drive).numpy(),
+            rtol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours.feedforward_weights),
+            ref.feedforward_weights.numpy(), rtol=1e-4,
+        )
+        np.testing.assert_allclose(np.asarray(ours.internal_mask),
+                                   ref.internal_mask.numpy())
+        assert float(ours.resistance) == pytest.approx(
+            float(ref.resistance), rel=1e-6
+        )
