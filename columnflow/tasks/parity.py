@@ -239,6 +239,23 @@ def train_parity(
         save_checkpoint(checkpoint_path + ".pre", params=task.params, step=0)
 
     step_fn = make_train_step(task, use_fused=use_fused)
+
+    # Solver observability (SURVEY.md section 5): adaptive-step statistics
+    # on the current params every stats_every iterations — naccept growth
+    # flags the approaching stiff regime before gradients explode.
+    @jax.jit
+    def solver_stats(params, stim_raw):
+        from columnflow.solvers import odeint_stats
+
+        table = parity_stim_table(stim_raw, time_steps)
+        return odeint_stats(
+            lambda t, y: network_drift(t, y, params, task.net,
+                                       Stimulus(0.0, task.dt, table)),
+            jnp.zeros(3 * task.net.num_pops), task.ts,
+            max_steps=task.max_steps,
+        )
+
+    stats_every = 50
     opt_state = task.optimizer.init(task.params)
     params = task.params
     best = (float("inf"), params)  # the late regime is stiff; keep the best
@@ -254,8 +271,12 @@ def train_parity(
         params, opt_state, loss, out, gnorm, ok = step_fn(
             params, opt_state, stims
         )
-        logger.log(it, loss=loss, grad_norm=gnorm,
-                   update_applied=int(ok))
+        rec = {"loss": loss, "grad_norm": gnorm, "update_applied": int(ok)}
+        if it % stats_every == 0:
+            st = solver_stats(params, stims[0])
+            rec.update(naccept=int(st.naccept), nreject=int(st.nreject),
+                       solver_success=int(st.success))
+        logger.log(it, **rec)
         history.append({"loss": float(loss), "grad_norm": float(gnorm)})
         if float(loss) < best[0]:
             best = (float(loss), jax.tree_util.tree_map(jnp.array, params))
