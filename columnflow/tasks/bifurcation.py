@@ -168,7 +168,7 @@ def train_bifurcation(
         idx = jax.random.permutation(k_perm, n)[:batch_size]
         batch = train_ds[:, idx, :]
         params, opt_state, loss = step_fn(params, opt_state, batch)
-        rec = {"loss": float(loss)}
+        rec = {"loss": float(jax.device_get(loss))}
         if it % test_freq == 0:
             vi = min(ii, val_ds.shape[1] - 1)
             val_true = val_ds[:, vi : vi + 1, :]

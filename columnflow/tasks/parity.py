@@ -149,8 +149,7 @@ def parity_targets(stims_raw, level: float = 15.0):
     return even.astype(jnp.float32) * TARGET_EVEN
 
 
-def make_train_step(task: ParityTask, use_fused: bool = False):
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
+def _step_core(task: ParityTask, use_fused: bool = False):
     def train_step(params, opt_state, stims_raw):
         def loss_fn(p):
             ys = batched_rollout(p, task, stims_raw, use_fused=use_fused)
@@ -184,6 +183,52 @@ def make_train_step(task: ParityTask, use_fused: bool = False):
                 loss, out, gnorm, ok)
 
     return train_step
+
+
+def make_train_step(task: ParityTask, use_fused: bool = False):
+    return jax.jit(_step_core(task, use_fused), donate_argnums=(0, 1))
+
+
+def make_train_scan(task: ParityTask, use_fused: bool = False,
+                    n_inputs: int = 4, batch_size: int = 4,
+                    fixed_position: bool = True):
+    """K training iterations per dispatch: batch generation, rollout,
+    loss, rails, update and best-params tracking all inside one
+    jitted ``lax.scan``. On the TPU tunnel every host round-trip
+    costs ~30 ms - more than the fused train step itself - so
+    per-iteration host loops are dispatch-bound; scanning blocks
+    removes that entirely.
+
+    Returns ``scan_fn(params, opt_state, best, keys (K,)) ->
+    (params, opt_state, best, losses, gnorms, oks)`` where ``best``
+    is a (best_loss, best_params) pair carried across calls.
+    """
+    core = _step_core(task, use_fused)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_scan(params, opt_state, best, keys):
+        def body(carry, key):
+            params, opt_state, (best_loss, best_params) = carry
+            stims = make_parity_batch(key, n_inputs, batch_size,
+                                      fixed_position=fixed_position)
+            params, opt_state, loss, out, gnorm, ok = core(
+                params, opt_state, stims
+            )
+            improved = loss < best_loss
+            best_loss = jnp.where(improved, loss, best_loss)
+            best_params = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(improved, new, old),
+                params, best_params,
+            )
+            return ((params, opt_state, (best_loss, best_params)),
+                    (loss, gnorm, ok))
+
+        (params, opt_state, best), (losses, gnorms, oks) = jax.lax.scan(
+            body, (params, opt_state, best), keys
+        )
+        return params, opt_state, best, losses, gnorms, oks
+
+    return train_scan
 
 
 def make_dp_train_step(task: ParityTask, mesh, use_fused: bool = False):
@@ -238,11 +283,13 @@ def train_parity(
 
         save_checkpoint(checkpoint_path + ".pre", params=task.params, step=0)
 
-    step_fn = make_train_step(task, use_fused=use_fused)
+    scan_fn = make_train_scan(task, use_fused=use_fused,
+                              n_inputs=n_inputs, batch_size=batch_size,
+                              fixed_position=fixed_position)
 
     # Solver observability (SURVEY.md section 5): adaptive-step statistics
-    # on the current params every stats_every iterations — naccept growth
-    # flags the approaching stiff regime before gradients explode.
+    # every stats_every iterations - naccept growth flags the approaching
+    # stiff regime before gradients explode.
     @jax.jit
     def solver_stats(params, stim_raw):
         from columnflow.solvers import odeint_stats
@@ -258,41 +305,65 @@ def train_parity(
     stats_every = 50
     opt_state = task.optimizer.init(task.params)
     params = task.params
-    best = (float("inf"), params)  # the late regime is stiff; keep the best
+    # Best-loss tracking lives on-device inside the scan (the late regime
+    # is stiff; keep the best).
+    best = (jnp.asarray(jnp.inf, jnp.float32),
+            jax.tree_util.tree_map(jnp.array, params))
     logger = MetricsLogger(metrics_path)
     profiler = StepProfiler(profile_dir)
     history = []
 
-    for it in range(nr_samples // batch_size):
-        profiler.step(it)
-        key, k_batch = jax.random.split(key)
-        stims = make_parity_batch(k_batch, n_inputs, batch_size,
-                                  fixed_position=fixed_position)
-        params, opt_state, loss, out, gnorm, ok = step_fn(
-            params, opt_state, stims
+    # Blocked dispatch: every host round-trip on the TPU tunnel costs
+    # ~30 ms (more than the fused train step), so `block` iterations run
+    # as one jitted scan per dispatch, with one bulk metrics transfer.
+    n_iters = nr_samples // batch_size
+    # Block size = the finest host-side cadence actually requested.
+    block = max(1, min(
+        checkpoint_every if checkpoint_path else 25,
+        plot_every if plot_dir else 25,
+    ))
+    for it0 in range(0, n_iters, block):
+        profiler.step(it0)
+        k = block if it0 + block <= n_iters else n_iters - it0
+        key, k_keys = jax.random.split(key)
+        keys = jax.random.split(k_keys, k)
+        params, opt_state, best, losses, gnorms, oks = scan_fn(
+            params, opt_state, best, keys
         )
-        rec = {"loss": loss, "grad_norm": gnorm, "update_applied": int(ok)}
-        if it % stats_every == 0:
-            st = solver_stats(params, stims[0])
-            rec.update(naccept=int(st.naccept), nreject=int(st.nreject),
-                       solver_success=int(st.success))
-        logger.log(it, **rec)
-        history.append({"loss": float(loss), "grad_norm": float(gnorm)})
-        if float(loss) < best[0]:
-            best = (float(loss), jax.tree_util.tree_map(jnp.array, params))
-        if not bool(ok):
-            print(f"WARNING: skipped update at iter {it} "
-                  f"(non-finite or exploding gradients, norm {float(gnorm):.3g})")
-        if checkpoint_path and it % checkpoint_every == 0:
+        if it0 % stats_every < block:
+            st = solver_stats(
+                params, jnp.full((n_inputs,), 15.0, jnp.float32)
+            )
+            losses, gnorms, oks, st = jax.device_get(
+                (losses, gnorms, oks, st)
+            )
+        else:
+            st = None
+            losses, gnorms, oks = jax.device_get((losses, gnorms, oks))
+        for j in range(k):
+            it = it0 + j
+            rec = {"loss": float(losses[j]), "grad_norm": float(gnorms[j]),
+                   "update_applied": int(oks[j])}
+            if st is not None and j == 0:
+                rec.update(naccept=int(st.naccept), nreject=int(st.nreject),
+                           solver_success=int(st.success))
+            logger.log(it, **rec)
+            history.append({"loss": float(losses[j]),
+                            "grad_norm": float(gnorms[j])})
+            if not bool(oks[j]):
+                print(f"WARNING: skipped update at iter {it} "
+                      f"(non-finite or exploding gradients, "
+                      f"norm {float(gnorms[j]):.3g})")
+        if checkpoint_path:
             from columnflow.train import save_checkpoint
 
             save_checkpoint(checkpoint_path, params=params,
-                            opt_state=opt_state, key=key, step=it)
-        if plot_dir and it % plot_every == 0:
+                            opt_state=opt_state, key=key, step=it0)
+        if plot_dir and it0 % plot_every < block:
             # Weight-group heatmaps (reference: scripts/parity_ode.py:87-114).
             from columnflow.analysis.plots import plot_weight_matrices
 
-            plot_weight_matrices(params, f"{plot_dir}/parity_{it:04d}")
+            plot_weight_matrices(params, f"{plot_dir}/parity_{it0:04d}")
 
     # Final classification check over the fixed patterns: even-parity
     # patterns must read out above TARGET_EVEN/2 (reference evaluates by
@@ -309,11 +380,13 @@ def train_parity(
         return float(jnp.mean((out > TARGET_EVEN / 2) == (targets > 0))), out
 
     acc, out = evaluate(params)
+    best_loss = float(jax.device_get(best[0]))
     best_acc, _ = evaluate(best[1])
     print(f"final parity accuracy over {eval_stims.shape[0]} patterns: "
           f"{acc:.2f} (readouts {np.asarray(out).round(2).tolist()}); "
-          f"best-loss params (loss {best[0]:.3f}): acc {best_acc:.2f}")
-    history.append({"acc": acc, "best_acc": best_acc, "best_loss": best[0]})
+          f"best-loss params (loss {best_loss:.3f}): acc {best_acc:.2f}")
+    history.append({"acc": acc, "best_acc": best_acc,
+                    "best_loss": best_loss})
     if checkpoint_path:
         from columnflow.train import save_checkpoint
 

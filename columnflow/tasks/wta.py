@@ -250,8 +250,12 @@ def train_wta(
             params, true_states=states[idx[-1:]], stims=stims[idx[-1:]],
             keys=jax.random.split(k_val, 1),
         )
+        # single host sync for all logged scalars (tunnel round-trips are
+        # ~30 ms each)
+        loss, val_loss, gnorm = map(float,
+                                    jax.device_get((loss, val_loss, gnorm)))
         logger.log(it, loss=loss, val_loss=val_loss, grad_norm=gnorm)
-        history.append({"loss": float(loss), "val_loss": float(val_loss)})
+        history.append({"loss": loss, "val_loss": val_loss})
 
         if plot_dir and it % plot_every == 0:
             # Per-iteration training figure (reference: scripts/wta_ode.py

@@ -203,7 +203,8 @@ def train_xor(
         conds = conds_all[jax.random.permutation(k_shuf, 4)]
         params, opt_state, loss = step_fn(params, opt_state, conds)
         final_c, test_loss = eval_fn(params, conds_all)
-        # Accuracy: does min-max classification rank the conditions right?
+        # single host sync for all logged values
+        loss, final_c, test_loss = jax.device_get((loss, final_c, test_loss))
         out = np.asarray(final_c)
         acc = float(np.mean((out > (out.min() + out.max()) / 2)
                             == np.asarray([True, True, False, False])))

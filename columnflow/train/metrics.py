@@ -25,6 +25,12 @@ class MetricsLogger:
 
     def log(self, step: int, **metrics):
         rec = {"step": int(step), "wall_time": time.time() - self._t0}
+        # One host transfer for all device values: each separate float()
+        # of a device array costs a full device->host round-trip (~30 ms
+        # over the TPU tunnel), which would dwarf a ~30 ms train step.
+        import jax
+
+        metrics = jax.device_get(metrics)
         for k, v in metrics.items():
             try:
                 rec[k] = float(v)
