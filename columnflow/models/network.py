@@ -19,6 +19,7 @@ columns; columns ordered area-major.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Sequence
 
 import jax
@@ -321,18 +322,61 @@ def premix_network_weights(params: dict, net: NetworkStatic) -> dict:
     """Combine inner + lateral + feedforward into one effective matrix at
     the XLA level (differentiable: the lateral/feedforward cotangents flow
     back through the sum), so the kernel holds ONE (P, P) operand and skips
-    two matrix adds per stage."""
+    two matrix adds per stage. Stored pre-TRANSPOSED: the drift right-
+    multiplies by W^T, and transposing outside the kernel keeps Mosaic from
+    materializing a second (P, P) copy in VMEM (2.8 MB at 832 pops)."""
     return {
-        "w": jnp.asarray(net.inner_weights) + params["lateral"]
-             + params["feedforward"],
-        "iw": params["input_weights"],
+        "wT": (jnp.asarray(net.inner_weights) + params["lateral"]
+               + params["feedforward"]).T,
+        "iwT": params["input_weights"].T,
     }
+
+
+def split_f32(w):
+    """3-term bf16 decomposition of an f32 array: w ≈ hi + mid + lo to f32
+    rounding (each bf16 term holds ~8 mantissa bits). Used to run
+    f32-accurate matmuls as six native bf16 MXU passes — the same scheme
+    XLA's f32 ``HIGHEST`` emulation uses — with the decomposition hoisted
+    OUT of the solver's stage loop via the fused solvers' ``prepare`` hook:
+    leaving it to the compiler allocates per-stage decomposition buffers,
+    which OOMs the 16 MB VMEM at large pop counts (832² f32 = 2.8 MB ×
+    ~6 RK stages)."""
+    f32 = jnp.float32
+    w_hi = w.astype(jnp.bfloat16)
+    r = w - w_hi.astype(f32)
+    w_mid = r.astype(jnp.bfloat16)
+    w_lo = (r - w_mid.astype(f32)).astype(jnp.bfloat16)
+    return w_hi, w_mid, w_lo
+
+
+def matmul_split(x, w_hi, w_mid, w_lo):
+    """f32-accurate x @ W from a pre-split W (see ``split_f32``): six bf16
+    passes keeping every product term down to ~2^-24 relative."""
+    f32 = jnp.float32
+    x_hi = x.astype(jnp.bfloat16)
+    r = x - x_hi.astype(f32)
+    x_mid = r.astype(jnp.bfloat16)
+    x_lo = (r - x_mid.astype(f32)).astype(jnp.bfloat16)
+    mm = functools.partial(jnp.matmul, preferred_element_type=f32)
+    return (mm(x_hi, w_lo) + mm(x_mid, w_mid) + mm(x_lo, w_hi)
+            + mm(x_hi, w_mid) + mm(x_mid, w_hi)
+            + mm(x_hi, w_hi))
+
+
+def prepare_premixed_split(pw, fc, *rest):
+    """``prepare`` hook for the fused solvers: split the premixed recurrent
+    matrix once per kernel invocation (args layout of the parity fused
+    path: (pw, fc, stim-values...))."""
+    hi, mid, lo = split_f32(pw["wT"])
+    return ({"wT_hi": hi, "wT_mid": mid, "wT_lo": lo,
+             "iwT": pw["iwT"]}, fc) + rest
 
 
 def network_drift_premixed(t, y, pw, fc: dict, stim: Stimulus,
                            interp_fn=interp_at):
     """``network_drift_batched`` with pre-mixed weights: y (B, 3P),
-    pw from ``premix_network_weights``, fc from
+    pw from ``premix_network_weights`` (optionally passed through
+    ``prepare_premixed_split``), fc from
     ``build_network_fused_consts``, stim table (T, B, n_inputs)."""
     P = fc["bg"].shape[0]
     v, a, r = y[:, :P], y[:, P : 2 * P], y[:, 2 * P :]
@@ -341,9 +385,14 @@ def network_drift_premixed(t, y, pw, fc: dict, stim: Stimulus,
     ext = interp_fn(t, stim.t0, stim.dt, stim.table)  # (B, n_inputs)
 
     hi = jax.lax.Precision.HIGHEST
+    if "wT_hi" in pw:
+        rec = matmul_split(fr, pw["wT_hi"], pw["wT_mid"],
+                           pw["wT_lo"])
+    else:
+        rec = jnp.matmul(fr, pw["wT"], precision=hi)
     current = (
-        jnp.matmul(fr, pw["w"].T, precision=hi)
-        + jnp.matmul(ext, pw["iw"].T, precision=hi)
+        rec
+        + jnp.matmul(ext, pw["iwT"], precision=hi)
         + fc["bg"][None, :]
     )
     total = current * fc["tau_syn"]

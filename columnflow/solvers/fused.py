@@ -133,12 +133,12 @@ def _step_with_coeffs(func, t0, h, y, args):
 # ---------------------------------------------------------------------------
 
 
-def _make_adaptive_kernel(func, n_args, t_start, t_end, rtol, atol, dt0,
-                          max_steps):
+def _make_adaptive_kernel(func, prep, n_args, t_start, t_end, rtol, atol,
+                          dt0, max_steps):
     def kernel(y0_ref, *refs):
         arg_refs = refs[:n_args]
         st_ref, stats_ref = refs[n_args], refs[n_args + 1]
-        args = tuple(r[:] for r in arg_refs)
+        args = prep(tuple(r[:] for r in arg_refs))
         y0 = y0_ref[:]
 
         f0 = func(t_start, y0, *args)
@@ -189,7 +189,7 @@ def _make_adaptive_kernel(func, n_args, t_start, t_end, rtol, atol, dt0,
     return kernel
 
 
-def _make_replay_chunk_kernel(func, n_args, chunk):
+def _make_replay_chunk_kernel(func, prep, n_args, chunk):
     """Forward replay over one chunk of the step sequence.
 
     Inputs: st (chunk+1,) step times, y_in (state), arg refs.
@@ -200,7 +200,7 @@ def _make_replay_chunk_kernel(func, n_args, chunk):
     def kernel(st_ref, y_ref, *refs):
         arg_refs = refs[:n_args]
         yout_ref, ys_ref, co_ref = refs[n_args:]
-        args = tuple(r[:] for r in arg_refs)
+        args = prep(tuple(r[:] for r in arg_refs))
 
         def body(k, y):
             t0 = st_ref[k]
@@ -216,7 +216,8 @@ def _make_replay_chunk_kernel(func, n_args, chunk):
     return kernel
 
 
-def _make_bwd_chunk_kernel(func, n_args, chunk, diff_idx):
+def _make_bwd_chunk_kernel(func, prep, n_args, chunk, diff_idx,
+                          emit_steps=False):
     """Reverse sweep over one chunk: VJP of the replay steps via in-kernel
     ``jax.vjp`` of the full 6-stage step (drift included).
 
@@ -225,16 +226,32 @@ def _make_bwd_chunk_kernel(func, n_args, chunk, diff_idx):
     per-stage cotangent temporaries (lane-padded small-trailing-dim tables
     would otherwise blow the VMEM budget 30x).
 
+    ``emit_steps=True`` is the large-model variant (``arg_grads="outer"``):
+    the kernel differentiates wrt the state only (pass ``diff_idx=()``) and
+    additionally writes, per step, the cotangent entering from later steps
+    (the cotangent on the step's OUTPUT state) so arg gradients can be
+    recovered outside the kernel as step-batched VJPs — the per-stage arg
+    cotangent temporaries never touch VMEM.
+
     Inputs: st (chunk+1,), ys_steps (chunk,)+S, coeffs_bar (chunk, 5)+S,
     ybar_in (S cotangent entering from the later chunk), arg refs.
-    Outputs: ybar_out (S), cotangent accumulators for the diff args.
+    Outputs: ybar_out (S), [ybar_steps (chunk,)+S if emit_steps],
+    cotangent accumulators for the diff args.
     """
 
     def kernel(st_ref, ys_ref, cobar_ref, ybar_ref, *refs):
         arg_refs = refs[:n_args]
         ybarout_ref = refs[n_args]
-        abar_refs = refs[n_args + 1:]
-        args = tuple(r[:] for r in arg_refs)
+        rest = refs[n_args + 1:]
+        if emit_steps:
+            ybarsteps_ref, abar_refs = rest[0], rest[1:]
+        else:
+            abar_refs = rest
+        raw = tuple(r[:] for r in arg_refs)
+        # emit mode differentiates wrt the state only, so ``prep`` can be
+        # hoisted out of the loop; kernel mode needs it inside the vjp so
+        # arg cotangents chain through the prepare transform.
+        pargs = prep(raw) if emit_steps else None
 
         abar0 = tuple(jnp.zeros(r.shape, r.dtype) for r in abar_refs)
 
@@ -244,14 +261,18 @@ def _make_bwd_chunk_kernel(func, n_args, chunk, diff_idx):
             t0 = st_ref[k]
             h = st_ref[k + 1] - t0
             y = ys_ref[k]
+            if emit_steps:
+                ybarsteps_ref[k] = ybar
 
             def stepfn(y, *diff_vals):
-                full = list(args)
+                if emit_steps:
+                    return _step_with_coeffs(func, t0, h, y, pargs)
+                full = list(raw)
                 for i, v in zip(diff_idx, diff_vals):
                     full[i] = v
-                return _step_with_coeffs(func, t0, h, y, tuple(full))
+                return _step_with_coeffs(func, t0, h, y, prep(tuple(full)))
 
-            _, vjp = jax.vjp(stepfn, y, *(args[i] for i in diff_idx))
+            _, vjp = jax.vjp(stepfn, y, *(raw[i] for i in diff_idx))
             grads = vjp((ybar, cobar_ref[k]))
             ybar_new = grads[0]
             abars_new = tuple(a + g for a, g in zip(abars, grads[1:]))
@@ -272,7 +293,7 @@ def _make_bwd_chunk_kernel(func, n_args, chunk, diff_idx):
 _VMEM = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
 
 
-def _flatten_for_kernel(user_func, args, nondiff_args):
+def _flatten_for_kernel(user_func, args, nondiff_args, prepare=None):
     """Flatten pytree ``args`` into kernel-ready array operands.
 
     args may be arbitrary pytrees (a params dict, a model-constants
@@ -282,9 +303,17 @@ def _flatten_for_kernel(user_func, args, nondiff_args):
     but rejects captured array constants, so every array leaf becomes a
     kernel input; 0-d array leaves ride along as (1,) inputs.
 
-    Returns (wrapped_func(t, y, *dyn_leaves), dyn_leaf_tuple, diff_idx)
-    where diff_idx indexes the dyn leaves belonging to differentiable
-    original args (ownership is positional in tree_flatten order).
+    ``prepare``, if given, maps the original user args to the tuple of args
+    the drift actually consumes (``func(t, y, *prepare(*args))``). Kernels
+    run it ONCE per invocation, outside their step loops — the place to
+    hoist loop-invariant transforms of the args (e.g. bf16 hi/lo weight
+    splits) that would otherwise be rematerialized every stage. Gradients
+    still target the ORIGINAL args; autodiff chains through ``prepare``.
+
+    Returns (call(t, y, *prepared), prep(dyn_leaf_tuple)->prepared,
+    dyn_leaf_tuple, diff_idx) where diff_idx indexes the dyn leaves
+    belonging to differentiable original args (ownership is positional in
+    tree_flatten order).
     """
     nondiff = set(nondiff_args)
     flat_args, args_treedef = jax.tree_util.tree_flatten(args)
@@ -304,7 +333,7 @@ def _flatten_for_kernel(user_func, args, nondiff_args):
     dyn_shapes = [jnp.ndim(l) == 0
                   for l, st in zip(flat_args, is_static) if not st]
 
-    def wrapped(t, y, *dyn_leaves):
+    def prep(dyn_leaves):
         leaves, it = [], iter(zip(dyn_leaves, dyn_shapes))
         for leaf, st in zip(flat_args, is_static):
             if st:
@@ -312,10 +341,13 @@ def _flatten_for_kernel(user_func, args, nondiff_args):
             else:
                 a, was_scalar = next(it)
                 leaves.append(a[0] if was_scalar else a)
-        return user_func(t, y,
-                         *jax.tree_util.tree_unflatten(args_treedef, leaves))
+        args_u = jax.tree_util.tree_unflatten(args_treedef, leaves)
+        return tuple(prepare(*args_u)) if prepare is not None else tuple(args_u)
 
-    return wrapped, tuple(dyn_in), diff_idx
+    def call(t, y, *prepared):
+        return user_func(t, y, *prepared)
+
+    return call, prep, tuple(dyn_in), diff_idx
 
 
 def odeint_dopri5_fused(
@@ -329,6 +361,8 @@ def odeint_dopri5_fused(
     max_steps: int = 2048,
     chunk: int | None = None,
     nondiff_args: tuple = (),
+    arg_grads: str = "auto",
+    prepare: Callable | None = None,
     interpret: bool = False,
 ):
     """Adaptive dopri5 with every hot loop inside a Pallas kernel.
@@ -344,6 +378,28 @@ def odeint_dopri5_fused(
     rounded up to a multiple); ``None`` sizes it so the per-chunk blocks
     (~6x state per step forward, ~11x with the backward cotangents) stay
     well under the VMEM budget.
+
+    ``arg_grads`` picks where gradients wrt ``args`` are computed:
+
+    - ``"kernel"``: inside the backward Pallas kernel via in-kernel
+      ``jax.vjp`` of the whole step (best for small params — no extra
+      memory traffic, one kernel does everything);
+    - ``"outer"``: the backward kernel sweeps only the state cotangent and
+      emits it per step; arg gradients are then recovered OUTSIDE the
+      kernel as step-batched VJPs (big MXU matmuls streaming from HBM).
+      Removes the in-kernel per-stage arg-cotangent temporaries entirely —
+      required for large models whose weight matrices would blow VMEM
+      (the ~6 RK stages each materialize a full arg-sized cotangent);
+    - ``"auto"``: "outer" when the differentiable args exceed ~1 MB.
+
+    ``prepare(*args) -> new_args_tuple``, if given, is run ONCE per kernel
+    invocation (outside the step loops) and the drift is called on its
+    result: ``func(t, y, *prepare(*args))``. Use it to hoist loop-invariant
+    arg transforms — e.g. bf16 hi/lo weight splits for f32-accurate bf16
+    matmuls — that would otherwise be rematerialized every RK stage (or, for
+    f32 ``HIGHEST`` matmuls, allocated as per-stage decomposition buffers by
+    the compiler, which OOMs VMEM for large weight matrices). Gradients
+    still flow to the ORIGINAL args, chained through ``prepare``.
     """
     # ts must be concrete (the integration span is baked into the kernels);
     # np.asarray fails loudly on a traced ts.
@@ -352,23 +408,36 @@ def odeint_dopri5_fused(
     if not jnp.issubdtype(y0.dtype, jnp.inexact):
         y0 = y0.astype(jnp.float32)
     ts = jnp.asarray(ts_host, y0.dtype)
-    func, args, diff_idx = _flatten_for_kernel(func, args, nondiff_args)
+    func, prep, args, diff_idx = _flatten_for_kernel(func, args,
+                                                      nondiff_args, prepare)
     n_args = len(args)
     t_start = float(ts_host[0])
     t_end = float(ts_host[-1])
     if chunk is None:
         # Per chunk step: ys (1x) + coeffs (5x) fwd; bwd adds coeffs_bar (5x)
         # plus per-step vjp temporaries. Budget ~2 MB for the 11x blocks.
+        # Floor of 4 (not 16): at very large states (e.g. 832-pop parity,
+        # 40 KB per batched state) a 16-step chunk's coeffs block alone is
+        # 3.2 MB and the replay kernel blows the 16 MB VMEM budget.
         state_bytes = 4 * int(np.prod(y0.shape))
-        chunk = int(max(16, min(256, (2 << 20) // (11 * state_bytes))))
+        chunk = int(max(4, min(256, (2 << 20) // (11 * state_bytes))))
     n_chunks = -(-max_steps // chunk)
     max_steps = n_chunks * chunk
     S = y0.shape
 
+    if arg_grads not in ("auto", "kernel", "outer"):
+        raise ValueError(f"unknown arg_grads mode: {arg_grads!r}")
+    if arg_grads == "auto":
+        diff_bytes = sum(args[i].dtype.itemsize * int(np.prod(args[i].shape))
+                         for i in diff_idx)
+        arg_grads = "outer" if diff_bytes > (1 << 20) else "kernel"
+    if not diff_idx:
+        arg_grads = "kernel"  # nothing to lift out of the kernel
+
     # --- adaptive pass (defines the frozen step sequence; no gradients) ---
     adaptive = pl.pallas_call(
-        _make_adaptive_kernel(func, n_args, t_start, t_end, rtol, atol, dt0,
-                              max_steps),
+        _make_adaptive_kernel(func, prep, n_args, t_start, t_end, rtol,
+                              atol, dt0, max_steps),
         out_shape=(jax.ShapeDtypeStruct((max_steps + 1,), y0.dtype),
                    jax.ShapeDtypeStruct((3,), jnp.int32)),
         in_specs=[_VMEM()] * (1 + n_args),
@@ -382,7 +451,7 @@ def odeint_dopri5_fused(
     naccept = jax.lax.stop_gradient(stats[0])
 
     replay_call = pl.pallas_call(
-        _make_replay_chunk_kernel(func, n_args, chunk),
+        _make_replay_chunk_kernel(func, prep, n_args, chunk),
         out_shape=(jax.ShapeDtypeStruct(S, y0.dtype),
                    jax.ShapeDtypeStruct((chunk,) + S, y0.dtype),
                    jax.ShapeDtypeStruct((chunk, 5) + S, y0.dtype)),
@@ -391,16 +460,69 @@ def odeint_dopri5_fused(
         out_specs=(_VMEM(),) * 3,
         interpret=interpret,
     )
-    bwd_call = pl.pallas_call(
-        _make_bwd_chunk_kernel(func, n_args, chunk, diff_idx),
-        out_shape=((jax.ShapeDtypeStruct(S, y0.dtype),)
-                   + tuple(jax.ShapeDtypeStruct(args[i].shape, args[i].dtype)
-                           for i in diff_idx)),
-        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
-                  + [_VMEM()] * (3 + n_args)),
-        out_specs=(_VMEM(),) * (1 + len(diff_idx)),
-        interpret=interpret,
-    )
+    if arg_grads == "outer":
+        # State-only backward sweep; per-step output cotangents are emitted
+        # so arg gradients can be recovered outside the kernel.
+        bwd_call = pl.pallas_call(
+            _make_bwd_chunk_kernel(func, prep, n_args, chunk, (),
+                                   emit_steps=True),
+            out_shape=(jax.ShapeDtypeStruct(S, y0.dtype),
+                       jax.ShapeDtypeStruct((chunk,) + S, y0.dtype)),
+            in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                      + [_VMEM()] * (3 + n_args)),
+            out_specs=(_VMEM(), _VMEM()),
+            interpret=interpret,
+        )
+    else:
+        bwd_call = pl.pallas_call(
+            _make_bwd_chunk_kernel(func, prep, n_args, chunk, diff_idx),
+            out_shape=((jax.ShapeDtypeStruct(S, y0.dtype),)
+                       + tuple(jax.ShapeDtypeStruct(args[i].shape,
+                                                    args[i].dtype)
+                               for i in diff_idx)),
+            in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                      + [_VMEM()] * (3 + n_args)),
+            out_specs=(_VMEM(),) * (1 + len(diff_idx)),
+            interpret=interpret,
+        )
+
+    def _outer_arg_grads(ys_flat, ybar_steps, cobar_flat, args):
+        """Arg gradients as step-batched VJPs in XLA (MXU-friendly).
+
+        For each accepted step k: args cotangent += vjp of the replay step
+        at (y_k, t_k, h_k) evaluated on (ybar on y_{k+1} from later steps,
+        cobar on the step's dense coefficients) — exactly the pair the
+        in-kernel path feeds its vjp, so gradients match up to fp
+        reassociation. Padded steps (k >= naccept) have h = 0 and zero
+        cotangents, contributing exact zeros. Blocked `scan` of `vmap`
+        bounds the temporary (block, *arg) cotangent stacks.
+        """
+        st0 = step_times[:max_steps]
+        st1 = step_times[1:max_steps + 1]
+
+        def one(st0k, st1k, yk, ybark, cobark):
+            def stepfn(*diff_vals):
+                full = list(args)
+                for i, v in zip(diff_idx, diff_vals):
+                    full[i] = v
+                return _step_with_coeffs(func, st0k, st1k - st0k, yk,
+                                         prep(tuple(full)))
+
+            _, vjp = jax.vjp(stepfn, *(args[i] for i in diff_idx))
+            return vjp((ybark, cobark))
+
+        def blk(acc, b):
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, b * chunk, chunk)
+            g = jax.vmap(one)(sl(st0), sl(st1), sl(ys_flat), sl(ybar_steps),
+                              sl(cobar_flat))
+            acc = jax.tree_util.tree_map(lambda a, gg: a + jnp.sum(gg, 0),
+                                         acc, g)
+            return acc, None
+
+        init = tuple(jnp.zeros(args[i].shape, args[i].dtype)
+                     for i in diff_idx)
+        acc, _ = jax.lax.scan(blk, init, jnp.arange(n_chunks))
+        return acc
 
     @jax.custom_vjp
     def replay(y0, *args):
@@ -426,6 +548,32 @@ def odeint_dopri5_fused(
 
     def replay_bwd(res, coeffs_bar):
         ys_steps, args = res
+
+        if arg_grads == "outer":
+            ys_c = ys_steps.reshape((n_chunks, chunk) + S)
+            cobar_c = coeffs_bar.reshape((n_chunks, chunk, 5) + S)
+
+            def body_outer(ybar, c):
+                ci = n_chunks - 1 - c
+                st_c = jax.lax.dynamic_slice(step_times, (ci * chunk,),
+                                             (chunk + 1,))
+                ybar_new, ybar_steps_c = bwd_call(st_c, ys_c[ci], cobar_c[ci],
+                                                  ybar, *args)
+                return ybar_new, ybar_steps_c
+
+            ybar, ybar_steps_rev = jax.lax.scan(
+                body_outer, jnp.zeros(S, y0.dtype), jnp.arange(n_chunks)
+            )  # chunks stacked in reverse order
+            ybar_steps = ybar_steps_rev[::-1].reshape((max_steps,) + S)
+            abars = _outer_arg_grads(
+                ys_steps.reshape((max_steps,) + S), ybar_steps,
+                coeffs_bar.reshape((max_steps, 5) + S), args,
+            )
+            full = [jnp.zeros(a.shape, a.dtype) for a in args]
+            for i, g in zip(diff_idx, abars):
+                full[i] = g
+            return (ybar,) + tuple(full)
+
         ys_steps = ys_steps.reshape((n_chunks, chunk) + S)
         coeffs_bar = coeffs_bar.reshape((n_chunks, chunk, 5) + S)
 
@@ -471,8 +619,8 @@ def odeint_dopri5_fused(
 # ---------------------------------------------------------------------------
 
 
-def _make_sde_chunk_kernel(drift, diffusion, n_args, chunk, h, t_base,
-                           method):
+def _make_sde_chunk_kernel(drift, diffusion, prep, n_args, chunk, h,
+                           t_base, method):
     """Forward SDE chunk: fixed-grid steps with everything VMEM-resident.
 
     Inputs: offs (SMEM (1,) i32 global step offset), y_in (S), i1/i10 chunk
@@ -497,7 +645,7 @@ def _make_sde_chunk_kernel(drift, diffusion, n_args, chunk, h, t_base,
     def kernel(off_ref, y_ref, i1_ref, i10_ref, *refs):
         arg_refs = refs[:n_args]
         yout_ref, ys_ref = refs[n_args:]
-        args = tuple(r[:] for r in arg_refs)
+        args = prep(tuple(r[:] for r in arg_refs))
         t_off = off_ref[0].astype(jnp.float32) * h + t_base
 
         def body(k, y):
@@ -511,7 +659,8 @@ def _make_sde_chunk_kernel(drift, diffusion, n_args, chunk, h, t_base,
     return kernel, step
 
 
-def _make_sde_bwd_chunk_kernel(step, n_args, chunk, h, t_base, diff_idx):
+def _make_sde_bwd_chunk_kernel(step, prep, n_args, chunk, h, t_base,
+                               diff_idx):
     """Reverse SDE chunk: in-kernel ``jax.vjp`` of the step.
 
     Inputs: offs (SMEM (1,)), ys_prev (chunk,)+S (states BEFORE each step),
@@ -524,7 +673,7 @@ def _make_sde_bwd_chunk_kernel(step, n_args, chunk, h, t_base, diff_idx):
         arg_refs = refs[:n_args]
         ybarout_ref = refs[n_args]
         abar_refs = refs[n_args + 1:]
-        args = tuple(r[:] for r in arg_refs)
+        raw = tuple(r[:] for r in arg_refs)
         t_off = off_ref[0].astype(jnp.float32) * h + t_base
 
         abar0 = tuple(jnp.zeros(r.shape, r.dtype) for r in abar_refs)
@@ -538,12 +687,12 @@ def _make_sde_bwd_chunk_kernel(step, n_args, chunk, h, t_base, diff_idx):
             i10 = i10_ref[k]
 
             def stepfn(y, *diff_vals):
-                full = list(args)
+                full = list(raw)
                 for i, v in zip(diff_idx, diff_vals):
                     full[i] = v
-                return step(t0, y, i1, i10, tuple(full))
+                return step(t0, y, i1, i10, prep(tuple(full)))
 
-            _, vjp = jax.vjp(stepfn, y, *(args[i] for i in diff_idx))
+            _, vjp = jax.vjp(stepfn, y, *(raw[i] for i in diff_idx))
             grads = vjp(ybar + ysbar_ref[k])
             abars = tuple(a + g for a, g in zip(abars, grads[1:]))
             return (grads[0], abars)
@@ -568,6 +717,7 @@ def sdeint_fused(
     noise_pack=None,
     nondiff_args: tuple = (),
     chunk: int | None = None,
+    prepare: Callable | None = None,
     interpret: bool = False,
 ):
     """Fixed-grid Ito SDE integration, every step loop a Pallas kernel.
@@ -612,9 +762,10 @@ def sdeint_fused(
         (n_steps,) + y0.shape,
     ).astype(y0.dtype)
 
-    wrapped_drift, dyn, diff_idx = _flatten_for_kernel(drift, args,
-                                                       nondiff_args)
-    wrapped_diff, _, _ = _flatten_for_kernel(diffusion, args, nondiff_args)
+    wrapped_drift, prep, dyn, diff_idx = _flatten_for_kernel(
+        drift, args, nondiff_args, prepare)
+    wrapped_diff, _, _, _ = _flatten_for_kernel(diffusion, args,
+                                                nondiff_args, prepare)
     n_args = len(dyn)
     S = y0.shape
 
@@ -627,7 +778,7 @@ def sdeint_fused(
 
     def make_calls(c):
         fwd_kernel, step = _make_sde_chunk_kernel(
-            wrapped_drift, wrapped_diff, n_args, c, h, t_base, method
+            wrapped_drift, wrapped_diff, prep, n_args, c, h, t_base, method
         )
         fwd = pl.pallas_call(
             fwd_kernel,
@@ -639,7 +790,8 @@ def sdeint_fused(
             interpret=interpret,
         )
         bwd = pl.pallas_call(
-            _make_sde_bwd_chunk_kernel(step, n_args, c, h, t_base, diff_idx),
+            _make_sde_bwd_chunk_kernel(step, prep, n_args, c, h, t_base,
+                                       diff_idx),
             out_shape=((jax.ShapeDtypeStruct(S, y0.dtype),)
                        + tuple(jax.ShapeDtypeStruct(dyn[i].shape,
                                                     dyn[i].dtype)

@@ -91,6 +91,7 @@ def batched_rollout(params, task: ParityTask, stims_raw, method="dopri5",
             build_network_fused_consts,
             network_drift_premixed,
             premix_network_weights,
+            prepare_premixed_split,
         )
         from columnflow.ops.interp import interp_knots, step_table_knots
         from columnflow.solvers import odeint_dopri5_fused
@@ -110,10 +111,14 @@ def batched_rollout(params, task: ParityTask, stims_raw, method="dopri5",
             )
 
         y0 = jnp.zeros((stims_raw.shape[0], state_dim))
+        # prepare=prepare_premixed_split: bf16 hi/lo weight split hoisted out
+        # of the RK stage loop — at large pop counts the compiler's own f32
+        # HIGHEST decomposition buffers otherwise OOM VMEM (solvers/fused.py).
         ys = odeint_dopri5_fused(
             drift, y0, task.ts, premix_network_weights(params, task.net),
             fc, kvals, max_steps=task.max_steps,
             nondiff_args=(1, 2),  # anatomy + stimulus are data
+            prepare=prepare_premixed_split,
         )  # (T, B, 3P)
         return jnp.transpose(ys, (1, 0, 2))
 

@@ -54,6 +54,48 @@ class TestFusedSolver:
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=1e-3, atol=1e-6)
 
+    def test_arg_grads_outer_parity(self):
+        """arg_grads="outer" (state-only kernel sweep + step-batched XLA arg
+        VJPs) must match the in-kernel path and the XLA path for values and
+        gradients — it is the same math, reassociated."""
+        ts, y0, k = self._setup()
+
+        def loss(solver):
+            return lambda y0, k: jnp.sum(solver(y0, k) ** 2)
+
+        solve_x = lambda y0, k: odeint(_exp_drift, y0, ts, k, method="dopri5")
+        solve_o = lambda y0, k: odeint_dopri5_fused(
+            _exp_drift, y0, ts, k, max_steps=256, chunk=64,
+            arg_grads="outer", interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(solve_o(y0, k)),
+                                   np.asarray(solve_x(y0, k)),
+                                   rtol=1e-5, atol=1e-6)
+        gx = jax.grad(loss(solve_x), argnums=(0, 1))(y0, k)
+        go = jax.grad(loss(solve_o), argnums=(0, 1))(y0, k)
+        for a, b in zip(gx, go):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-3, atol=1e-6)
+
+    def test_arg_grads_auto_picks_outer_for_big_args(self):
+        """A >1 MB differentiable arg flips auto mode to "outer"; gradients
+        still flow (pinned against the kernel-mode result)."""
+        ts = jnp.linspace(0.0, 1.0, 20)
+        y0 = jnp.ones((2, 4))
+        k_big = jnp.full((512, 640), 0.7)  # 1.25 MB > auto threshold
+
+        def f(t, y, kb):
+            return -jnp.mean(kb) * y
+
+        def g(mode):
+            return jax.grad(lambda kb: jnp.sum(odeint_dopri5_fused(
+                f, y0, ts, kb, max_steps=64, chunk=16, arg_grads=mode,
+                interpret=True)))(k_big)
+
+        np.testing.assert_allclose(np.asarray(g("auto")),
+                                   np.asarray(g("kernel")),
+                                   rtol=1e-4, atol=1e-8)
+
     def test_pytree_args(self):
         ts, y0, _ = self._setup()
         params = {"k": jnp.full((2, 4), 0.5), "c": 0.3}
@@ -69,6 +111,100 @@ class TestFusedSolver:
         g = jax.grad(lambda p: jnp.sum(odeint_dopri5_fused(
             f, y0, ts, p, max_steps=256, chunk=64, interpret=True)))(params)
         assert float(jnp.max(jnp.abs(g["k"]))) > 0.0
+
+
+class TestPrepareHook:
+    """``prepare`` runs once per kernel invocation; gradients chain through
+    it to the ORIGINAL args in both arg_grads modes."""
+
+    def _solvers(self):
+        ts = jnp.linspace(0.0, 3.0, 40)
+        y0 = jnp.arange(1.0, 9.0).reshape(2, 4)
+        k = jnp.full((2, 4), 0.7)
+
+        def f_plain(t, y, k):
+            return -k * y
+
+        def f_prep(t, y, ka, kb):
+            return -(ka + kb) * y
+
+        prepare = lambda k: (0.5 * k, 0.5 * k)
+        solve_x = lambda y0, k: odeint(f_plain, y0, ts, k, method="dopri5")
+
+        def solve_p(mode):
+            return lambda y0, k: odeint_dopri5_fused(
+                f_prep, y0, ts, k, max_steps=128, chunk=32,
+                prepare=prepare, arg_grads=mode, interpret=True)
+
+        return y0, k, solve_x, solve_p
+
+    def test_values_and_grads_through_prepare(self):
+        y0, k, solve_x, solve_p = self._solvers()
+        for mode in ("kernel", "outer"):
+            sp = solve_p(mode)
+            np.testing.assert_allclose(np.asarray(sp(y0, k)),
+                                       np.asarray(solve_x(y0, k)),
+                                       rtol=1e-5, atol=1e-6)
+            gx = jax.grad(lambda y0, k: jnp.sum(solve_x(y0, k) ** 2),
+                          argnums=(0, 1))(y0, k)
+            gp = jax.grad(lambda y0, k: jnp.sum(sp(y0, k) ** 2),
+                          argnums=(0, 1))(y0, k)
+            for a, b in zip(gx, gp):
+                np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                           rtol=1e-3, atol=1e-6)
+
+
+class TestSplitMatmul:
+    """3-term bf16 split matmul must be f32-accurate (the fused parity
+    path's replacement for Precision.HIGHEST, whose compiler-allocated
+    decomposition buffers OOM VMEM at large pop counts)."""
+
+    def test_matches_f32_highest(self):
+        from columnflow.models.network import matmul_split, split_f32
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(4, 832)).astype(np.float32)) * 30.0
+        w = jnp.asarray(rng.normal(size=(832, 832)).astype(np.float32)) * 0.3
+        want = jnp.matmul(x, w, precision=jax.lax.Precision.HIGHEST)
+        got = matmul_split(x, *split_f32(w))
+        # atol absorbs cancellation in near-zero 832-term dots; the scale of
+        # the summands is ~10, so 1e-3 absolute is ~1e-4 relative to them.
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-3)
+
+    def test_premixed_split_drift_matches_reference_drift(self):
+        from columnflow.data import parity_stim_table
+        from columnflow.models import Stimulus, build_column_network
+        from columnflow.models.network import (
+            build_network_fused_consts,
+            network_drift,
+            network_drift_premixed,
+            premix_network_weights,
+            prepare_premixed_split,
+        )
+
+        params, net = build_column_network(
+            CFG, jax.random.PRNGKey(0), columns_per_area=(2, 1), n_inputs=2
+        )
+        S = 3 * net.num_pops
+        B, T = 3, 50
+        stims = jnp.asarray([[15.0, 0.0], [0.0, 15.0], [15.0, 15.0]])
+        tables = jax.vmap(lambda s: parity_stim_table(s, T))(stims)
+        y = jax.random.normal(jax.random.PRNGKey(1), (B, S))
+        t, dt = 0.033, 1e-3
+
+        want = jax.vmap(
+            lambda yy, tab: network_drift(t, yy, params, net,
+                                          Stimulus(0.0, dt, tab))
+        )(y, tables)
+        pw, fc, tbl = prepare_premixed_split(
+            premix_network_weights(params, net),
+            build_network_fused_consts(net),
+            jnp.transpose(tables, (1, 0, 2)),
+        )
+        got = network_drift_premixed(t, y, pw, fc, Stimulus(0.0, dt, tbl))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=1e-3)
 
 
 class TestBatchedDrifts:
