@@ -337,6 +337,40 @@ class TestFusedSDE:
                                    np.asarray(scan_path(p)),
                                    rtol=1e-5, atol=1e-5)
 
+    def test_prepare_hook_values_and_grads(self):
+        """sdeint_fused's prepare hook: same trajectory and gradients as
+        formulating the drift on the raw args."""
+        from columnflow.solvers.fused import sdeint_fused
+
+        ts, y0, p, key, (i1, i10, _, _) = self._setup()
+
+        def drift_prep(t, y, ka, kb, b):
+            return -(ka + kb) * y + b + 0.2 * jnp.sin(t)
+
+        def diff_prep(t, y, ka, kb, b):
+            return 0.5 * jnp.ones_like(y)
+
+        prepare = lambda p: (0.5 * p["k"], 0.5 * p["k"], p["b"])
+
+        def plain(p):
+            return sdeint_fused(self._drift, self._diff, y0, ts, key, p,
+                                method="srk", noise_pack=(i1, i10),
+                                interpret=True)
+
+        def prepped(p):
+            return sdeint_fused(drift_prep, diff_prep, y0, ts, key, p,
+                                method="srk", noise_pack=(i1, i10),
+                                prepare=prepare, interpret=True)
+
+        np.testing.assert_allclose(np.asarray(prepped(p)),
+                                   np.asarray(plain(p)),
+                                   rtol=1e-5, atol=1e-6)
+        gs = jax.grad(lambda p: jnp.sum(plain(p) ** 2))(p)
+        gp = jax.grad(lambda p: jnp.sum(prepped(p) ** 2))(p)
+        for kk in gs:
+            np.testing.assert_allclose(np.asarray(gp[kk]), np.asarray(gs[kk]),
+                                       rtol=1e-4, atol=1e-6)
+
     def test_key_convention_matches_scan(self):
         """Without an explicit noise_pack, the same key must give the same
         path as the scan sdeint (same _brownian_pack convention)."""
