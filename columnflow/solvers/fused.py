@@ -512,12 +512,16 @@ def odeint_dopri5_fused(
             return vjp((ybark, cobark))
 
         def blk(acc, b):
-            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, b * chunk, chunk)
-            g = jax.vmap(one)(sl(st0), sl(st1), sl(ys_flat), sl(ybar_steps),
-                              sl(cobar_flat))
-            acc = jax.tree_util.tree_map(lambda a, gg: a + jnp.sum(gg, 0),
-                                         acc, g)
-            return acc, None
+            def run(acc):
+                sl = lambda a: jax.lax.dynamic_slice_in_dim(a, b * chunk,
+                                                            chunk)
+                g = jax.vmap(one)(sl(st0), sl(st1), sl(ys_flat),
+                                  sl(ybar_steps), sl(cobar_flat))
+                return jax.tree_util.tree_map(
+                    lambda a, gg: a + jnp.sum(gg, 0), acc, g)
+
+            return jax.lax.cond(b * chunk < naccept, run, lambda a: a,
+                                acc), None
 
         init = tuple(jnp.zeros(args[i].shape, args[i].dtype)
                      for i in diff_idx)
@@ -530,10 +534,23 @@ def odeint_dopri5_fused(
         return coeffs
 
     def _replay_fwd_impl(y0, *args):
+        # Chunks whose first step is already past the accepted range are
+        # pure padding (h = 0 throughout, y unchanged, coefficients never
+        # read by the dense-output gather) — skip the kernel call at
+        # runtime. With the default max_steps safety margin this saves a
+        # third or more of the replay sweep.
         def body(y, c):
             st_c = jax.lax.dynamic_slice(step_times, (c * chunk,),
                                          (chunk + 1,))
-            y1, ys_c, co_c = replay_call(st_c, y, *args)
+
+            def run(y):
+                return replay_call(st_c, y, *args)
+
+            def skip(y):
+                return (y, jnp.zeros((chunk,) + S, y0.dtype),
+                        jnp.zeros((chunk, 5) + S, y0.dtype))
+
+            y1, ys_c, co_c = jax.lax.cond(c * chunk < naccept, run, skip, y)
             return y1, (ys_c, co_c)
 
         _, (ys_steps, coeffs) = jax.lax.scan(
@@ -557,8 +574,16 @@ def odeint_dopri5_fused(
                 ci = n_chunks - 1 - c
                 st_c = jax.lax.dynamic_slice(step_times, (ci * chunk,),
                                              (chunk + 1,))
-                ybar_new, ybar_steps_c = bwd_call(st_c, ys_c[ci], cobar_c[ci],
-                                                  ybar, *args)
+
+                def run(ybar):
+                    return bwd_call(st_c, ys_c[ci], cobar_c[ci], ybar, *args)
+
+                def skip(ybar):
+                    # Padding chunk: zero cotangents in, ybar unchanged.
+                    return ybar, jnp.zeros((chunk,) + S, y0.dtype)
+
+                ybar_new, ybar_steps_c = jax.lax.cond(
+                    ci * chunk < naccept, run, skip, ybar)
                 return ybar_new, ybar_steps_c
 
             ybar, ybar_steps_rev = jax.lax.scan(
@@ -582,9 +607,19 @@ def odeint_dopri5_fused(
             ci = n_chunks - 1 - c
             st_c = jax.lax.dynamic_slice(step_times, (ci * chunk,),
                                          (chunk + 1,))
-            out = bwd_call(st_c, ys_steps[ci], coeffs_bar[ci], ybar, *args)
-            ybar_new = out[0]
-            abars_new = tuple(a + g for a, g in zip(abars, out[1:]))
+
+            def run(ybar):
+                out = bwd_call(st_c, ys_steps[ci], coeffs_bar[ci], ybar,
+                               *args)
+                return out[0], tuple(out[1:])
+
+            def skip(ybar):
+                return ybar, tuple(jnp.zeros(args[i].shape, args[i].dtype)
+                                   for i in diff_idx)
+
+            ybar_new, gs = jax.lax.cond(ci * chunk < naccept, run, skip,
+                                        ybar)
+            abars_new = tuple(a + g for a, g in zip(abars, gs))
             return (ybar_new, abars_new), None
 
         init = (jnp.zeros(S, y0.dtype),
