@@ -270,12 +270,17 @@ def train_parity(
     use_fused: bool = False,
     random_fan_in: bool = False,
     fixed_position: bool = True,
+    resume_from: str | None = None,
 ):
     """Reference defaults: 6400 samples / batch 4 -> 1600 iterations,
     fixed-position patterns (scripts/parity_ode.py:286-294).
     ``fixed_position=False`` trains on all 2^n binary patterns
     (scripts/parity_ode.py:134-137); ``random_fan_in`` uses the reference's
-    randomized fan-in masks (src/coupled_columns.py:529-575)."""
+    randomized fan-in masks (src/coupled_columns.py:529-575).
+    ``resume_from`` restores params/optimizer/RNG/step from a checkpoint
+    written by an earlier run's ``--checkpoint-out`` and continues
+    (the reference can only reload whole-object pickles for analysis,
+    scripts/plotting_results.py:28-30 — not resume training)."""
     cfg = ColumnConfig.load()
     key = jax.random.PRNGKey(seed)
     key, k_build = jax.random.split(key)
@@ -310,6 +315,19 @@ def train_parity(
     stats_every = 50
     opt_state = task.optimizer.init(task.params)
     params = task.params
+    start_iter = 0
+    if resume_from:
+        from columnflow.train import load_checkpoint
+
+        ck = load_checkpoint(resume_from, params_like=params,
+                             opt_state_like=opt_state, key_like=key)
+        params = ck["params"]
+        if ck["opt_state"] is not None:
+            opt_state = ck["opt_state"]
+        if ck["key"] is not None:
+            key = jnp.asarray(ck["key"])
+        start_iter = int(ck["step"])
+        print(f"resumed from {resume_from} at iteration {start_iter}")
     # Best-loss tracking lives on-device inside the scan (the late regime
     # is stiff; keep the best).
     best = (jnp.asarray(jnp.inf, jnp.float32),
@@ -327,7 +345,7 @@ def train_parity(
         checkpoint_every if checkpoint_path else 25,
         plot_every if plot_dir else 25,
     ))
-    for it0 in range(0, n_iters, block):
+    for it0 in range(start_iter, n_iters, block):
         profiler.step(it0)
         k = block if it0 + block <= n_iters else n_iters - it0
         key, k_keys = jax.random.split(key)
@@ -363,7 +381,7 @@ def train_parity(
             from columnflow.train import save_checkpoint
 
             save_checkpoint(checkpoint_path, params=params,
-                            opt_state=opt_state, key=key, step=it0)
+                            opt_state=opt_state, key=key, step=it0 + k)
         if plot_dir and it0 % plot_every < block:
             # Weight-group heatmaps (reference: scripts/parity_ode.py:87-114).
             from columnflow.analysis.plots import plot_weight_matrices
@@ -421,6 +439,8 @@ def main():
     p.add_argument("--profile-dir", default=None,
                    help="dump a jax.profiler trace of steps 2-4 here")
     p.add_argument("--checkpoint-out", default=None)
+    p.add_argument("--resume", default=None, metavar="CKPT",
+                   help="resume training from a --checkpoint-out checkpoint")
     args = p.parse_args()
 
     if args.smoke:
@@ -441,6 +461,7 @@ def main():
             metrics_path=args.metrics_out,
             profile_dir=args.profile_dir,
             checkpoint_path=args.checkpoint_out,
+            resume_from=args.resume,
         )
     final = next(h for h in reversed(hist) if "loss" in h)
     print(f"final loss {final['loss']:.5f} | "

@@ -65,6 +65,20 @@ class TestParityTask:
         out = np.asarray(params["output_weights"])
         assert np.all((out >= 0.0) & (out <= 1.0))
 
+    def test_checkpoint_resume(self, tmp_path):
+        """Train 2 iters with checkpointing, resume, finish the remaining 2:
+        the resumed run starts at the saved step and only runs the rest."""
+        ck = str(tmp_path / "parity_ck")
+        common = dict(batch_size=4, seed=0, columns_per_area=(2, 1),
+                      n_inputs=2, time_steps=60, max_steps=512,
+                      checkpoint_every=1)
+        train_parity(nr_samples=8, checkpoint_path=ck, **common)
+
+        params, hist = train_parity(nr_samples=16, resume_from=ck, **common)
+        # 4 total iterations, 2 already done -> 2 new loss records + final.
+        assert sum(1 for h in hist if "loss" in h) == 2
+        assert _finite(hist)
+
 
 class TestBifurcationTask:
     def test_smoke_and_learning(self):
