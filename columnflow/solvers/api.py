@@ -34,9 +34,10 @@ from jax.flatten_util import ravel_pytree
 
 from columnflow.solvers import rk
 from columnflow.solvers.adjoint import odeint_backsolve
-from columnflow.solvers.dopri import odeint_dopri5
+from columnflow.solvers.dopri import odeint_adaptive
 
 _FIXED = ("euler", "midpoint", "heun", "rk4", "dopri5_fixed")
+_ADAPTIVE = tuple(rk.ADAPTIVE_TABLEAUS)  # dopri5, bosh3, adaptive_heun
 
 
 def odeint(
@@ -75,18 +76,22 @@ def odeint(
 
     if method in _FIXED:
         ys = rk.odeint_fixed(f, flat_y0, ts, *args, tableau=rk.FIXED_TABLEAUS[method])
-    elif method == "dopri5":
+    elif method in _ADAPTIVE:
         if adjoint == "backsolve":
+            if method != "dopri5":
+                raise ValueError(
+                    "adjoint='backsolve' supports method='dopri5' only; "
+                    "use adjoint='replay' for other adaptive methods")
             ys = odeint_backsolve(f, rtol, atol, dt0, max_steps, flat_y0, ts, args)
         elif adjoint == "replay":
-            ys = odeint_dopri5(
-                f, flat_y0, ts, *args,
+            ys = odeint_adaptive(
+                f, flat_y0, ts, *args, method=method,
                 rtol=rtol, atol=atol, dt0=dt0, max_steps=max_steps,
                 differentiable=True, remat=remat,
             )
         elif adjoint in (None, "none"):
-            ys = odeint_dopri5(
-                f, flat_y0, ts, *args,
+            ys = odeint_adaptive(
+                f, flat_y0, ts, *args, method=method,
                 rtol=rtol, atol=atol, dt0=dt0, max_steps=max_steps,
                 differentiable=False,
             )

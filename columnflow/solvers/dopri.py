@@ -31,7 +31,8 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from columnflow.solvers.rk import DOPRI5, DOPRI5_DENSE_D, rk_step
+from columnflow.solvers.rk import (ADAPTIVE_TABLEAUS, DOPRI5,
+                                   DOPRI5_DENSE_D, is_fsal, rk_step)
 
 _SAFETY = 0.9
 _IFACTOR = 10.0
@@ -55,18 +56,19 @@ def _error_ratio(err, rtol, atol, y0, y1):
     return _rms_norm(err / scale)
 
 
-def _next_step_size(h, error_ratio):
+def _next_step_size(h, error_ratio, order: int = _ORDER):
     # I-controller, torchdiffeq-style: grow/shrink clamped to [dfactor, ifactor].
     factor = jnp.where(
         error_ratio <= 0.0,
         _IFACTOR,
-        jnp.clip(_SAFETY * error_ratio ** (-1.0 / _ORDER), _DFACTOR, _IFACTOR),
+        jnp.clip(_SAFETY * error_ratio ** (-1.0 / order), _DFACTOR, _IFACTOR),
     )
     return h * factor
 
 
-def _initial_step_size(func, t0, y0, f0, rtol, atol, *args):
-    """Hairer's starting-step heuristic (order 5)."""
+def _initial_step_size(func, t0, y0, f0, rtol, atol, *args,
+                       order: int = _ORDER):
+    """Hairer's starting-step heuristic."""
     scale = atol + rtol * jnp.abs(y0)
     d0 = _rms_norm(y0 / scale)
     d1 = _rms_norm(f0 / scale)
@@ -77,26 +79,36 @@ def _initial_step_size(func, t0, y0, f0, rtol, atol, *args):
     h1 = jnp.where(
         (d1 <= 1e-15) & (d2 <= 1e-15),
         jnp.maximum(1e-6, h0 * 1e-3),
-        (0.01 / jnp.maximum(d1, d2)) ** (1.0 / _ORDER),
+        (0.01 / jnp.maximum(d1, d2)) ** (1.0 / order),
     )
     return jnp.minimum(100.0 * h0, h1)
 
 
-def dense_coeffs(y0, y1, h, ks):
-    """Hairer CONTD5 interpolation coefficients for one accepted step.
+def dense_coeffs(y0, y1, h, ks, dense_d=DOPRI5_DENSE_D, f1=None):
+    """Interpolation coefficients for one accepted step.
+
+    With ``dense_d`` (dopri5): Hairer's CONTD5 4th-order interpolant.
+    With ``dense_d=None``: r5 = 0, which reduces the same evaluator to the
+    cubic Hermite interpolant on (y0, y1, h*f0, h*f1) — torchdiffeq's
+    interpolant for its non-dopri5 adaptive solvers. ``f1`` supplies the
+    end-derivative for non-FSAL tableaus (defaults to ks[-1]).
 
     Returns a (5,) + y.shape stack [r1..r5]; evaluate with ``dense_eval``.
     """
     dtype = y0.dtype
-    d = jnp.asarray(DOPRI5_DENSE_D, dtype=dtype)
     dy = y1 - y0
     f0 = ks[0]
-    f1 = ks[-1]
+    if f1 is None:
+        f1 = ks[-1]
     r1 = y0
     r2 = dy
     r3 = h * f0 - dy
     r4 = dy - h * f1 - r3
-    r5 = h * jnp.tensordot(d, ks, axes=1)
+    if dense_d is None:
+        r5 = jnp.zeros_like(y0)
+    else:
+        d = jnp.asarray(dense_d, dtype=dtype)
+        r5 = h * jnp.tensordot(d, ks, axes=1)
     return jnp.stack([r1, r2, r3, r4, r5])
 
 
@@ -120,15 +132,20 @@ class _StepCarry(NamedTuple):
     nreject: jax.Array
 
 
-def _adaptive_pass(func, y0, t_start, t_end, rtol, atol, dt0, max_steps, *args):
+def _adaptive_pass(func, y0, t_start, t_end, rtol, atol, dt0, max_steps,
+                   *args, tab=DOPRI5, dense_d=DOPRI5_DENSE_D):
     """Integrate from t_start to t_end, recording the accepted step sequence.
 
     Returns the final carry; ``step_times``/``naccept`` describe the step
     sequence for replay, and the final ``coeffs`` cover the last interval.
+    Works for any embedded tableau; non-FSAL tableaus pay one extra drift
+    eval per attempted step to keep the carried end-derivative exact.
     """
+    fsal = is_fsal(tab)
     f0 = func(t_start, y0, *args)
     if dt0 is None:
-        h0 = _initial_step_size(func, t_start, y0, f0, rtol, atol, *args)
+        h0 = _initial_step_size(func, t_start, y0, f0, rtol, atol, *args,
+                                order=tab.order)
     else:
         h0 = jnp.asarray(dt0, dtype=y0.dtype)
     h0 = jnp.minimum(h0, t_end - t_start)
@@ -149,8 +166,9 @@ def _adaptive_pass(func, y0, t_start, t_end, rtol, atol, dt0, max_steps, *args):
 
     def body(s: _StepCarry):
         h = jnp.minimum(s.h, t_end - s.t1)
-        y1, f1, ks = rk_step(func, DOPRI5, s.t1, s.y1, h, s.f1, *args)
-        e = jnp.asarray(DOPRI5.b_err, dtype=y1.dtype)
+        y1, f_last, ks = rk_step(func, tab, s.t1, s.y1, h, s.f1, *args)
+        f1 = f_last if fsal else func(s.t1 + h, y1, *args)
+        e = jnp.asarray(tab.b_err, dtype=y1.dtype)
         err = h * jnp.tensordot(e, ks, axes=1)
         ratio = _error_ratio(err, rtol, atol, s.y1, y1)
         accept = ratio <= 1.0
@@ -158,14 +176,15 @@ def _adaptive_pass(func, y0, t_start, t_end, rtol, atol, dt0, max_steps, *args):
         t_new = jnp.where(accept, s.t1 + h, s.t1)
         y_new = jnp.where(accept, y1, s.y1)
         f_new = jnp.where(accept, f1, s.f1)
-        coeffs = jnp.where(accept, dense_coeffs(s.y1, y1, h, ks), s.coeffs)
+        coeffs = jnp.where(
+            accept, dense_coeffs(s.y1, y1, h, ks, dense_d, f1=f1), s.coeffs)
         t0_new = jnp.where(accept, s.t1, s.t0)
         naccept = s.naccept + accept.astype(jnp.int32)
         nreject = s.nreject + (1 - accept.astype(jnp.int32))
         step_times = jnp.where(
             accept, s.step_times.at[naccept].set(t_new), s.step_times
         )
-        h_next = _next_step_size(h, ratio)
+        h_next = _next_step_size(h, ratio, tab.order)
         return _StepCarry(
             t1=t_new, y1=y_new, f1=f_new, h=h_next, coeffs=coeffs, t0=t0_new,
             step_times=step_times, naccept=naccept, nreject=nreject,
@@ -175,7 +194,7 @@ def _adaptive_pass(func, y0, t_start, t_end, rtol, atol, dt0, max_steps, *args):
 
 
 def _replay_pass(func, y0, ts, step_times, naccept, max_steps, *args,
-                 remat=True):
+                 remat=True, tab=DOPRI5, dense_d=DOPRI5_DENSE_D):
     """Differentiable re-integration over a fixed accepted-step sequence.
 
     Steps through ``step_times`` with plain dopri5 stages under ``lax.scan``
@@ -188,6 +207,7 @@ def _replay_pass(func, y0, ts, step_times, naccept, max_steps, *args,
     intermediates — ~1/3 faster backward when the activations fit in HBM
     (they do for every reference workload).
     """
+    fsal = is_fsal(tab)
     f0 = func(ts[0], y0, *args)
 
     def body(carry, idx):
@@ -195,8 +215,9 @@ def _replay_pass(func, y0, ts, step_times, naccept, max_steps, *args,
         t0 = step_times[idx]
         t1 = step_times[idx + 1]
         h = t1 - t0
-        y1, f1, ks = rk_step(func, DOPRI5, t0, y, h, f, *args)
-        coeffs = dense_coeffs(y, y1, h, ks)
+        y1, f_last, ks = rk_step(func, tab, t0, y, h, f, *args)
+        f1 = f_last if fsal else func(t1, y1, *args)
+        coeffs = dense_coeffs(y, y1, h, ks, dense_d, f1=f1)
         return (y1, f1), coeffs
 
     if remat:
@@ -220,11 +241,12 @@ def _replay_pass(func, y0, ts, step_times, naccept, max_steps, *args,
     return ys.at[0].set(y0)
 
 
-def odeint_dopri5(
+def odeint_adaptive(
     func: Callable,
     y0: jax.Array,
     ts: jax.Array,
     *args,
+    method: str = "dopri5",
     rtol: float = 1e-7,
     atol: float = 1e-9,
     dt0: float | None = None,
@@ -232,7 +254,13 @@ def odeint_dopri5(
     differentiable: bool = True,
     remat: bool = True,
 ):
-    """Adaptive dopri5 returning states at ``ts`` (ys[0] == y0).
+    """Adaptive embedded-RK solve returning states at ``ts`` (ys[0] == y0).
+
+    ``method`` is one of ``rk.ADAPTIVE_TABLEAUS`` — "dopri5" (Dormand-Prince
+    4(5), FSAL, CONTD5 dense output: torchdiffeq's default), "bosh3"
+    (Bogacki-Shampine 3(2), FSAL) or "adaptive_heun" (Heun-Euler 2(1));
+    the non-dopri5 methods interpolate output times with the cubic Hermite
+    interpolant, matching torchdiffeq's choice for those solvers.
 
     The adaptive pass (while_loop) determines the accepted step sequence; the
     replay pass (scan) re-steps it and interpolates the outputs. With
@@ -240,19 +268,29 @@ def odeint_dopri5(
     reverse-mode AD flows through the replay scan — the discrete
     backprop-through-the-solver gradient at a frozen step sequence.
     """
+    tab = ADAPTIVE_TABLEAUS[method]
+    dense_d = DOPRI5_DENSE_D if method == "dopri5" else None
     ts = jnp.asarray(ts, dtype=y0.dtype)
     if differentiable:
         carry = _adaptive_pass(
             func, jax.lax.stop_gradient(y0), ts[0], ts[-1], rtol, atol, dt0,
             max_steps, *(jax.lax.stop_gradient(args)),
+            tab=tab, dense_d=dense_d,
         )
         step_times = jax.lax.stop_gradient(carry.step_times)
         naccept = jax.lax.stop_gradient(carry.naccept)
         return _replay_pass(func, y0, ts, step_times, naccept, max_steps,
-                            *args, remat=remat)
-    carry = _adaptive_pass(func, y0, ts[0], ts[-1], rtol, atol, dt0, max_steps, *args)
+                            *args, remat=remat, tab=tab, dense_d=dense_d)
+    carry = _adaptive_pass(func, y0, ts[0], ts[-1], rtol, atol, dt0,
+                           max_steps, *args, tab=tab, dense_d=dense_d)
     return _replay_pass(func, y0, ts, carry.step_times, carry.naccept,
-                        max_steps, *args, remat=remat)
+                        max_steps, *args, remat=remat, tab=tab,
+                        dense_d=dense_d)
+
+
+def odeint_dopri5(func, y0, ts, *args, **kw):
+    """Adaptive dopri5 (see ``odeint_adaptive``)."""
+    return odeint_adaptive(func, y0, ts, *args, method="dopri5", **kw)
 
 
 def odeint_stats(
@@ -264,11 +302,19 @@ def odeint_stats(
     atol: float = 1e-9,
     dt0: float | None = None,
     max_steps: int = 2048,
+    method: str = "dopri5",
 ) -> SolverStats:
     """Run the adaptive pass only and report solver statistics."""
+    tab = ADAPTIVE_TABLEAUS[method]
+    dense_d = DOPRI5_DENSE_D if method == "dopri5" else None
     ts = jnp.asarray(ts, dtype=y0.dtype)
-    carry = _adaptive_pass(func, y0, ts[0], ts[-1], rtol, atol, dt0, max_steps, *args)
-    nfev = 2 + 6 * (carry.naccept + carry.nreject)  # FSAL: 6 evals/step + init
+    carry = _adaptive_pass(func, y0, ts[0], ts[-1], rtol, atol, dt0,
+                           max_steps, *args, tab=tab, dense_d=dense_d)
+    nsteps = carry.naccept + carry.nreject
+    s_new = tab.c.shape[0] - 1  # stage 0 reuses the carried derivative
+    # FSAL: the last stage IS the next carry; non-FSAL pays one extra eval
+    # per attempted step. +2 init (f0 + the starting-step heuristic).
+    nfev = 2 + (s_new + (0 if is_fsal(tab) else 1)) * nsteps
     return SolverStats(
         naccept=carry.naccept,
         nreject=carry.nreject,

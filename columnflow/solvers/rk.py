@@ -88,12 +88,49 @@ DOPRI5_DENSE_D = np.array(
     ]
 )
 
+# Bogacki-Shampine 3(2), FSAL — torchdiffeq's "bosh3".
+_BS_B = np.array([2 / 9, 1 / 3, 4 / 9, 0.0])
+_BS_BHAT = np.array([7 / 24, 1 / 4, 1 / 3, 1 / 8])
+BOSH3 = _tab(
+    c=[0.0, 1 / 2, 3 / 4, 1.0],
+    a=[[], [1 / 2], [0.0, 3 / 4], [2 / 9, 1 / 3, 4 / 9]],
+    b=_BS_B,
+    b_err=_BS_B - _BS_BHAT,
+    order=3,
+)
+
+# Heun-Euler 2(1) — torchdiffeq's "adaptive_heun". NOT FSAL: the second
+# stage is evaluated at the Euler predictor, not at the accepted y1.
+_AH_B = np.array([1 / 2, 1 / 2])
+_AH_BHAT = np.array([1.0, 0.0])
+ADAPTIVE_HEUN = _tab(
+    c=[0.0, 1.0],
+    a=[[], [1.0]],
+    b=_AH_B,
+    b_err=_AH_B - _AH_BHAT,
+    order=2,
+)
+
+
+def is_fsal(tab: ButcherTableau) -> bool:
+    """First-same-as-last: the final stage derivative is f(t1, y1)."""
+    return bool(
+        tab.c[-1] == 1.0 and np.allclose(tab.a[-1, :], tab.b[: tab.a.shape[1]])
+    )
+
+
 FIXED_TABLEAUS = {
     "euler": EULER,
     "midpoint": MIDPOINT,
     "heun": HEUN,
     "rk4": RK4,
     "dopri5_fixed": DOPRI5,
+}
+
+ADAPTIVE_TABLEAUS = {
+    "dopri5": DOPRI5,
+    "bosh3": BOSH3,
+    "adaptive_heun": ADAPTIVE_HEUN,
 }
 
 

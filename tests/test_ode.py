@@ -179,3 +179,62 @@ class TestGradients:
         np.testing.assert_allclose(
             np.asarray(ys["b"][-1]), np.exp(-2.0) * np.ones(3), atol=1e-5
         )
+
+
+class TestOtherAdaptiveMethods:
+    """bosh3 (FSAL 3(2)) and adaptive_heun (non-FSAL 2(1)) — torchdiffeq's
+    other adaptive solvers, sharing the generalized embedded-RK core with
+    cubic-Hermite dense output."""
+
+    @pytest.mark.parametrize("method", ["bosh3", "adaptive_heun"])
+    def test_exp_decay_accuracy(self, method):
+        ts = jnp.linspace(0.0, 5.0, 50)
+        ys = odeint(exp_decay, jnp.ones(4), ts, method=method,
+                    rtol=1e-6, atol=1e-8, max_steps=8192, adjoint="none")
+        exact = np.exp(-np.asarray(ts))[:, None] * np.ones(4)
+        np.testing.assert_allclose(np.asarray(ys), exact, rtol=2e-5,
+                                   atol=1e-6)
+
+    @pytest.mark.parametrize("method", ["bosh3", "adaptive_heun"])
+    def test_harmonic_matches_dopri5(self, method):
+        ts = jnp.linspace(0.0, 6.0, 61)
+        y0 = jnp.asarray([1.0, 0.0])
+        ref = odeint(harmonic, y0, ts, method="dopri5", adjoint="none")
+        ys = odeint(harmonic, y0, ts, method=method, rtol=1e-6, atol=1e-8,
+                    max_steps=8192, adjoint="none")
+        np.testing.assert_allclose(np.asarray(ys), np.asarray(ref),
+                                   atol=5e-5)
+
+    @pytest.mark.parametrize("method", ["bosh3", "adaptive_heun"])
+    def test_gradient_matches_analytic(self, method):
+        T = 2.0
+        ts = jnp.linspace(0.0, T, 20)
+
+        def loss(k):
+            ys = odeint(lambda t, y, k: -k * y, jnp.ones(3), ts, k,
+                        method=method, rtol=1e-6, atol=1e-8,
+                        max_steps=4096)
+            return jnp.sum(ys[-1])
+
+        g = jax.grad(loss)(jnp.float32(0.7))
+        expected = -3.0 * T * np.exp(-0.7 * T)
+        np.testing.assert_allclose(float(g), expected, rtol=1e-4)
+
+    def test_stats_lower_order_needs_more_steps(self):
+        ts = jnp.linspace(0.0, 5.0, 10)
+        y0 = jnp.asarray([1.0, 0.0])
+        st5 = odeint_stats(harmonic, y0, ts, rtol=1e-6, atol=1e-8,
+                           max_steps=8192)
+        st3 = odeint_stats(harmonic, y0, ts, rtol=1e-6, atol=1e-8,
+                           max_steps=8192, method="bosh3")
+        st2 = odeint_stats(harmonic, y0, ts, rtol=1e-6, atol=1e-8,
+                           max_steps=8192, method="adaptive_heun")
+        assert bool(st5.success) and bool(st3.success) and bool(st2.success)
+        assert int(st3.naccept) > int(st5.naccept)
+        assert int(st2.naccept) > int(st3.naccept)
+
+    def test_backsolve_rejected_for_non_dopri5(self):
+        ts = jnp.linspace(0.0, 1.0, 5)
+        with pytest.raises(ValueError, match="backsolve"):
+            odeint(exp_decay, jnp.ones(2), ts, method="bosh3",
+                   adjoint="backsolve")
