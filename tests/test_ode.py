@@ -238,3 +238,26 @@ class TestOtherAdaptiveMethods:
         with pytest.raises(ValueError, match="backsolve"):
             odeint(exp_decay, jnp.ones(2), ts, method="bosh3",
                    adjoint="backsolve")
+
+
+class TestEdgeCases:
+    def test_int_y0_promoted(self):
+        ts = jnp.linspace(0.0, 1.0, 5)
+        ys = odeint(lambda t, y: -y, jnp.asarray([1, 2]), ts, adjoint="none")
+        assert ys.dtype == jnp.float32
+        np.testing.assert_allclose(
+            np.asarray(ys[-1]), np.exp(-1.0) * np.array([1.0, 2.0]),
+            rtol=1e-5)
+
+    def test_zero_span_ts(self):
+        ts = jnp.zeros(4)
+        y0 = jnp.asarray([1.0, -2.0])
+        ys = odeint(exp_decay, y0, ts, adjoint="none")
+        np.testing.assert_allclose(np.asarray(ys),
+                                   np.tile(np.asarray(y0), (4, 1)))
+
+    def test_max_steps_exhaustion_flagged(self):
+        ts = jnp.linspace(0.0, 50.0, 10)
+        st = odeint_stats(harmonic, jnp.asarray([1.0, 0.0]), ts,
+                          rtol=1e-9, atol=1e-12, max_steps=8)
+        assert not bool(st.success)
