@@ -127,11 +127,17 @@ def train_bifurcation(
     metrics_path: str | None = None,
     profile_dir: str | None = None,
     checkpoint_path: str | None = None,
+    checkpoint_every: int = 50,
     dataset=None,
     plot_dir: str | None = None,
     adjoint: str = "replay",
+    resume_from: str | None = None,
 ):
-    """Reference defaults: 5000 samples, batch 32 (scripts/bifurcation_ode.py:179-198)."""
+    """Reference defaults: 5000 samples, batch 32 (scripts/bifurcation_ode.py:179-198).
+
+    ``resume_from`` restores params/optimizer/RNG/step from a checkpoint
+    written by ``checkpoint_path`` (saved every ``checkpoint_every``
+    iterations and at the end) and continues where the run stopped."""
     key = jax.random.PRNGKey(seed)
     key, k_build, k_data = jax.random.split(key, 3)
     task = build_task(k_build, time_points=time_points, total_time=total_time,
@@ -156,13 +162,26 @@ def train_bifurcation(
 
     opt_state = task.optimizer.init(task.params)
     params = task.params
+    start_it = 0
+    if resume_from:
+        from columnflow.train import load_checkpoint
+
+        ck = load_checkpoint(resume_from, params_like=params,
+                             opt_state_like=opt_state, key_like=key)
+        params = ck["params"]
+        if ck["opt_state"] is not None:
+            opt_state = ck["opt_state"]
+        if ck["key"] is not None:
+            key = jnp.asarray(ck["key"])
+        start_it = int(ck["step"])
+        print(f"resumed from {resume_from} at iteration {start_it}")
     logger = MetricsLogger(metrics_path)
     profiler = StepProfiler(profile_dir)
     history = []
     n = train_ds.shape[1]
-    ii = 0
+    ii = (start_it + test_freq - 1) // test_freq
 
-    for it in range(n // batch_size):
+    for it in range(start_it, n // batch_size):
         profiler.step(it)
         key, k_perm = jax.random.split(key)
         idx = jax.random.permutation(k_perm, n)[:batch_size]
@@ -186,12 +205,17 @@ def train_bifurcation(
             ii += 1
         logger.log(it, **rec)
         history.append(rec)
+        if checkpoint_path and (it + 1) % checkpoint_every == 0:
+            from columnflow.train import save_checkpoint
+
+            save_checkpoint(checkpoint_path, params=params,
+                            opt_state=opt_state, key=key, step=it + 1)
 
     if checkpoint_path:
         from columnflow.train import save_checkpoint
 
         save_checkpoint(checkpoint_path, params=params, opt_state=opt_state,
-                        key=key, step=len(history))
+                        key=key, step=start_it + len(history))
     profiler.close()
     logger.close()
     return params, history
@@ -214,6 +238,8 @@ def main():
     p.add_argument("--profile-dir", default=None,
                    help="dump a jax.profiler trace of steps 2-4 here")
     p.add_argument("--checkpoint-out", default=None)
+    p.add_argument("--resume", default=None, metavar="CKPT",
+                   help="resume training from a --checkpoint-out checkpoint")
     args = p.parse_args()
 
     if args.smoke:
@@ -230,6 +256,7 @@ def main():
             metrics_path=args.metrics_out,
             profile_dir=args.profile_dir,
             checkpoint_path=args.checkpoint_out,
+            resume_from=args.resume,
         )
     print(f"final loss {hist[-1]['loss']:.5f}")
 

@@ -170,3 +170,17 @@ class TestTrainScan:
             np.asarray(p1["recurrent_weights"]),
             np.asarray(p2["recurrent_weights"]), rtol=2e-5,
         )
+
+
+class TestBifurcationResume:
+    def test_checkpoint_resume(self, tmp_path):
+        ck = str(tmp_path / "hopf_ck")
+        common = dict(batch_size=8, seed=0, time_points=100, total_time=2.5,
+                      max_steps=512, checkpoint_every=1)
+        train_bifurcation(nr_samples=16, checkpoint_path=ck, **common)
+
+        params, hist = train_bifurcation(nr_samples=32, resume_from=ck,
+                                         **common)
+        # 4 total iterations, 2 already done -> 2 new records.
+        assert len(hist) == 2
+        assert all(np.isfinite(h["loss"]) for h in hist)
