@@ -192,12 +192,18 @@ def _make_adaptive_kernel(func, prep, n_args, t_start, t_end, rtol, atol,
 def _make_replay_chunk_kernel(func, prep, n_args, chunk):
     """Forward replay over one chunk of the step sequence.
 
-    Inputs: st (chunk+1,) step times, y_in (state), arg refs.
+    Inputs: st (chunk+1,) step times, n (1,) iteration count (0 for chunks
+    made entirely of max_steps padding — the loop body never runs, the
+    carried state passes through, and the untouched ys/coeffs outputs are
+    never read downstream; the count must otherwise be ``chunk``), y_in
+    (state), arg refs. Keeping the kernel call itself unconditional matters:
+    wrapping it in ``lax.cond`` moves its outputs onto XLA's scoped-vmem
+    stack, which blows the 16 MB scoped limit for lane-padded small states.
     Outputs: y_out (state), ys_steps (chunk,)+state step-START states,
     coeffs (chunk, 5)+state dense coefficients.
     """
 
-    def kernel(st_ref, y_ref, *refs):
+    def kernel(st_ref, n_ref, y_ref, *refs):
         arg_refs = refs[:n_args]
         yout_ref, ys_ref, co_ref = refs[n_args:]
         args = prep(tuple(r[:] for r in arg_refs))
@@ -210,7 +216,7 @@ def _make_replay_chunk_kernel(func, prep, n_args, chunk):
             co_ref[k] = coeffs
             return y1
 
-        y = jax.lax.fori_loop(0, chunk, body, y_ref[:])
+        y = jax.lax.fori_loop(0, n_ref[0], body, y_ref[:])
         yout_ref[:] = y
 
     return kernel
@@ -233,13 +239,15 @@ def _make_bwd_chunk_kernel(func, prep, n_args, chunk, diff_idx,
     recovered outside the kernel as step-batched VJPs — the per-stage arg
     cotangent temporaries never touch VMEM.
 
-    Inputs: st (chunk+1,), ys_steps (chunk,)+S, coeffs_bar (chunk, 5)+S,
-    ybar_in (S cotangent entering from the later chunk), arg refs.
+    Inputs: st (chunk+1,), n (1,) iteration count (0 skips a pure-padding
+    chunk: ybar passes through, arg accumulators stay zero), ys_steps
+    (chunk,)+S, coeffs_bar (chunk, 5)+S, ybar_in (S cotangent entering
+    from the later chunk), arg refs.
     Outputs: ybar_out (S), [ybar_steps (chunk,)+S if emit_steps],
     cotangent accumulators for the diff args.
     """
 
-    def kernel(st_ref, ys_ref, cobar_ref, ybar_ref, *refs):
+    def kernel(st_ref, n_ref, ys_ref, cobar_ref, ybar_ref, *refs):
         arg_refs = refs[:n_args]
         ybarout_ref = refs[n_args]
         rest = refs[n_args + 1:]
@@ -278,7 +286,8 @@ def _make_bwd_chunk_kernel(func, prep, n_args, chunk, diff_idx,
             abars_new = tuple(a + g for a, g in zip(abars, grads[1:]))
             return (ybar_new, abars_new)
 
-        ybar, abars = jax.lax.fori_loop(0, chunk, body, (ybar_ref[:], abar0))
+        ybar, abars = jax.lax.fori_loop(0, n_ref[0], body,
+                                        (ybar_ref[:], abar0))
         ybarout_ref[:] = ybar
         for r, a in zip(abar_refs, abars):
             r[:] = a
@@ -455,7 +464,7 @@ def odeint_dopri5_fused(
         out_shape=(jax.ShapeDtypeStruct(S, y0.dtype),
                    jax.ShapeDtypeStruct((chunk,) + S, y0.dtype),
                    jax.ShapeDtypeStruct((chunk, 5) + S, y0.dtype)),
-        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
+        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
                   + [_VMEM()] * (1 + n_args)),
         out_specs=(_VMEM(),) * 3,
         interpret=interpret,
@@ -468,7 +477,7 @@ def odeint_dopri5_fused(
                                    emit_steps=True),
             out_shape=(jax.ShapeDtypeStruct(S, y0.dtype),
                        jax.ShapeDtypeStruct((chunk,) + S, y0.dtype)),
-            in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
+            in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
                       + [_VMEM()] * (3 + n_args)),
             out_specs=(_VMEM(), _VMEM()),
             interpret=interpret,
@@ -480,7 +489,7 @@ def odeint_dopri5_fused(
                        + tuple(jax.ShapeDtypeStruct(args[i].shape,
                                                     args[i].dtype)
                                for i in diff_idx)),
-            in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
+            in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
                       + [_VMEM()] * (3 + n_args)),
             out_specs=(_VMEM(),) * (1 + len(diff_idx)),
             interpret=interpret,
@@ -533,24 +542,20 @@ def odeint_dopri5_fused(
         coeffs, _ = _replay_fwd_impl(y0, *args)
         return coeffs
 
-    def _replay_fwd_impl(y0, *args):
+    def _chunk_iters(c):
         # Chunks whose first step is already past the accepted range are
         # pure padding (h = 0 throughout, y unchanged, coefficients never
-        # read by the dense-output gather) — skip the kernel call at
-        # runtime. With the default max_steps safety margin this saves a
-        # third or more of the replay sweep.
+        # read downstream): the kernels run 0 loop iterations for them.
+        # With the default max_steps safety margin this skips a third or
+        # more of the replay/backward sweeps.
+        return jnp.where(c * chunk < naccept, chunk, 0).astype(
+            jnp.int32).reshape(1)
+
+    def _replay_fwd_impl(y0, *args):
         def body(y, c):
             st_c = jax.lax.dynamic_slice(step_times, (c * chunk,),
                                          (chunk + 1,))
-
-            def run(y):
-                return replay_call(st_c, y, *args)
-
-            def skip(y):
-                return (y, jnp.zeros((chunk,) + S, y0.dtype),
-                        jnp.zeros((chunk, 5) + S, y0.dtype))
-
-            y1, ys_c, co_c = jax.lax.cond(c * chunk < naccept, run, skip, y)
+            y1, ys_c, co_c = replay_call(st_c, _chunk_iters(c), y, *args)
             return y1, (ys_c, co_c)
 
         _, (ys_steps, coeffs) = jax.lax.scan(
@@ -574,16 +579,9 @@ def odeint_dopri5_fused(
                 ci = n_chunks - 1 - c
                 st_c = jax.lax.dynamic_slice(step_times, (ci * chunk,),
                                              (chunk + 1,))
-
-                def run(ybar):
-                    return bwd_call(st_c, ys_c[ci], cobar_c[ci], ybar, *args)
-
-                def skip(ybar):
-                    # Padding chunk: zero cotangents in, ybar unchanged.
-                    return ybar, jnp.zeros((chunk,) + S, y0.dtype)
-
-                ybar_new, ybar_steps_c = jax.lax.cond(
-                    ci * chunk < naccept, run, skip, ybar)
+                ybar_new, ybar_steps_c = bwd_call(
+                    st_c, _chunk_iters(ci), ys_c[ci], cobar_c[ci], ybar,
+                    *args)
                 return ybar_new, ybar_steps_c
 
             ybar, ybar_steps_rev = jax.lax.scan(
@@ -607,19 +605,10 @@ def odeint_dopri5_fused(
             ci = n_chunks - 1 - c
             st_c = jax.lax.dynamic_slice(step_times, (ci * chunk,),
                                          (chunk + 1,))
-
-            def run(ybar):
-                out = bwd_call(st_c, ys_steps[ci], coeffs_bar[ci], ybar,
-                               *args)
-                return out[0], tuple(out[1:])
-
-            def skip(ybar):
-                return ybar, tuple(jnp.zeros(args[i].shape, args[i].dtype)
-                                   for i in diff_idx)
-
-            ybar_new, gs = jax.lax.cond(ci * chunk < naccept, run, skip,
-                                        ybar)
-            abars_new = tuple(a + g for a, g in zip(abars, gs))
+            out = bwd_call(st_c, _chunk_iters(ci), ys_steps[ci],
+                           coeffs_bar[ci], ybar, *args)
+            ybar_new = out[0]
+            abars_new = tuple(a + g for a, g in zip(abars, out[1:]))
             return (ybar_new, abars_new), None
 
         init = (jnp.zeros(S, y0.dtype),
@@ -732,7 +721,8 @@ def _make_sde_bwd_chunk_kernel(step, prep, n_args, chunk, h, t_base,
             abars = tuple(a + g for a, g in zip(abars, grads[1:]))
             return (grads[0], abars)
 
-        ybar, abars = jax.lax.fori_loop(0, chunk, body, (ybar_ref[:], abar0))
+        ybar, abars = jax.lax.fori_loop(0, chunk, body,
+                                        (ybar_ref[:], abar0))
         ybarout_ref[:] = ybar
         for r, a in zip(abar_refs, abars):
             r[:] = a
