@@ -180,3 +180,59 @@ class TestAdditive:
         e16 = np.sqrt(np.mean((finals[16] - finals[512]) ** 2))
         e64 = np.sqrt(np.mean((finals[64] - finals[512]) ** 2))
         assert e16 / e64 > 4.0  # order 1.5 predicts 8x over 4x refinement
+
+
+class TestErrorPaths:
+    def test_bad_method_raises(self):
+        import pytest
+
+        ts = jnp.linspace(0.0, 1.0, 10)
+        with pytest.raises(ValueError, match="method"):
+            sdeint(lambda t, y: -y, lambda t, y: jnp.ones_like(y),
+                   jnp.ones(2), ts, jax.random.PRNGKey(0), method="nope")
+
+    def test_bad_noise_raises(self):
+        import pytest
+
+        ts = jnp.linspace(0.0, 1.0, 10)
+        with pytest.raises(ValueError, match="noise"):
+            sdeint(lambda t, y: -y, lambda t, y: jnp.ones_like(y),
+                   jnp.ones(2), ts, jax.random.PRNGKey(0), noise="pink")
+
+
+class TestTransformComposability:
+    """Solvers must be jit/vmap/grad-safe in any composition (CLAUDE.md
+    architecture rules)."""
+
+    def test_vmap_jit_grad_sdeint(self):
+        """jit(grad(mean over vmap)) equals the mean of per-sample grads
+        computed without vmap — the transforms must not change the math."""
+        ts = jnp.linspace(0.0, 0.5, 40)
+        keys = jax.random.split(jax.random.PRNGKey(0), 5)
+
+        def final_mean(theta, k):
+            ys = sdeint(lambda t, y, th: -th * y,
+                        lambda t, y, th: 0.3 * jnp.ones_like(y),
+                        jnp.ones(3), ts, k, theta,
+                        method="srk", noise="scalar", additive=True)
+            return jnp.mean(ys[-1])
+
+        theta = jnp.float32(1.2)
+        g = jax.jit(jax.grad(
+            lambda th: jnp.mean(jax.vmap(lambda k: final_mean(th, k))(keys))
+        ))(theta)
+        g_seq = np.mean([float(jax.grad(final_mean)(theta, k))
+                         for k in keys])
+        assert np.isfinite(float(g))
+        np.testing.assert_allclose(float(g), g_seq, rtol=1e-5)
+
+    def test_vmap_over_y0_odeint(self):
+        from columnflow.solvers import odeint
+
+        ts = jnp.linspace(0.0, 1.0, 10)
+        y0s = jnp.stack([jnp.ones(2), 2.0 * jnp.ones(2), 3.0 * jnp.ones(2)])
+        ys = jax.jit(jax.vmap(
+            lambda y0: odeint(lambda t, y: -y, y0, ts, adjoint="none")
+        ))(y0s)
+        np.testing.assert_allclose(
+            np.asarray(ys[:, -1]), np.asarray(y0s) * np.exp(-1.0), rtol=1e-5)
