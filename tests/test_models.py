@@ -32,7 +32,6 @@ from columnflow.models import (
     xor_drift,
 )
 from columnflow.models.hopf import mlp_apply
-from columnflow.ops.transfer import compute_firing_rate
 
 CFG = ColumnConfig.load()
 

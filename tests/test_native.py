@@ -2,7 +2,6 @@
 of the Wong-Wang simulator with the JAX implementation."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

@@ -8,7 +8,6 @@ reproduced exactly in float32).
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 import torch
 
 from columnflow.ops import (

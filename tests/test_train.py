@@ -8,7 +8,6 @@ reference's tuned learning rates provably transfer.
 """
 
 import json
-import os
 
 import jax
 import jax.numpy as jnp
