@@ -115,6 +115,45 @@ def _rollout_many(params, area, ts, stim_pairs, keys, adaptive=False,
                              chunk=chunk, rtol=rtol, atol=atol)
 
 
+_SHARDED_ROLLOUT_CACHE: dict = {}
+
+
+def _rollout_many_sharded(params, area, ts, stim_pairs, keys, mesh,
+                          **kw):
+    """Shard the realization batch over a device mesh: each device runs the
+    (possibly fused-Pallas) rollout on its local shard — embarrassingly
+    parallel, so no collectives; the analysis reductions happen on the
+    gathered result. Params are replicated. The batch must divide the mesh.
+
+    The jitted shard_map is cached per (area, mesh, batch shape, solver
+    options) so repeated sweeps don't retrace/recompile.
+    """
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    ts_host = np.asarray(ts)
+    ck = (id(area), id(mesh), tuple(stim_pairs.shape), int(ts_host.shape[0]),
+          float(ts_host[-1]), tuple(sorted(kw.items())))
+    run = _SHARDED_ROLLOUT_CACHE.get(ck)
+    if run is None:
+        axis = mesh.axis_names[0]
+
+        @jax.jit
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(), P(axis), P(axis)), out_specs=P(axis),
+            check_vma=False,
+        )
+        def run(p, sp, ks):
+            return _rollout_many(p, area, ts, sp, ks, **kw)
+
+        _SHARDED_ROLLOUT_CACHE[ck] = run
+
+    return run(params, stim_pairs, keys)
+
+
 def sweep_noise_realizations(
     params,
     area,
@@ -127,8 +166,13 @@ def sweep_noise_realizations(
     rtol: float = 1e-3,
     atol: float = 1e-3,
     use_fused: bool | None = None,
+    mesh=None,
 ):
     """Run ``n_realizations`` SDE trajectories of one stimulus condition.
+
+    ``mesh``: optional 1-D device mesh — realizations are sharded across it
+    (multi-chip sweeps; reference runs them one at a time on one CPU,
+    scripts/plotting_results.py:391).
 
     Returns dict with 'frac_a_wins' (scalar), 'rate_a'/'rate_b'
     ((n_realizations,) mean L2/3e decision rates over the stim+post window),
@@ -139,8 +183,14 @@ def sweep_noise_realizations(
     stim_pairs = jnp.broadcast_to(
         jnp.asarray(stim_pair, jnp.float32)[None], (n_realizations, 2)
     )
-    ys = _rollout_many(params, area, ts, stim_pairs, keys, adaptive=adaptive,
-                       rtol=rtol, atol=atol, use_fused=use_fused)
+    if mesh is not None:
+        ys = _rollout_many_sharded(params, area, ts, stim_pairs, keys, mesh,
+                                   adaptive=adaptive, rtol=rtol, atol=atol,
+                                   use_fused=use_fused)
+    else:
+        ys = _rollout_many(params, area, ts, stim_pairs, keys,
+                           adaptive=adaptive, rtol=rtol, atol=atol,
+                           use_fused=use_fused)
 
     fr = compute_firing_rate(ys[..., :16] - ys[..., 16:32])
     onset = time_steps // 3
@@ -156,11 +206,14 @@ def sweep_noise_realizations(
 
 def psychometric_curve(params, area, key, coherences=None,
                        mu_base: float = 20.0, n_realizations: int = 128,
-                       time_steps: int = TIME_STEPS, dt: float = DT, **kw):
+                       time_steps: int = TIME_STEPS, dt: float = DT,
+                       mesh=None, **kw):
     """Fraction of A-wins per coherence: the model's psychometric function.
 
     coherence c drives column A with mu_base + c/2 and B with mu_base - c/2.
-    The whole (coherences x realizations) grid is ONE flat batched rollout.
+    The whole (coherences x realizations) grid is ONE flat batched rollout;
+    with ``mesh`` the grid shards across the devices (C*R must divide the
+    mesh size).
     Returns (coherences, frac_a_wins array).
     """
     if coherences is None:
@@ -173,7 +226,11 @@ def psychometric_curve(params, area, key, coherences=None,
                       mu_base - coherences / 2.0], axis=1)  # (C, 2)
     stim_pairs = jnp.asarray(np.repeat(pairs, R, axis=0))  # (C*R, 2)
     keys = jax.random.split(key, C * R)
-    ys = _rollout_many(params, area, ts, stim_pairs, keys, **kw)
+    if mesh is not None:
+        ys = _rollout_many_sharded(params, area, ts, stim_pairs, keys, mesh,
+                                   **kw)
+    else:
+        ys = _rollout_many(params, area, ts, stim_pairs, keys, **kw)
 
     fr = compute_firing_rate(ys[..., :16] - ys[..., 16:32])
     onset = time_steps // 3
@@ -194,6 +251,9 @@ def main():
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None, help="npz output path")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard the (coherence x realization) grid over all "
+                        "devices")
     args = p.parse_args()
 
     cfg = ColumnConfig.load()
@@ -203,18 +263,23 @@ def main():
 
         params = load_checkpoint(args.checkpoint, params_like=params)["params"]
 
+    mesh = None
+    if args.mesh:
+        from columnflow.parallel import make_mesh
+
+        mesh = make_mesh()
     key = jax.random.PRNGKey(args.seed)
     t0 = time.perf_counter()
     coherences, fracs = psychometric_curve(
         params, area, key, n_realizations=args.realizations,
-        adaptive=args.adaptive,
+        adaptive=args.adaptive, mesh=mesh,
     )
     wall = time.perf_counter() - t0
     # Second sweep reuses the compilation: the steady-state number.
     t0 = time.perf_counter()
     psychometric_curve(params, area, jax.random.PRNGKey(args.seed + 1),
                        n_realizations=args.realizations,
-                       adaptive=args.adaptive)
+                       adaptive=args.adaptive, mesh=mesh)
     wall_hot = time.perf_counter() - t0
     for c, f in zip(coherences, fracs):
         print(f"coherence {c:+6.1f}: P(A wins) = {f:.3f}")

@@ -217,3 +217,44 @@ class TestTPTraining:
             np.testing.assert_allclose(
                 params_tp[k], params_1[k], rtol=1e-5, atol=1e-7,
                 err_msg=k)
+
+
+class TestShardedSweep:
+    """Mesh-sharded WTA noise sweeps match the unsharded rollout exactly
+    (same keys -> same Brownian paths; sharding only moves work)."""
+
+    def test_sweep_matches_unsharded(self):
+        from columnflow.config import ColumnConfig
+        from columnflow.models import build_wta
+        from columnflow.parallel import make_mesh
+        from columnflow.tasks.wta_sweep import sweep_noise_realizations
+
+        cfg = ColumnConfig.load()
+        params, area = build_wta(cfg, jax.random.PRNGKey(0))
+        kw = dict(stim_pair=[25.0, 15.0], n_realizations=8, time_steps=90,
+                  use_fused=False)
+        ref = sweep_noise_realizations(params, area, jax.random.PRNGKey(1),
+                                       **kw)
+        out = sweep_noise_realizations(params, area, jax.random.PRNGKey(1),
+                                       mesh=make_mesh(), **kw)
+        # Batched-vs-per-device matmul reassociation gives ~1e-5 abs
+        # drift over 90 steps of the decision dynamics.
+        np.testing.assert_allclose(np.asarray(out["trajectories"]),
+                                   np.asarray(ref["trajectories"]),
+                                   rtol=1e-3, atol=1e-4)
+        assert out["frac_a_wins"] == ref["frac_a_wins"]
+
+    def test_psychometric_sharded(self):
+        from columnflow.config import ColumnConfig
+        from columnflow.models import build_wta
+        from columnflow.parallel import make_mesh
+        from columnflow.tasks.wta_sweep import psychometric_curve
+
+        cfg = ColumnConfig.load()
+        params, area = build_wta(cfg, jax.random.PRNGKey(0))
+        c, f = psychometric_curve(params, area, jax.random.PRNGKey(2),
+                                  coherences=[-20.0, 20.0],
+                                  n_realizations=4, time_steps=90,
+                                  mesh=make_mesh(), use_fused=False)
+        assert f.shape == (2,)
+        assert np.all((f >= 0.0) & (f <= 1.0))
