@@ -72,7 +72,8 @@ def build_task(cfg: ColumnConfig, key, lr: float = 0.1,
 
 
 def batched_rollout(params, task: ParityTask, stims_raw, method="dopri5",
-                    differentiable=True, use_fused: bool = False):
+                    differentiable=True, use_fused: bool = False,
+                    stochastic: bool = False, key=None):
     """Integrate a batch of input patterns: (B, n_inputs) -> (B, T, 3P).
 
     ``use_fused=True`` runs the whole batch through the Pallas fused dopri5
@@ -80,11 +81,77 @@ def batched_rollout(params, task: ParityTask, stims_raw, method="dopri5",
     semantics rather than the reference's per-sample sequential solves
     (scripts/parity_ode.py:227-236), so trajectories differ within solver
     tolerance; ~2-3x faster on TPU. Default keeps per-sample controllers.
+
+    ``stochastic=True`` integrates the Ito SDE instead (drift + the
+    constant sigma=10 diffusion, one shared Brownian per sample) on the
+    fixed dt grid — the reference's commented-in sdeint alternative
+    (scripts/parity_ode.py:234); requires ``key``. ``use_fused`` selects
+    the Pallas fused SDE rollout (sdeint_fused); otherwise SRA1 over
+    ``lax.scan`` per sample.
     """
     from columnflow.solvers import odeint
 
     time_steps = task.ts.shape[0]
     state_dim = 3 * task.net.num_pops
+
+    if stochastic:
+        if key is None:
+            raise ValueError("stochastic rollout needs a PRNG key")
+        B = stims_raw.shape[0]
+        if use_fused:
+            from columnflow.models.network import (
+                NETWORK_NOISE_STD,
+                build_network_fused_consts,
+                network_drift_premixed,
+                premix_network_weights,
+                prepare_premixed_split,
+            )
+            from columnflow.ops.interp import interp_knots, step_table_knots
+            from columnflow.solvers import sdeint_fused
+
+            dt = task.dt
+            fc = build_network_fused_consts(task.net)
+            kts, kvals = step_table_knots(time_steps, dt,
+                                          jnp.zeros_like(stims_raw),
+                                          stims_raw)
+
+            def drift(t, y, pw, fc, kv):
+                return network_drift_premixed(
+                    t, y, pw, fc, Stimulus(0.0, dt, kv),
+                    interp_fn=lambda t_, t0_, dt_, v:
+                        interp_knots(t_, kts, v),
+                )
+
+            def diffusion(t, y, pw, fc, kv):
+                return jnp.full_like(y, NETWORK_NOISE_STD)
+
+            y0 = jnp.zeros((B, state_dim))
+            ys = sdeint_fused(
+                drift, diffusion, y0, task.ts, key,
+                premix_network_weights(params, task.net), fc, kvals,
+                method="srk", noise_shape=(B, 1), nondiff_args=(1, 2),
+                prepare=prepare_premixed_split,
+                interpret=jax.default_backend() == "cpu",
+            )  # (T, B, 3P)
+            return jnp.transpose(ys, (1, 0, 2))
+
+        from columnflow.models.network import network_diffusion
+        from columnflow.solvers import sdeint
+
+        keys = jax.random.split(key, B)
+
+        def one_sde(stim_raw, k):
+            table = parity_stim_table(stim_raw, time_steps)
+            stim = Stimulus(0.0, task.dt, table)
+            return sdeint(
+                lambda t, y: network_drift(t, y, params, task.net, stim),
+                lambda t, y: network_diffusion(t, y, params, task.net,
+                                               stim),
+                jnp.zeros(state_dim), task.ts, k,
+                method="srk", noise="scalar", additive=True,
+            )
+
+        return jax.vmap(one_sde)(stims_raw, keys)
 
     if use_fused and method == "dopri5":
         from columnflow.models.network import (
@@ -119,6 +186,7 @@ def batched_rollout(params, task: ParityTask, stims_raw, method="dopri5",
             fc, kvals, max_steps=task.max_steps,
             nondiff_args=(1, 2),  # anatomy + stimulus are data
             prepare=prepare_premixed_split,
+            interpret=jax.default_backend() == "cpu",
         )  # (T, B, 3P)
         return jnp.transpose(ys, (1, 0, 2))
 
@@ -154,10 +222,12 @@ def parity_targets(stims_raw, level: float = 15.0):
     return even.astype(jnp.float32) * TARGET_EVEN
 
 
-def _step_core(task: ParityTask, use_fused: bool = False):
-    def train_step(params, opt_state, stims_raw):
+def _step_core(task: ParityTask, use_fused: bool = False,
+               stochastic: bool = False):
+    def train_step(params, opt_state, stims_raw, noise_key=None):
         def loss_fn(p):
-            ys = batched_rollout(p, task, stims_raw, use_fused=use_fused)
+            ys = batched_rollout(p, task, stims_raw, use_fused=use_fused,
+                                 stochastic=stochastic, key=noise_key)
             out = readout(ys, p, task.net)
             return jnp.mean(jnp.abs(out - parity_targets(stims_raw))), out
 
@@ -190,13 +260,16 @@ def _step_core(task: ParityTask, use_fused: bool = False):
     return train_step
 
 
-def make_train_step(task: ParityTask, use_fused: bool = False):
-    return jax.jit(_step_core(task, use_fused), donate_argnums=(0, 1))
+def make_train_step(task: ParityTask, use_fused: bool = False,
+                    stochastic: bool = False):
+    return jax.jit(_step_core(task, use_fused, stochastic),
+                   donate_argnums=(0, 1))
 
 
 def make_train_scan(task: ParityTask, use_fused: bool = False,
                     n_inputs: int = 4, batch_size: int = 4,
-                    fixed_position: bool = True):
+                    fixed_position: bool = True,
+                    stochastic: bool = False):
     """K training iterations per dispatch: batch generation, rollout,
     loss, rails, update and best-params tracking all inside one
     jitted ``lax.scan``. On the TPU tunnel every host round-trip
@@ -208,16 +281,18 @@ def make_train_scan(task: ParityTask, use_fused: bool = False,
     (params, opt_state, best, losses, gnorms, oks)`` where ``best``
     is a (best_loss, best_params) pair carried across calls.
     """
-    core = _step_core(task, use_fused)
+    core = _step_core(task, use_fused, stochastic)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_scan(params, opt_state, best, keys):
         def body(carry, key):
             params, opt_state, (best_loss, best_params) = carry
-            stims = make_parity_batch(key, n_inputs, batch_size,
+            k_batch, k_noise = jax.random.split(key)
+            stims = make_parity_batch(k_batch, n_inputs, batch_size,
                                       fixed_position=fixed_position)
             params, opt_state, loss, out, gnorm, ok = core(
-                params, opt_state, stims
+                params, opt_state, stims,
+                k_noise if stochastic else None
             )
             improved = loss < best_loss
             best_loss = jnp.where(improved, loss, best_loss)
@@ -271,6 +346,7 @@ def train_parity(
     random_fan_in: bool = False,
     fixed_position: bool = True,
     resume_from: str | None = None,
+    stochastic: bool = False,
 ):
     """Reference defaults: 6400 samples / batch 4 -> 1600 iterations,
     fixed-position patterns (scripts/parity_ode.py:286-294).
@@ -295,7 +371,8 @@ def train_parity(
 
     scan_fn = make_train_scan(task, use_fused=use_fused,
                               n_inputs=n_inputs, batch_size=batch_size,
-                              fixed_position=fixed_position)
+                              fixed_position=fixed_position,
+                              stochastic=stochastic)
 
     # Solver observability (SURVEY.md section 5): adaptive-step statistics
     # every stats_every iterations - naccept growth flags the approaching
@@ -435,6 +512,10 @@ def main():
     p.add_argument("--fused", action="store_true",
                    help="shared-controller Pallas fused dopri5 (faster; "
                         "torchdiffeq-batched semantics)")
+    p.add_argument("--stochastic", action="store_true",
+                   help="train through the Ito SDE (sigma=10, SRA1 on the "
+                        "fixed grid) — the reference's commented-in sdeint "
+                        "alternative (scripts/parity_ode.py:234)")
     p.add_argument("--metrics-out", default=None)
     p.add_argument("--profile-dir", default=None,
                    help="dump a jax.profiler trace of steps 2-4 here")
@@ -451,6 +532,7 @@ def main():
             fixed_position=not args.position_invariant,
             metrics_path=args.metrics_out,
             profile_dir=args.profile_dir,
+            stochastic=args.stochastic,
         )
     else:
         params, hist = train_parity(
@@ -462,6 +544,7 @@ def main():
             profile_dir=args.profile_dir,
             checkpoint_path=args.checkpoint_out,
             resume_from=args.resume,
+            stochastic=args.stochastic,
         )
     final = next(h for h in reversed(hist) if "loss" in h)
     print(f"final loss {final['loss']:.5f} | "

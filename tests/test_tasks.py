@@ -184,3 +184,55 @@ class TestBifurcationResume:
         # 4 total iterations, 2 already done -> 2 new records.
         assert len(hist) == 2
         assert all(np.isfinite(h["loss"]) for h in hist)
+
+
+class TestParityStochastic:
+    """The reference's commented-in sdeint alternative
+    (scripts/parity_ode.py:234): parity training through the Ito SDE."""
+
+    def test_smoke_train(self):
+        params, hist = train_parity(nr_samples=8, batch_size=4, seed=0,
+                                    columns_per_area=(2, 1), n_inputs=2,
+                                    time_steps=60, max_steps=512,
+                                    stochastic=True)
+        assert _finite(hist)
+        assert np.all(np.asarray(params["lateral"]) <= 0.0)
+
+    def test_stochastic_rollout_paths(self):
+        """Scan and fused SDE paths both produce finite, genuinely noisy
+        trajectories of the right shape (noise draws differ by design:
+        per-sample keys vs one batch pack)."""
+        import jax
+
+        from columnflow.config import ColumnConfig
+        from columnflow.tasks import parity as pt
+
+        cfg = ColumnConfig.load()
+        task = pt.build_task(cfg, jax.random.PRNGKey(0),
+                             columns_per_area=(2, 1), n_inputs=2,
+                             time_steps=60, max_steps=512)
+        stims = jnp.asarray([[15.0, 0.0], [15.0, 15.0]], jnp.float32)
+        det = pt.batched_rollout(task.params, task, stims,
+                                 differentiable=False)
+        for fused in (False, True):
+            ys = pt.batched_rollout(task.params, task, stims,
+                                    stochastic=True, use_fused=fused,
+                                    key=jax.random.PRNGKey(3))
+            assert ys.shape == (2, 60, 3 * task.net.num_pops)
+            assert bool(jnp.all(jnp.isfinite(ys)))
+            assert float(jnp.max(jnp.abs(ys - det))) > 1e-3
+
+    def test_stochastic_requires_key(self):
+        import jax
+        import pytest
+
+        from columnflow.config import ColumnConfig
+        from columnflow.tasks import parity as pt
+
+        cfg = ColumnConfig.load()
+        task = pt.build_task(cfg, jax.random.PRNGKey(0),
+                             columns_per_area=(2, 1), n_inputs=2,
+                             time_steps=60, max_steps=512)
+        with pytest.raises(ValueError, match="key"):
+            pt.batched_rollout(task.params, task,
+                               jnp.zeros((2, 2)), stochastic=True)
