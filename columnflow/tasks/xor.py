@@ -57,15 +57,41 @@ def build_task(cfg: ColumnConfig, key, lr: float = 0.5, alpha: float = 0.95,
 
 
 def batched_rollout(params, task: XORTask, conditions, method="dopri5",
-                    differentiable=True, use_fused: bool = False):
+                    differentiable=True, use_fused: bool = False,
+                    stochastic: bool = False, key=None):
     """Integrate the four XOR conditions: (4, 2) -> (4, T, 72).
 
     ``use_fused=True``: one shared-controller Pallas fused dopri5 solve for
     the whole batch (see tasks.parity.batched_rollout for the semantics
-    trade-off vs the reference's per-sample solves)."""
+    trade-off vs the reference's per-sample solves).
+
+    ``stochastic=True``: integrate the Ito SDE instead (membrane-only
+    sigma=10 diffusion, scripts/xor_ode.py's commented-in sdeint at :115);
+    requires ``key``; SRA1 on the fixed dt grid, per-sample Brownian.
+    """
     from columnflow.solvers import odeint
 
     time_steps = task.ts.shape[0]
+
+    if stochastic:
+        if key is None:
+            raise ValueError("stochastic rollout needs a PRNG key")
+        from columnflow.models.xor import xor_diffusion
+        from columnflow.solvers import sdeint
+
+        keys = jax.random.split(key, conditions.shape[0])
+
+        def one_sde(cond, k):
+            table = prep_xor_stim(cond, time_steps)
+            stim = Stimulus(0.0, task.dt, table)
+            return sdeint(
+                lambda t, y: xor_drift(t, y, params, task.net, stim),
+                lambda t, y: xor_diffusion(t, y, params, task.net, stim),
+                jnp.zeros(XOR_STATE_DIM), task.ts, k,
+                method="srk", noise="scalar", additive=True,
+            )
+
+        return jax.vmap(one_sde)(conditions, keys)
 
     if use_fused and method == "dopri5":
         from columnflow.models.xor import (
@@ -131,11 +157,13 @@ def xor_targets(conditions):
     return jnp.where(diff, 1.0, 0.25)
 
 
-def make_train_step(task: XORTask, use_fused: bool = False):
+def make_train_step(task: XORTask, use_fused: bool = False,
+                    stochastic: bool = False):
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, conditions):
+    def train_step(params, opt_state, conditions, noise_key=None):
         def loss_fn(p):
-            ys = batched_rollout(p, task, conditions, use_fused=use_fused)
+            ys = batched_rollout(p, task, conditions, use_fused=use_fused,
+                                 stochastic=stochastic, key=noise_key)
             _, loss = readout(ys, xor_targets(conditions))
             return loss
 
@@ -174,15 +202,18 @@ def train_xor(
     plot_dir: str | None = None,
     plot_every: int = 5,
     use_fused: bool = False,
+    stochastic: bool = False,
 ):
     """Reference defaults: 160 samples / batch 4 -> 40 iterations
-    (scripts/xor_ode.py:202-207)."""
+    (scripts/xor_ode.py:202-207). ``stochastic`` trains through the Ito
+    SDE (the reference's commented-in sdeint, scripts/xor_ode.py:115)."""
     cfg = ColumnConfig.load()
     key = jax.random.PRNGKey(seed)
     key, k_build = jax.random.split(key)
     task = build_task(cfg, k_build, time_steps=time_steps, max_steps=max_steps)
 
-    step_fn = make_train_step(task, use_fused=use_fused)
+    step_fn = make_train_step(task, use_fused=use_fused,
+                              stochastic=stochastic)
     eval_fn = jax.jit(
         lambda p, conds: readout(
             batched_rollout(p, task, conds, differentiable=False),
@@ -199,9 +230,10 @@ def train_xor(
 
     for it in range(nr_samples // batch_size):
         profiler.step(it)
-        key, k_shuf = jax.random.split(key)
+        key, k_shuf, k_noise = jax.random.split(key, 3)
         conds = conds_all[jax.random.permutation(k_shuf, 4)]
-        params, opt_state, loss = step_fn(params, opt_state, conds)
+        params, opt_state, loss = step_fn(
+            params, opt_state, conds, k_noise if stochastic else None)
         final_c, test_loss = eval_fn(params, conds_all)
         # single host sync for all logged values
         loss, final_c, test_loss = jax.device_get((loss, final_c, test_loss))
@@ -248,18 +280,23 @@ def main():
     p.add_argument("--profile-dir", default=None,
                    help="dump a jax.profiler trace of steps 2-4 here")
     p.add_argument("--checkpoint-out", default=None)
+    p.add_argument("--stochastic", action="store_true",
+                   help="train through the Ito SDE (the reference's "
+                        "commented-in sdeint, scripts/xor_ode.py:115)")
     args = p.parse_args()
 
     if args.smoke:
         params, hist = train_xor(nr_samples=8, time_steps=200, max_steps=1024,
                                  seed=args.seed, metrics_path=args.metrics_out,
-            profile_dir=args.profile_dir)
+                                 profile_dir=args.profile_dir,
+                                 stochastic=args.stochastic)
     else:
         params, hist = train_xor(nr_samples=args.samples, seed=args.seed,
                                  use_fused=args.fused,
                                  metrics_path=args.metrics_out,
-            profile_dir=args.profile_dir,
-                                 checkpoint_path=args.checkpoint_out)
+                                 profile_dir=args.profile_dir,
+                                 checkpoint_path=args.checkpoint_out,
+                                 stochastic=args.stochastic)
     print(f"final loss {hist[-1]['loss']:.5f} | acc {hist[-1]['acc']:.2f}")
 
 

@@ -236,3 +236,10 @@ class TestParityStochastic:
         with pytest.raises(ValueError, match="key"):
             pt.batched_rollout(task.params, task,
                                jnp.zeros((2, 2)), stochastic=True)
+
+
+class TestXORStochastic:
+    def test_smoke_train(self):
+        params, hist = train_xor(nr_samples=8, time_steps=60, max_steps=512,
+                                 seed=0, stochastic=True)
+        assert _finite(hist)
