@@ -155,8 +155,30 @@ def sdeint(
             (i1, i10, i11, i111), each with leading axis T-1 — used to pin
             a Brownian path externally (tests, coupling across resolutions).
 
-    Returns ys with shape (T,) + y0.shape; ys[0] == y0.
+    Returns ys with shape (T,) + y0.shape; ys[0] == y0. Pytree states are
+    supported like ``odeint``'s: drift/diffusion receive (and return) the
+    pytree, integration runs on the raveled vector ("scalar" noise shares
+    one Brownian across the whole tree; "diagonal" draws per element).
     """
+    leaves = jax.tree_util.tree_leaves(y0)
+    if not (len(leaves) == 1 and y0 is leaves[0]):
+        from jax.flatten_util import ravel_pytree
+
+        flat_y0, unravel = ravel_pytree(y0)
+
+        def flat_fn(fn):
+            def g(t, y_flat, *a):
+                return ravel_pytree(fn(t, unravel(y_flat), *a))[0]
+            return g
+
+        ys = sdeint(flat_fn(drift), flat_fn(diffusion), flat_y0, ts, key,
+                    *args, method=method, noise=noise, additive=additive,
+                    remat=remat, noise_pack=noise_pack)
+        return jax.vmap(unravel)(ys)
+
+    y0 = jnp.asarray(y0)
+    if not jnp.issubdtype(y0.dtype, jnp.inexact):
+        y0 = y0.astype(jnp.float32)
     ts = jnp.asarray(ts, dtype=y0.dtype)
     if noise == "scalar":
         noise_shape: tuple = ()

@@ -236,3 +236,35 @@ class TestTransformComposability:
         ))(y0s)
         np.testing.assert_allclose(
             np.asarray(ys[:, -1]), np.asarray(y0s) * np.exp(-1.0), rtol=1e-5)
+
+
+class TestPytreeState:
+    def test_pytree_state_matches_flat(self):
+        """Pytree-state sdeint == flat-state sdeint on the raveled vector
+        (same key -> same Brownian draws)."""
+        ts = jnp.linspace(0.0, 1.0, 50)
+        key = jax.random.PRNGKey(5)
+
+        def drift_t(t, y):
+            return {"a": -y["a"], "b": -2.0 * y["b"]}
+
+        def diff_t(t, y):
+            return {"a": 0.3 * jnp.ones_like(y["a"]),
+                    "b": 0.1 * jnp.ones_like(y["b"])}
+
+        y0 = {"a": jnp.ones(2), "b": jnp.full(3, 2.0)}
+        ys = sdeint(drift_t, diff_t, y0, ts, key, method="srk",
+                    additive=True)
+        assert ys["a"].shape == (50, 2) and ys["b"].shape == (50, 3)
+
+        from jax.flatten_util import ravel_pytree
+
+        flat0, unravel = ravel_pytree(y0)
+        flat = sdeint(
+            lambda t, y: ravel_pytree(drift_t(t, unravel(y)))[0],
+            lambda t, y: ravel_pytree(diff_t(t, unravel(y)))[0],
+            flat0, ts, key, method="srk", additive=True)
+        np.testing.assert_allclose(np.asarray(ys["a"]),
+                                   np.asarray(flat[:, :2]), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(ys["b"]),
+                                   np.asarray(flat[:, 2:]), rtol=1e-6)
