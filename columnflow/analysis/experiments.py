@@ -317,6 +317,10 @@ def main():
                                           "xor-timecourse"])
     p.add_argument("--checkpoint", default=None,
                    help="checkpoint path from the wta/xor task trainers")
+    p.add_argument("--demo", action="store_true",
+                   help="use the packaged trained-WTA demo checkpoint "
+                        "(the reference analysis script's hardcoded trained "
+                        "matrix, scripts/plotting_results.py:36-101)")
     p.add_argument("--out-dir", default="results")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--iterations", type=int, default=10,
@@ -349,7 +353,11 @@ def main():
     from columnflow.models import build_wta
 
     params, area = build_wta(cfg, jax.random.PRNGKey(0))
-    if args.checkpoint:
+    if args.demo:
+        from columnflow.analysis.demo import load_demo_wta
+
+        params, area = load_demo_wta()
+    elif args.checkpoint:
         from columnflow.train import load_checkpoint
 
         params = load_checkpoint(args.checkpoint, params_like=params)["params"]

@@ -249,6 +249,8 @@ def main():
     p.add_argument("--adaptive", action="store_true",
                    help="adaptive Milstein on a virtual Brownian tree")
     p.add_argument("--checkpoint", default=None)
+    p.add_argument("--demo", action="store_true",
+                   help="use the packaged trained-WTA demo checkpoint")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None, help="npz output path")
     p.add_argument("--mesh", action="store_true",
@@ -258,7 +260,11 @@ def main():
 
     cfg = ColumnConfig.load()
     params, area = build_wta(cfg, jax.random.PRNGKey(0))
-    if args.checkpoint:
+    if args.demo:
+        from columnflow.analysis.demo import load_demo_wta
+
+        params, area = load_demo_wta()
+    elif args.checkpoint:
         from columnflow.train import load_checkpoint
 
         params = load_checkpoint(args.checkpoint, params_like=params)["params"]

@@ -135,3 +135,24 @@ def test_rivalry_sweep_grid():
     assert out["mean_dominance"].shape == (2, 2)
     assert out["alternation_rate"].shape == (2, 2)
     assert np.isfinite(out["alternation_rate"]).all()
+
+
+class TestDemoCheckpoint:
+    def test_load_demo_wta(self):
+        """The packaged trained checkpoint loads and differs from anatomy
+        exactly on the 4 trainable lateral-inhibition/self-excitation
+        entries."""
+        import jax
+
+        from columnflow.analysis.demo import load_demo_wta
+        from columnflow.config import ColumnConfig
+        from columnflow.models import build_wta
+        from columnflow.models.wta import wta_lat_in_mask
+
+        params, area = load_demo_wta()
+        p0, _ = build_wta(ColumnConfig.load(), jax.random.PRNGKey(0))
+        w, w0 = (np.asarray(params["recurrent_weights"]),
+                 np.asarray(p0["recurrent_weights"]))
+        mask = wta_lat_in_mask()
+        assert np.allclose(w[mask == 0], w0[mask == 0])
+        assert np.max(np.abs(w[mask == 1] - w0[mask == 1])) > 1e-4
