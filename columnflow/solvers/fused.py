@@ -684,20 +684,31 @@ def _make_sde_chunk_kernel(drift, diffusion, prep, n_args, chunk, h,
 
 
 def _make_sde_bwd_chunk_kernel(step, prep, n_args, chunk, h, t_base,
-                               diff_idx):
+                               diff_idx, emit_steps=False):
     """Reverse SDE chunk: in-kernel ``jax.vjp`` of the step.
 
     Inputs: offs (SMEM (1,)), ys_prev (chunk,)+S (states BEFORE each step),
     ysbar (chunk,)+S (cotangents on states AFTER each step), ybar_in (S),
     i1/i10 chunks, arg refs. Outputs: ybar_out, diff-arg accumulators.
+
+    ``emit_steps=True`` is the large-model variant (``arg_grads="outer"``,
+    same idea as the ODE backward kernel): differentiate wrt the state only
+    (pass ``diff_idx=()``) and write, per step, the TOTAL cotangent on the
+    step's output (downstream + direct) so arg gradients can be recovered
+    outside the kernel as step-batched VJPs.
     """
 
     def kernel(off_ref, ysprev_ref, ysbar_ref, ybar_ref, i1_ref, i10_ref,
                *refs):
         arg_refs = refs[:n_args]
         ybarout_ref = refs[n_args]
-        abar_refs = refs[n_args + 1:]
+        rest = refs[n_args + 1:]
+        if emit_steps:
+            ybarsteps_ref, abar_refs = rest[0], rest[1:]
+        else:
+            abar_refs = rest
         raw = tuple(r[:] for r in arg_refs)
+        pargs = prep(raw) if emit_steps else None
         t_off = off_ref[0].astype(jnp.float32) * h + t_base
 
         abar0 = tuple(jnp.zeros(r.shape, r.dtype) for r in abar_refs)
@@ -709,15 +720,20 @@ def _make_sde_bwd_chunk_kernel(step, prep, n_args, chunk, h, t_base,
             y = ysprev_ref[k]
             i1 = i1_ref[k]
             i10 = i10_ref[k]
+            seed = ybar + ysbar_ref[k]
+            if emit_steps:
+                ybarsteps_ref[k] = seed
 
             def stepfn(y, *diff_vals):
+                if emit_steps:
+                    return step(t0, y, i1, i10, pargs)
                 full = list(raw)
                 for i, v in zip(diff_idx, diff_vals):
                     full[i] = v
                 return step(t0, y, i1, i10, prep(tuple(full)))
 
             _, vjp = jax.vjp(stepfn, y, *(raw[i] for i in diff_idx))
-            grads = vjp(ybar + ysbar_ref[k])
+            grads = vjp(seed)
             abars = tuple(a + g for a, g in zip(abars, grads[1:]))
             return (grads[0], abars)
 
@@ -743,6 +759,7 @@ def sdeint_fused(
     nondiff_args: tuple = (),
     chunk: int | None = None,
     prepare: Callable | None = None,
+    arg_grads: str = "auto",
     interpret: bool = False,
 ):
     """Fixed-grid Ito SDE integration, every step loop a Pallas kernel.
@@ -756,12 +773,20 @@ def sdeint_fused(
     pathwise), or from an explicit ``noise_pack`` (i1, i10) with leading
     axis len(ts)-1. Gradients flow to y0 and diff args; noise is data.
 
+    ``arg_grads`` as in ``odeint_dopri5_fused``: "kernel" computes arg
+    gradients inside the backward kernel; "outer" sweeps only the state
+    cotangent in-kernel and recovers arg gradients outside as step-batched
+    VJPs (required for models whose per-step arg-cotangent temporaries
+    would blow VMEM); "auto" picks "outer" above ~1 MB of diff args.
+
     Returns ys with ys[0] == y0, shape (len(ts),) + y0.shape.
     """
     from columnflow.solvers.sde import _brownian_pack
 
     if method not in ("srk", "euler"):
         raise ValueError(f"unknown fused SDE method: {method!r}")
+    if arg_grads not in ("auto", "kernel", "outer"):
+        raise ValueError(f"unknown arg_grads mode: {arg_grads!r}")
     ts_host = np.asarray(ts)
     y0 = jnp.asarray(y0)
     if not jnp.issubdtype(y0.dtype, jnp.inexact):
@@ -794,6 +819,13 @@ def sdeint_fused(
     n_args = len(dyn)
     S = y0.shape
 
+    if arg_grads == "auto":
+        diff_bytes = sum(dyn[i].dtype.itemsize * int(np.prod(dyn[i].shape))
+                         for i in diff_idx)
+        arg_grads = "outer" if diff_bytes > (1 << 20) else "kernel"
+    if not diff_idx:
+        arg_grads = "kernel"
+
     if chunk is None:
         state_bytes = 4 * int(np.prod(y0.shape))
         chunk = int(max(16, min(1024, (2 << 20) // (6 * state_bytes))))
@@ -801,10 +833,13 @@ def sdeint_fused(
     n_full = n_steps // chunk
     rem = n_steps - n_full * chunk
 
+    step_fns = {}
+
     def make_calls(c):
         fwd_kernel, step = _make_sde_chunk_kernel(
             wrapped_drift, wrapped_diff, prep, n_args, c, h, t_base, method
         )
+        step_fns[c] = step
         fwd = pl.pallas_call(
             fwd_kernel,
             out_shape=(jax.ShapeDtypeStruct(S, y0.dtype),
@@ -814,18 +849,30 @@ def sdeint_fused(
             out_specs=(_VMEM(), _VMEM()),
             interpret=interpret,
         )
-        bwd = pl.pallas_call(
-            _make_sde_bwd_chunk_kernel(step, prep, n_args, c, h, t_base,
-                                       diff_idx),
-            out_shape=((jax.ShapeDtypeStruct(S, y0.dtype),)
-                       + tuple(jax.ShapeDtypeStruct(dyn[i].shape,
-                                                    dyn[i].dtype)
-                               for i in diff_idx)),
-            in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
-                      + [_VMEM()] * (5 + n_args)),
-            out_specs=(_VMEM(),) * (1 + len(diff_idx)),
-            interpret=interpret,
-        )
+        if arg_grads == "outer":
+            bwd = pl.pallas_call(
+                _make_sde_bwd_chunk_kernel(step, prep, n_args, c, h, t_base,
+                                           (), emit_steps=True),
+                out_shape=(jax.ShapeDtypeStruct(S, y0.dtype),
+                           jax.ShapeDtypeStruct((c,) + S, y0.dtype)),
+                in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                          + [_VMEM()] * (5 + n_args)),
+                out_specs=(_VMEM(), _VMEM()),
+                interpret=interpret,
+            )
+        else:
+            bwd = pl.pallas_call(
+                _make_sde_bwd_chunk_kernel(step, prep, n_args, c, h, t_base,
+                                           diff_idx),
+                out_shape=((jax.ShapeDtypeStruct(S, y0.dtype),)
+                           + tuple(jax.ShapeDtypeStruct(dyn[i].shape,
+                                                        dyn[i].dtype)
+                                   for i in diff_idx)),
+                in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                          + [_VMEM()] * (5 + n_args)),
+                out_specs=(_VMEM(),) * (1 + len(diff_idx)),
+                interpret=interpret,
+            )
         return fwd, bwd
 
     fwd_call, bwd_call = make_calls(chunk)
@@ -857,12 +904,88 @@ def sdeint_fused(
         ys = _fwd_impl(y0, *dyn)
         return ys, (ys, dyn)
 
+    def _outer_sde_arg_grads(ys_prev, seeds, dyn_args):
+        """Arg gradients as step-batched VJPs outside the kernels.
+
+        ``seeds`` are the total per-step output cotangents emitted by the
+        state-only backward kernel — the same seed the in-kernel path feeds
+        its vjp, so gradients match up to fp reassociation. The vjp is
+        linear in the seed, so zero-padded steps contribute exact zeros.
+        """
+        step = step_fns[chunk]
+        t0s = (t_base + h * jnp.arange(n_steps)).astype(y0.dtype)
+
+        def one(t0k, yk, i1k, i10k, seedk):
+            def stepfn(*diff_vals):
+                full = list(dyn_args)
+                for i, v in zip(diff_idx, diff_vals):
+                    full[i] = v
+                return step(t0k, yk, i1k, i10k, prep(tuple(full)))
+
+            _, vjp = jax.vjp(stepfn, *(dyn_args[i] for i in diff_idx))
+            return vjp(seedk)
+
+        blk_n = min(256, n_steps)
+        nb = -(-n_steps // blk_n)
+        pad = nb * blk_n - n_steps
+
+        def padz(a):
+            return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+
+        t0p, ysp, i1p, i10p, sdp = (padz(t0s), padz(ys_prev), padz(i1),
+                                    padz(i10), padz(seeds))
+
+        def blk(acc, b):
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, b * blk_n, blk_n)
+            g = jax.vmap(one)(sl(t0p), sl(ysp), sl(i1p), sl(i10p), sl(sdp))
+            return jax.tree_util.tree_map(
+                lambda a, gg: a + jnp.sum(gg, 0), acc, g), None
+
+        init = tuple(jnp.zeros(dyn_args[i].shape, dyn_args[i].dtype)
+                     for i in diff_idx)
+        acc, _ = jax.lax.scan(blk, init, jnp.arange(nb))
+        return acc
+
     def bwd(res, ys_bar):
         ys, dyn = res
         ys_prev = ys[:-1]  # state BEFORE each step
         ysbar_steps = ys_bar[1:]
-        abars = tuple(jnp.zeros(dyn[i].shape, dyn[i].dtype) for i in diff_idx)
         ybar = jnp.zeros(S, y0.dtype)
+
+        if arg_grads == "outer":
+            seeds_rem = None
+            if rem:
+                off = jnp.asarray([n_full * chunk], jnp.int32)
+                ybar, seeds_rem = bwd_rem(
+                    off, ys_prev[n_full * chunk:],
+                    ysbar_steps[n_full * chunk:], ybar,
+                    i1[n_full * chunk:], i10[n_full * chunk:], *dyn)
+
+            def body(ybar, c):
+                ci = n_full - 1 - c
+                off = (ci * chunk)[None].astype(jnp.int32)
+                i1_c = jax.lax.dynamic_slice_in_dim(i1, ci * chunk, chunk)
+                i10_c = jax.lax.dynamic_slice_in_dim(i10, ci * chunk, chunk)
+                ysp = jax.lax.dynamic_slice_in_dim(ys_prev, ci * chunk,
+                                                   chunk)
+                ysb = jax.lax.dynamic_slice_in_dim(ysbar_steps, ci * chunk,
+                                                   chunk)
+                ybar_new, seeds_c = bwd_call(off, ysp, ysb, ybar, i1_c,
+                                             i10_c, *dyn)
+                return ybar_new, seeds_c
+
+            ybar, seeds_rev = jax.lax.scan(body, ybar, jnp.arange(n_full))
+            seeds = jnp.flip(seeds_rev, 0).reshape((n_full * chunk,) + S)
+            if rem:
+                seeds = jnp.concatenate([seeds, seeds_rem], axis=0)
+            abars = _outer_sde_arg_grads(ys_prev, seeds, dyn)
+            ybar = ybar + ys_bar[0]
+            full = [jnp.zeros(a.shape, a.dtype) for a in dyn]
+            for i, g in zip(diff_idx, abars):
+                full[i] = g
+            return (ybar,) + tuple(full)
+
+        abars = tuple(jnp.zeros(dyn[i].shape, dyn[i].dtype) for i in diff_idx)
         if rem:
             off = jnp.asarray([n_full * chunk], jnp.int32)
             out = bwd_rem(off, ys_prev[n_full * chunk:],

@@ -401,3 +401,53 @@ class TestInterpKnots:
             # fp32 frac rounding differs between formulations mid-ramp
             np.testing.assert_allclose(np.asarray(knots), np.asarray(dense),
                                        rtol=1e-4, atol=1e-5)
+
+
+class TestFusedSDEOuterArgGrads:
+    """arg_grads="outer" (state-only backward kernel + step-batched outer
+    VJPs) must match the in-kernel mode exactly, including with a partial
+    trailing chunk."""
+
+    def test_outer_matches_kernel_grads(self):
+        from columnflow.solvers.fused import sdeint_fused
+        from columnflow.solvers.sde import _brownian_pack
+
+        ts = jnp.linspace(0.0, 1.0, 41)  # 40 steps; chunk 16 -> 2 full + 8
+        y0 = jnp.arange(12.0).reshape(3, 4) / 6.0
+        p = {"k": jnp.full((3, 4), 0.8), "b": jnp.full((3, 4), 0.1)}
+        key = jax.random.PRNGKey(5)
+        _, i1, i10, _, _ = _brownian_pack(key, ts, (), jnp.float32)
+
+        def drift(t, y, p):
+            return -p["k"] * y + p["b"]
+
+        def diff(t, y, p):
+            return 0.3 * jnp.ones_like(y)
+
+        def run(mode):
+            def loss(p):
+                ys = sdeint_fused(drift, diff, y0, ts, key, p,
+                                  method="srk", noise_pack=(i1, i10),
+                                  chunk=16, arg_grads=mode, interpret=True)
+                return jnp.sum(ys ** 2)
+
+            return loss(p), jax.grad(loss)(p)
+
+        v_k, g_k = run("kernel")
+        v_o, g_o = run("outer")
+        np.testing.assert_allclose(float(v_o), float(v_k), rtol=1e-6)
+        for k in g_k:
+            np.testing.assert_allclose(np.asarray(g_o[k]),
+                                       np.asarray(g_k[k]),
+                                       rtol=1e-5, atol=1e-6, err_msg=k)
+
+    def test_bad_arg_grads_raises(self):
+        import pytest
+
+        from columnflow.solvers.fused import sdeint_fused
+
+        ts = jnp.linspace(0.0, 1.0, 5)
+        with pytest.raises(ValueError, match="arg_grads"):
+            sdeint_fused(lambda t, y: -y, lambda t, y: jnp.ones_like(y),
+                         jnp.ones((2, 4)), ts, jax.random.PRNGKey(0),
+                         arg_grads="nope", interpret=True)
