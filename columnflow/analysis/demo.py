@@ -19,6 +19,10 @@ DEMO_CHECKPOINT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "assets", "wta_trained_demo")
 
 
+PARITY_DEMO_CHECKPOINT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "assets", "parity_trained_demo")
+
+
 def load_demo_wta():
     """(params, area) with the packaged trained recurrent weights."""
     from columnflow.config import ColumnConfig
@@ -28,3 +32,21 @@ def load_demo_wta():
     params, area = build_wta(ColumnConfig.load(), jax.random.PRNGKey(0))
     params = load_checkpoint(DEMO_CHECKPOINT, params_like=params)["params"]
     return params, area
+
+
+def load_demo_parity():
+    """A ParityTask whose params are the packaged best-loss checkpoint of a
+    full reference-protocol training run (1600 iterations, --fused); it
+    solves 4-bit parity (accuracy 1.0, asserted in tests/test_analysis.py).
+    The build key only seeds trainable-weight inits, which the checkpoint
+    replaces wholesale; the anatomy and default fixed fan-in masks are
+    key-independent, so any build reproduces the trained network.
+    """
+    from columnflow.config import ColumnConfig
+    from columnflow.tasks.parity import build_task
+    from columnflow.train import load_checkpoint
+
+    task = build_task(ColumnConfig.load(), jax.random.PRNGKey(0))
+    params = load_checkpoint(PARITY_DEMO_CHECKPOINT,
+                             params_like=task.params)["params"]
+    return task._replace(params=params)

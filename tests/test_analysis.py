@@ -156,3 +156,26 @@ class TestDemoCheckpoint:
         mask = wta_lat_in_mask()
         assert np.allclose(w[mask == 0], w0[mask == 0])
         assert np.max(np.abs(w[mask == 1] - w0[mask == 1])) > 1e-4
+
+    def test_demo_parity_solves_parity(self):
+        """The packaged parity checkpoint classifies all four fixed-position
+        patterns correctly (the repo's headline science result, pinned as a
+        verifiable artifact)."""
+        import jax
+
+        from columnflow.analysis.demo import load_demo_parity
+        from columnflow.tasks.parity import (
+            TARGET_EVEN,
+            batched_rollout,
+            parity_targets,
+            readout,
+        )
+        from columnflow.data import parity_combinations
+
+        task = load_demo_parity()
+        stims = jnp.asarray(parity_combinations(4, fixed_position=True))
+        ys = batched_rollout(task.params, task, stims, differentiable=False)
+        out = readout(ys, task.params, task.net)
+        targets = parity_targets(stims)
+        acc = float(jnp.mean((out > TARGET_EVEN / 2) == (targets > 0)))
+        assert acc == 1.0, (acc, np.asarray(out))
