@@ -22,6 +22,9 @@ DEMO_CHECKPOINT = os.path.join(os.path.dirname(os.path.dirname(
 PARITY_DEMO_CHECKPOINT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "assets", "parity_trained_demo")
 
+XOR_DEMO_CHECKPOINT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "assets", "xor_trained_demo")
+
 
 def load_demo_wta():
     """(params, area) with the packaged trained recurrent weights."""
@@ -50,3 +53,18 @@ def load_demo_parity():
     params = load_checkpoint(PARITY_DEMO_CHECKPOINT,
                              params_like=task.params)["params"]
     return task._replace(params=params)
+
+
+def load_demo_xor():
+    """(params, net) with packaged trained XOR feedforward weights — the
+    counterpart of the reference's hardcoded trained ff values in its
+    xor_timecourse figure (scripts/plotting_results.py:570-579). Solves
+    XOR (accuracy 1.0, asserted in tests/test_analysis.py)."""
+    from columnflow.config import ColumnConfig
+    from columnflow.models import build_xor_network
+    from columnflow.train import load_checkpoint
+
+    params, net = build_xor_network(ColumnConfig.load(), jax.random.PRNGKey(0))
+    params = load_checkpoint(XOR_DEMO_CHECKPOINT,
+                             params_like=params)["params"]
+    return params, net

@@ -338,7 +338,11 @@ def main():
         from columnflow.models import build_xor_network
 
         params, net = build_xor_network(cfg, jax.random.PRNGKey(0))
-        if args.checkpoint:
+        if args.demo:
+            from columnflow.analysis.demo import load_demo_xor
+
+            params, net = load_demo_xor()
+        elif args.checkpoint:
             from columnflow.train import load_checkpoint
 
             params = load_checkpoint(args.checkpoint,

@@ -179,3 +179,23 @@ class TestDemoCheckpoint:
         targets = parity_targets(stims)
         acc = float(jnp.mean((out > TARGET_EVEN / 2) == (targets > 0)))
         assert acc == 1.0, (acc, np.asarray(out))
+
+    def test_demo_xor_solves_xor(self):
+        import jax
+
+        from columnflow.analysis.demo import load_demo_xor
+        from columnflow.tasks.xor import (batched_rollout, build_task,
+                                          readout, xor_conditions,
+                                          xor_targets)
+        from columnflow.config import ColumnConfig
+
+        params, net = load_demo_xor()
+        task = build_task(ColumnConfig.load(), jax.random.PRNGKey(0))
+        task = task._replace(params=params)
+        conds = jnp.asarray(xor_conditions())
+        ys = batched_rollout(params, task, conds, differentiable=False)
+        final_c, _ = readout(ys, xor_targets(conds))
+        # Different-input conditions must read out above same-input ones.
+        final_c = np.asarray(final_c)
+        targets = np.asarray(xor_targets(conds))
+        assert final_c[targets == 1.0].min() > final_c[targets == 0.25].max()
