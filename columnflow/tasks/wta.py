@@ -245,13 +245,17 @@ def train_wta(
     metrics_path: str | None = None,
     profile_dir: str | None = None,
     checkpoint_path: str | None = None,
+    checkpoint_every: int = 50,
     dataset=None,
     plot_dir: str | None = None,
     plot_every: int = 10,
+    resume_from: str | None = None,
 ):
     """Full training run (reference defaults: 3000 samples, batch 16,
     scripts/wta_ode.py:208-216). The last sample of each batch is held out
-    for validation, like the reference (scripts/wta_ode.py:166)."""
+    for validation, like the reference (scripts/wta_ode.py:166).
+    ``resume_from`` restores params/optimizer/RNG/step from a checkpoint
+    written by ``checkpoint_path`` and continues."""
     cfg = ColumnConfig.load()
     key = jax.random.PRNGKey(seed)
     key, k_build, k_data = jax.random.split(key, 3)
@@ -264,9 +268,22 @@ def train_wta(
     states = states / 20.0  # scale to L2/3 rates (scripts/wta_ode.py:103)
 
     opt_state = task.optimizer.init(task.params)
+    params = task.params
+    start_it = 0
+    if resume_from:
+        from columnflow.train import load_checkpoint
+
+        ck = load_checkpoint(resume_from, params_like=params,
+                             opt_state_like=opt_state, key_like=key)
+        params = ck["params"]
+        if ck["opt_state"] is not None:
+            opt_state = ck["opt_state"]
+        if ck["key"] is not None:
+            key = jnp.asarray(ck["key"])
+        start_it = int(ck["step"])
+        print(f"resumed from {resume_from} at iteration {start_it}")
     logger = MetricsLogger(metrics_path)
     profiler = StepProfiler(profile_dir)
-    params = task.params
     step_fn = make_train_step(task)
     n = states.shape[0]
     num_batches = n // batch_size
@@ -278,7 +295,7 @@ def train_wta(
     if noise_reps == 1 and plot_dir is None:
         epoch_fn = make_train_epoch(task, n, batch_size)
         block = 25
-        for it0 in range(0, num_batches, block):
+        for it0 in range(start_it, num_batches, block):
             profiler.step(it0)
             k = min(block, num_batches - it0)
             key, k_keys = jax.random.split(key)
@@ -295,6 +312,11 @@ def train_wta(
                            grad_norm=float(gnorms[j]))
                 history.append({"loss": float(losses[j]),
                                 "val_loss": float(val_losses[j])})
+            if checkpoint_path:
+                from columnflow.train import save_checkpoint
+
+                save_checkpoint(checkpoint_path, params=params,
+                                opt_state=opt_state, key=key, step=it0 + k)
         if checkpoint_path:
             from columnflow.train import save_checkpoint
 
@@ -310,7 +332,7 @@ def train_wta(
         )
     )
 
-    for it in range(num_batches):
+    for it in range(start_it, num_batches):
         profiler.step(it)
         key, k_perm, k_noise, k_val = jax.random.split(key, 4)
         idx = jax.random.permutation(k_perm, n)[:batch_size]
@@ -331,6 +353,11 @@ def train_wta(
                                     jax.device_get((loss, val_loss, gnorm)))
         logger.log(it, loss=loss, val_loss=val_loss, grad_norm=gnorm)
         history.append({"loss": loss, "val_loss": val_loss})
+        if checkpoint_path and (it + 1) % checkpoint_every == 0:
+            from columnflow.train import save_checkpoint
+
+            save_checkpoint(checkpoint_path, params=params,
+                            opt_state=opt_state, key=key, step=it + 1)
 
         if plot_dir and it % plot_every == 0:
             # Per-iteration training figure (reference: scripts/wta_ode.py
@@ -373,6 +400,8 @@ def main():
     p.add_argument("--profile-dir", default=None,
                    help="dump a jax.profiler trace of steps 2-4 here")
     p.add_argument("--checkpoint-out", default=None)
+    p.add_argument("--resume", default=None, metavar="CKPT",
+                   help="resume training from a --checkpoint-out checkpoint")
     args = p.parse_args()
 
     if args.smoke:
@@ -389,6 +418,7 @@ def main():
             metrics_path=args.metrics_out,
             profile_dir=args.profile_dir,
             checkpoint_path=args.checkpoint_out,
+            resume_from=args.resume,
         )
     print(f"final loss {hist[-1]['loss']:.5f} | val {hist[-1]['val_loss']:.5f}")
 

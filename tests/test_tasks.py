@@ -243,3 +243,18 @@ class TestXORStochastic:
         params, hist = train_xor(nr_samples=8, time_steps=60, max_steps=512,
                                  seed=0, stochastic=True)
         assert _finite(hist)
+
+
+class TestWTAResume:
+    def test_checkpoint_resume_fast_path(self, tmp_path):
+        """Resume on the scanned fast path: block-granular checkpoints."""
+        ck = str(tmp_path / "wta_ck")
+        common = dict(batch_size=5, seed=0, time_steps=90)
+        train_wta(nr_samples=20, checkpoint_path=ck, **common)
+
+        # Dataset size differs (40+10 vs 20+10 samples), so this is a
+        # continuation on fresh data: only iterations beyond the saved
+        # step run.
+        params, hist = train_wta(nr_samples=40, resume_from=ck, **common)
+        assert len(hist) == (50 // 5) - (30 // 5)
+        assert all(np.isfinite(h["loss"]) for h in hist)
