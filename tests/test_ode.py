@@ -261,3 +261,28 @@ class TestEdgeCases:
         st = odeint_stats(harmonic, jnp.asarray([1.0, 0.0]), ts,
                           rtol=1e-9, atol=1e-12, max_steps=8)
         assert not bool(st.success)
+
+
+class TestFiniteDifferenceGradients:
+    """Central-difference oracle on a NONLINEAR drift (logistic growth):
+    catches gradient bugs that linear test problems can't (SURVEY section 4
+    test strategy)."""
+
+    @pytest.mark.parametrize("adjoint", ["replay", "backsolve"])
+    def test_nonlinear_grad_vs_central_difference(self, adjoint):
+        ts = jnp.linspace(0.0, 2.0, 9)
+
+        def loss(k):
+            def logistic(t, y, kk):
+                return kk * y * (1.0 - y)
+
+            ys = odeint(logistic, jnp.asarray([0.1, 0.25]), ts, k,
+                        method="dopri5", adjoint=adjoint)
+            return float(jnp.sum(ys ** 2)) if not isinstance(k, jnp.ndarray) \
+                else jnp.sum(ys ** 2)
+
+        k0 = jnp.float32(1.3)
+        g = float(jax.grad(loss)(k0))
+        eps = 1e-3
+        fd = (loss(float(k0) + eps) - loss(float(k0) - eps)) / (2 * eps)
+        np.testing.assert_allclose(g, fd, rtol=5e-3)
