@@ -6,6 +6,7 @@ same controller, same accepted-step sequence, same dense output.
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -451,3 +452,39 @@ class TestFusedSDEOuterArgGrads:
             sdeint_fused(lambda t, y: -y, lambda t, y: jnp.ones_like(y),
                          jnp.ones((2, 4)), ts, jax.random.PRNGKey(0),
                          arg_grads="nope", interpret=True)
+
+
+class TestFusedRandomSystems:
+    """Property-style check: on random stable linear systems y' = y A^T the
+    fused solver must match the XLA path pathwise (same batched state ->
+    same shared controller -> same step sequence) in values and gradients,
+    across shapes and seeds."""
+
+    @pytest.mark.parametrize("seed,B,S", [(0, 2, 8), (1, 4, 16), (2, 3, 24)])
+    def test_values_and_grads_match_xla(self, seed, B, S):
+        from columnflow.solvers import odeint
+        from columnflow.solvers.fused import odeint_dopri5_fused
+
+        rng = np.random.default_rng(seed)
+        m = rng.normal(size=(S, S)) / np.sqrt(S)
+        a = jnp.asarray(-(m @ m.T) - 0.5 * np.eye(S), jnp.float32)
+        y0 = jnp.asarray(rng.normal(size=(B, S)), jnp.float32)
+        ts = jnp.linspace(0.0, 2.0, 17)
+
+        def drift(t, y, a):
+            return jnp.matmul(y, a.T, precision=jax.lax.Precision.HIGHEST)
+
+        ys_f = odeint_dopri5_fused(drift, y0, ts, a, max_steps=512,
+                                   interpret=True)
+        ys_x = odeint(drift, y0, ts, a, method="dopri5", adjoint="replay",
+                      max_steps=512)
+        np.testing.assert_allclose(np.asarray(ys_f), np.asarray(ys_x),
+                                   rtol=2e-5, atol=2e-6)
+
+        gf = jax.grad(lambda a: jnp.sum(odeint_dopri5_fused(
+            drift, y0, ts, a, max_steps=512, interpret=True) ** 2))(a)
+        gx = jax.grad(lambda a: jnp.sum(odeint(
+            drift, y0, ts, a, method="dopri5", adjoint="replay",
+            max_steps=512) ** 2))(a)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                                   rtol=5e-4, atol=1e-5)
