@@ -30,6 +30,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.flatten_util import ravel_pytree
 
 from columnflow.solvers import rk
@@ -55,6 +56,11 @@ def odeint(
 ):
     """Integrate dy/dt = func(t, y, *args) and return states at ``ts``.
 
+    ``ts`` may be decreasing (torchdiffeq semantics): the solve runs in
+    reversed time via the substitution tau = -t (requires concrete ``ts``
+    to detect the direction — the usual case, since adaptive solves bake
+    the span into the compiled step loop anyway).
+
     Returns ys with leading axis len(ts); ys[0] == y0.
     """
     leaves = jax.tree_util.tree_leaves(y0)
@@ -73,6 +79,19 @@ def odeint(
             return ravel_pytree(dy)[0]
 
     ts = jnp.asarray(ts, dtype=flat_y0.dtype)
+
+    try:
+        ts_host = np.asarray(ts)
+        descending = ts_host.shape[0] > 1 and ts_host[1] < ts_host[0]
+    except Exception:  # traced ts: assume increasing
+        descending = False
+    if descending:
+        fwd_f = f
+
+        def f(t, y, *a):
+            return jax.tree_util.tree_map(jnp.negative, fwd_f(-t, y, *a))
+
+        ts = -ts
 
     if method in _FIXED:
         ys = rk.odeint_fixed(f, flat_y0, ts, *args, tableau=rk.FIXED_TABLEAUS[method])

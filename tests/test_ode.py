@@ -286,3 +286,37 @@ class TestFiniteDifferenceGradients:
         eps = 1e-3
         fd = (loss(float(k0) + eps) - loss(float(k0) - eps)) / (2 * eps)
         np.testing.assert_allclose(g, fd, rtol=5e-3)
+
+
+class TestTorchdiffeqSemanticsExtras:
+    def test_descending_ts(self):
+        """torchdiffeq accepts decreasing ts: integrate backward in time.
+        y' = -y from y(2) = 1 backward to t=0 gives y(t) = exp(2 - t)."""
+        ts = jnp.linspace(2.0, 0.0, 9)
+        ys = odeint(exp_decay, jnp.ones(2), ts, adjoint="none")
+        exact = np.exp(2.0 - np.asarray(ts))[:, None] * np.ones(2)
+        np.testing.assert_allclose(np.asarray(ys), exact, rtol=1e-5)
+
+    def test_descending_ts_gradients(self):
+        ts = jnp.linspace(1.0, 0.0, 5)
+
+        def loss(k):
+            return jnp.sum(odeint(lambda t, y, k: -k * y, jnp.ones(3),
+                                  ts, k)[-1])
+
+        g = float(jax.grad(loss)(jnp.float32(0.6)))
+        # y(0) = exp(k) backward from y(1)=1: d/dk 3 exp(k) = 3 exp(k).
+        np.testing.assert_allclose(g, 3.0 * np.exp(0.6), rtol=1e-4)
+
+    def test_tensor_tolerances(self):
+        """torchdiffeq accepts per-element atol; the error norm must
+        broadcast them (tight tolerance on one component forces more
+        steps)."""
+        ts = jnp.linspace(0.0, 5.0, 10)
+        y0 = jnp.asarray([1.0, 0.0])
+        loose = odeint_stats(harmonic, y0, ts, rtol=0.0,
+                             atol=jnp.asarray([1e-3, 1e-3]), max_steps=8192)
+        tight = odeint_stats(harmonic, y0, ts, rtol=0.0,
+                             atol=jnp.asarray([1e-8, 1e-3]), max_steps=8192)
+        assert bool(loose.success) and bool(tight.success)
+        assert int(tight.naccept) > int(loose.naccept)
