@@ -30,6 +30,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from columnflow.solvers.rk import (ADAPTIVE_TABLEAUS, DOPRI5,
                                    DOPRI5_DENSE_D, is_fsal, rk_step)
@@ -304,10 +305,27 @@ def odeint_stats(
     max_steps: int = 2048,
     method: str = "dopri5",
 ) -> SolverStats:
-    """Run the adaptive pass only and report solver statistics."""
+    """Run the adaptive pass only and report solver statistics.
+
+    Decreasing ``ts`` is handled like ``odeint``'s (tau = -t substitution)
+    when ``ts`` is concrete.
+    """
     tab = ADAPTIVE_TABLEAUS[method]
     dense_d = DOPRI5_DENSE_D if method == "dopri5" else None
-    ts = jnp.asarray(ts, dtype=y0.dtype)
+    ts = jnp.asarray(ts, dtype=jnp.result_type(float))
+    try:
+        th = np.asarray(ts)
+        descending = th.shape[0] > 1 and th[1] < th[0]
+    except Exception:
+        descending = False
+    if descending:
+        fwd = func
+
+        def func(t, y, *a):  # noqa: F811 - deliberate rebind
+            return jax.tree_util.tree_map(jnp.negative, fwd(-t, y, *a))
+
+        ts = -ts
+    ts = ts.astype(y0.dtype)
     carry = _adaptive_pass(func, y0, ts[0], ts[-1], rtol, atol, dt0,
                            max_steps, *args, tab=tab, dense_d=dense_d)
     nsteps = carry.naccept + carry.nreject

@@ -320,3 +320,9 @@ class TestTorchdiffeqSemanticsExtras:
                              atol=jnp.asarray([1e-8, 1e-3]), max_steps=8192)
         assert bool(loose.success) and bool(tight.success)
         assert int(tight.naccept) > int(loose.naccept)
+
+    def test_descending_ts_stats(self):
+        ts = jnp.linspace(2.0, 0.0, 9)
+        st = odeint_stats(exp_decay, jnp.ones(2), ts)
+        assert bool(st.success)
+        assert int(st.naccept) > 0
