@@ -656,6 +656,15 @@ def _make_sde_chunk_kernel(drift, diffusion, prep, n_args, chunk, h,
         if method == "euler":
             g = diffusion(t0, y, *args)
             return y + h * drift(t0, y, *args) + g * i1
+        if method == "milstein":
+            # In-kernel jax.jvp for the diffusion-derivative term, matching
+            # sde._milstein_step (diagonal/scalar Ito noise).
+            g, dg_g = jax.jvp(
+                lambda y_: diffusion(t0, y_, *args), (y,),
+                (diffusion(t0, y, *args),),
+            )
+            return (y + h * drift(t0, y, *args) + g * i1
+                    + 0.5 * dg_g * (i1 * i1 - h))
         # SRA1 (strong order 1.5, additive noise), matching sde._sra1_step.
         i10_h = i10 / h
         f1 = drift(t0, y, *args)
@@ -767,7 +776,9 @@ def sdeint_fused(
     Generic counterpart of ``kernels.column_step``'s hand-written WTA
     rollout: any pure-jnp drift/diffusion pair whose operands fit VMEM.
     ``method``: "srk" (SRA1, strong 1.5, ADDITIVE noise — diffusion must not
-    depend on y, the reference regime) or "euler" (Euler-Maruyama, general).
+    depend on y, the reference regime), "milstein" (strong 1.0,
+    multiplicative diagonal/scalar noise; diffusion derivative via
+    in-kernel ``jax.jvp``) or "euler" (Euler-Maruyama, general).
     Brownian increments come from ``solvers.sde._brownian_pack`` on ``key``
     (identical convention to the ``lax.scan`` path, so trajectories match
     pathwise), or from an explicit ``noise_pack`` (i1, i10) with leading
@@ -783,7 +794,7 @@ def sdeint_fused(
     """
     from columnflow.solvers.sde import _brownian_pack
 
-    if method not in ("srk", "euler"):
+    if method not in ("srk", "euler", "milstein"):
         raise ValueError(f"unknown fused SDE method: {method!r}")
     if arg_grads not in ("auto", "kernel", "outer"):
         raise ValueError(f"unknown arg_grads mode: {arg_grads!r}")

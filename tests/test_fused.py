@@ -488,3 +488,47 @@ class TestFusedRandomSystems:
             max_steps=512) ** 2))(a)
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
                                    rtol=5e-4, atol=1e-5)
+
+
+class TestFusedMilstein:
+    """Fused Milstein (in-kernel jvp diffusion derivative) vs the lax.scan
+    path, pathwise on GBM with a pinned noise pack; plus gradients."""
+
+    def test_milstein_pathwise_and_grads(self):
+        from columnflow.solvers import sdeint
+        from columnflow.solvers.fused import sdeint_fused
+        from columnflow.solvers.sde import _brownian_pack
+
+        ts = jnp.linspace(0.0, 1.0, 80)
+        y0 = jnp.full((2, 4), 1.0)
+        p = {"mu": jnp.full((2, 4), 0.3), "sig": jnp.full((2, 4), 0.5)}
+        key = jax.random.PRNGKey(7)
+        _, i1, i10, i11, i111 = _brownian_pack(key, ts, (), jnp.float32)
+
+        def drift(t, y, p):
+            return p["mu"] * y
+
+        def diff(t, y, p):
+            return p["sig"] * y
+
+        ones = jnp.ones((1, 2, 4))
+        scan_pack = tuple(x[:, None, None] * ones
+                          for x in (i1, i10, i11, i111))
+
+        def scan_path(p):
+            return sdeint(drift, diff, y0, ts, key, p, method="milstein",
+                          noise_pack=scan_pack)
+
+        def fused_path(p):
+            return sdeint_fused(drift, diff, y0, ts, key, p,
+                                method="milstein", noise_pack=(i1, i10),
+                                interpret=True)
+
+        np.testing.assert_allclose(np.asarray(fused_path(p)),
+                                   np.asarray(scan_path(p)),
+                                   rtol=1e-5, atol=1e-5)
+        gs = jax.grad(lambda p: jnp.sum(scan_path(p) ** 2))(p)
+        gf = jax.grad(lambda p: jnp.sum(fused_path(p) ** 2))(p)
+        for k in gs:
+            np.testing.assert_allclose(np.asarray(gf[k]), np.asarray(gs[k]),
+                                       rtol=1e-4, atol=1e-5, err_msg=k)
