@@ -522,7 +522,35 @@ def main():
     p.add_argument("--checkpoint-out", default=None)
     p.add_argument("--resume", default=None, metavar="CKPT",
                    help="resume training from a --checkpoint-out checkpoint")
+    p.add_argument("--eval", default=None, metavar="CKPT", dest="eval_ckpt",
+                   help="evaluate a checkpoint's parity accuracy and exit")
+    p.add_argument("--eval-demo", action="store_true",
+                   help="evaluate the packaged trained demo checkpoint")
     args = p.parse_args()
+
+    if args.eval_ckpt or args.eval_demo:
+        if args.eval_demo:
+            from columnflow.analysis.demo import load_demo_parity
+
+            task = load_demo_parity()
+        else:
+            cfg = ColumnConfig.load()
+            task = build_task(cfg, jax.random.PRNGKey(args.seed),
+                              random_fan_in=args.random_fan_in)
+            from columnflow.train import load_checkpoint
+
+            task = task._replace(params=load_checkpoint(
+                args.eval_ckpt, params_like=task.params)["params"])
+        stims = jnp.asarray(parity_combinations(
+            4, fixed_position=not args.position_invariant))
+        ys = batched_rollout(task.params, task, stims, differentiable=False,
+                             use_fused=args.fused)
+        out = readout(ys, task.params, task.net)
+        targets = parity_targets(stims)
+        acc = float(jnp.mean((out > TARGET_EVEN / 2) == (targets > 0)))
+        print(f"parity accuracy over {stims.shape[0]} patterns: {acc:.2f} "
+              f"(readouts {np.asarray(out).round(2).tolist()})")
+        return
 
     if args.smoke:
         params, hist = train_parity(
