@@ -331,10 +331,23 @@ def test_random_fan_in_network_builds_and_runs():
         cfg, jax.random.PRNGKey(0), columns_per_area=(4, 2, 1), n_inputs=2,
         random_fan_in=True,
     )
-    # input fan-in: each first-area column receives >= 1 input unit
+    # Input fan-in: each first-area column receives >= min(2, n_inputs)
+    # distinct input units (reference step 2 fills to 2).
     im = np.asarray(net.input_mask)[: 4 * 8]
-    per_col = im.reshape(4, 8, -1).sum(axis=(1, 2))
-    assert (per_col > 0).all()
+    per_col = (im.reshape(4, 8, 2).sum(axis=1) > 0).sum(axis=1)
+    assert (per_col >= 2).all(), per_col
+
+    # Feedforward masks stay FIXED fan-in even under --random-fan-in:
+    # the reference only ever enables the random variant for the input
+    # mask (src/coupled_columns.py:597; the ff random call at :627 is
+    # commented out). Fixed (2,2) fan-in gives each target column exactly
+    # 2 distinct source columns here.
+    ff = np.asarray(net.feedforward_mask)
+    offs = [0, 32, 48, 56]  # pops offsets for (4, 2, 1) areas
+    for a, (n_prev, n_tgt) in enumerate([(4, 2), (2, 1)]):
+        blk = ff[offs[a + 1]:offs[a + 2], offs[a]:offs[a + 1]]
+        got = (blk.reshape(n_tgt, 8, n_prev, 8).sum(axis=(1, 3)) > 0).sum(1)
+        assert (got == 2).all(), (a, got)
 
     table = parity_stim_table(jnp.asarray([15.0, 0.0]), 50)
     dy = network_drift(0.01, jnp.zeros(3 * net.num_pops), params, net,
