@@ -258,3 +258,13 @@ class TestShardedSweep:
                                   mesh=make_mesh(), use_fused=False)
         assert f.shape == (2,)
         assert np.all((f >= 0.0) & (f <= 1.0))
+
+
+class TestMeshErrors:
+    def test_mesh_2d_too_many_devices_raises(self):
+        import pytest
+
+        from columnflow.parallel import make_mesh_2d
+
+        with pytest.raises(ValueError, match="devices"):
+            make_mesh_2d(8, 8)  # 64 > the 8 virtual devices
