@@ -268,3 +268,35 @@ class TestMeshErrors:
 
         with pytest.raises(ValueError, match="devices"):
             make_mesh_2d(8, 8)  # 64 > the 8 virtual devices
+
+
+class TestTPFullScale:
+    def test_tp_step_at_reference_scale(self):
+        """dp x tp on the full (8,4,1)-column network (312-dim state): the
+        row-sharded (P, P) matrices partition over the model axis and the
+        step produces finite loss with shardings preserved."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from columnflow.config import ColumnConfig
+        from columnflow.data import make_parity_batch
+        from columnflow.parallel import (
+            make_mesh_2d,
+            make_tp_train_step,
+            shard_network_opt_state,
+            shard_network_params,
+        )
+        from columnflow.tasks import parity as pt
+
+        cfg = ColumnConfig.load()
+        task = pt.build_task(cfg, jax.random.PRNGKey(0), time_steps=60,
+                             max_steps=512)
+        mesh = make_mesh_2d(2, 4)
+        step = make_tp_train_step(task, mesh)
+        params = shard_network_params(task.params, mesh)
+        opt_state = shard_network_opt_state(
+            task.optimizer.init(task.params), task.params, mesh)
+        stims = jax.device_put(make_parity_batch(jax.random.PRNGKey(1), 4, 4),
+                               NamedSharding(mesh, P("batch")))
+        params, opt_state, loss = step(params, opt_state, stims)
+        assert bool(jnp.isfinite(loss))
+        assert params["feedforward"].sharding.spec[0] == "model"
