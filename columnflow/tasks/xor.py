@@ -203,10 +203,14 @@ def train_xor(
     plot_every: int = 5,
     use_fused: bool = False,
     stochastic: bool = False,
+    checkpoint_every: int = 10,
+    resume_from: str | None = None,
 ):
     """Reference defaults: 160 samples / batch 4 -> 40 iterations
     (scripts/xor_ode.py:202-207). ``stochastic`` trains through the Ito
-    SDE (the reference's commented-in sdeint, scripts/xor_ode.py:115)."""
+    SDE (the reference's commented-in sdeint, scripts/xor_ode.py:115);
+    ``resume_from`` restores params/optimizer/RNG/step from a checkpoint
+    and continues."""
     cfg = ColumnConfig.load()
     key = jax.random.PRNGKey(seed)
     key, k_build = jax.random.split(key)
@@ -224,11 +228,24 @@ def train_xor(
     conds_all = jnp.asarray(xor_conditions())
     opt_state = task.optimizer.init(task.params)
     params = task.params
+    start_it = 0
+    if resume_from:
+        from columnflow.train import load_checkpoint
+
+        ck = load_checkpoint(resume_from, params_like=params,
+                             opt_state_like=opt_state, key_like=key)
+        params = ck["params"]
+        if ck["opt_state"] is not None:
+            opt_state = ck["opt_state"]
+        if ck["key"] is not None:
+            key = jnp.asarray(ck["key"])
+        start_it = int(ck["step"])
+        print(f"resumed from {resume_from} at iteration {start_it}")
     logger = MetricsLogger(metrics_path)
     profiler = StepProfiler(profile_dir)
     history = []
 
-    for it in range(nr_samples // batch_size):
+    for it in range(start_it, nr_samples // batch_size):
         profiler.step(it)
         key, k_shuf, k_noise = jax.random.split(key, 3)
         conds = conds_all[jax.random.permutation(k_shuf, 4)]
@@ -243,6 +260,11 @@ def train_xor(
         logger.log(it, loss=loss, test_loss=test_loss, acc=acc)
         history.append({"loss": float(loss), "test_loss": float(test_loss),
                         "acc": acc, "final_fr": out.tolist()})
+        if checkpoint_path and (it + 1) % checkpoint_every == 0:
+            from columnflow.train import save_checkpoint
+
+            save_checkpoint(checkpoint_path, params=params,
+                            opt_state=opt_state, key=key, step=it + 1)
 
         if plot_dir and it % plot_every == 0:
             # Per-iteration test figures (reference: scripts/xor_ode.py:15-50).
@@ -261,7 +283,7 @@ def train_xor(
         from columnflow.train import save_checkpoint
 
         save_checkpoint(checkpoint_path, params=params, opt_state=opt_state,
-                        key=key, step=len(history))
+                        key=key, step=start_it + len(history))
     profiler.close()
     logger.close()
     return params, history
@@ -283,6 +305,8 @@ def main():
     p.add_argument("--stochastic", action="store_true",
                    help="train through the Ito SDE (the reference's "
                         "commented-in sdeint, scripts/xor_ode.py:115)")
+    p.add_argument("--resume", default=None, metavar="CKPT",
+                   help="resume training from a --checkpoint-out checkpoint")
     args = p.parse_args()
 
     if args.smoke:
@@ -296,7 +320,8 @@ def main():
                                  metrics_path=args.metrics_out,
                                  profile_dir=args.profile_dir,
                                  checkpoint_path=args.checkpoint_out,
-                                 stochastic=args.stochastic)
+                                 stochastic=args.stochastic,
+                                 resume_from=args.resume)
     print(f"final loss {hist[-1]['loss']:.5f} | acc {hist[-1]['acc']:.2f}")
 
 

@@ -258,3 +258,14 @@ class TestWTAResume:
         params, hist = train_wta(nr_samples=40, resume_from=ck, **common)
         assert len(hist) == (50 // 5) - (30 // 5)
         assert all(np.isfinite(h["loss"]) for h in hist)
+
+
+class TestXORResume:
+    def test_checkpoint_resume(self, tmp_path):
+        ck = str(tmp_path / "xor_ck")
+        common = dict(time_steps=60, max_steps=512, seed=0,
+                      checkpoint_every=1)
+        train_xor(nr_samples=8, checkpoint_path=ck, **common)
+        params, hist = train_xor(nr_samples=16, resume_from=ck, **common)
+        assert len(hist) == 2
+        assert _finite(hist)
