@@ -47,13 +47,19 @@ def replicate(tree, mesh: Mesh):
 
 
 def make_dp_train_step(loss_fn, optimizer, grad_mask, mesh: Mesh,
-                       axis_name: str = "batch", num_batch_args: int = 3):
+                       axis_name: str = "batch", num_batch_args: int = 3,
+                       post_update=None):
     """Build a jitted data-parallel training step.
 
     ``loss_fn(params, *batch_args) -> scalar`` is evaluated on each device's
     local batch shard; gradients and loss are ``pmean``-ed over the mesh axis
     (one XLA all-reduce over ICI), then the (replicated) optimizer update
     runs identically on every device.
+
+    ``post_update(params) -> params`` runs INSIDE the sharded step after the
+    optimizer update (e.g. the parity task's reference-matching weight
+    clamps, scripts/parity_ode.py:267-274) so single-device and mesh paths
+    apply identical semantics.
 
     Batch args must have leading axes divisible by mesh size.
     """
@@ -78,6 +84,8 @@ def make_dp_train_step(loss_fn, optimizer, grad_mask, mesh: Mesh,
             grads = mask_grads(grads, grad_mask)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        if post_update is not None:
+            params = post_update(params)
         return params, opt_state, loss
 
     return jax.jit(sharded_step, donate_argnums=(0, 1))

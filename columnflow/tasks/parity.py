@@ -73,7 +73,10 @@ def build_task(cfg: ColumnConfig, key, lr: float = 0.1,
 
 def batched_rollout(params, task: ParityTask, stims_raw, method="dopri5",
                     differentiable=True, use_fused: bool = False,
-                    stochastic: bool = False, key=None):
+                    stochastic: bool = False, key=None,
+                    adaptive: bool = False, adaptive_rtol: float = 1e-3,
+                    adaptive_atol: float = 1e-3,
+                    adaptive_max_steps: int = 2048):
     """Integrate a batch of input patterns: (B, n_inputs) -> (B, T, 3P).
 
     ``use_fused=True`` runs the whole batch through the Pallas fused dopri5
@@ -88,6 +91,14 @@ def batched_rollout(params, task: ParityTask, stims_raw, method="dopri5",
     (scripts/parity_ode.py:234); requires ``key``. ``use_fused`` selects
     the Pallas fused SDE rollout (sdeint_fused); otherwise SRA1 over
     ``lax.scan`` per sample.
+
+    ``adaptive=True`` (with ``stochastic``) integrates with adaptive
+    step-doubling SRA1 on a virtual-Brownian-tree path and replay
+    gradients — torchsde's ``adaptive=True`` with gradients, the option
+    the reference holds commented-in (scripts/parity_ode.py:234) and its
+    README recommends against fixed-grid firing-rate artefacts
+    (README.md:27-29). The late stiff regime that destabilizes the fixed
+    grid (RESULTS.md) is handled by the controller shrinking steps.
     """
     from columnflow.solvers import odeint
 
@@ -139,6 +150,24 @@ def batched_rollout(params, task: ParityTask, stims_raw, method="dopri5",
         from columnflow.solvers import sdeint
 
         keys = jax.random.split(key, B)
+
+        if adaptive:
+            from columnflow.solvers import sdeint_adaptive
+
+            def one_adaptive(stim_raw, k):
+                table = parity_stim_table(stim_raw, time_steps)
+                stim = Stimulus(0.0, task.dt, table)
+                return sdeint_adaptive(
+                    lambda t, y: network_drift(t, y, params, task.net, stim),
+                    lambda t, y: network_diffusion(t, y, params, task.net,
+                                                   stim),
+                    jnp.zeros(state_dim), task.ts, k,
+                    method="sra1", rtol=adaptive_rtol, atol=adaptive_atol,
+                    max_steps=adaptive_max_steps,
+                    differentiable=differentiable,
+                )
+
+            return jax.vmap(one_adaptive)(stims_raw, keys)
 
         def one_sde(stim_raw, k):
             table = parity_stim_table(stim_raw, time_steps)
@@ -223,11 +252,13 @@ def parity_targets(stims_raw, level: float = 15.0):
 
 
 def _step_core(task: ParityTask, use_fused: bool = False,
-               stochastic: bool = False):
+               stochastic: bool = False, adaptive: bool = False,
+               reference_rails: bool = False):
     def train_step(params, opt_state, stims_raw, noise_key=None):
         def loss_fn(p):
             ys = batched_rollout(p, task, stims_raw, use_fused=use_fused,
-                                 stochastic=stochastic, key=noise_key)
+                                 stochastic=stochastic, key=noise_key,
+                                 adaptive=adaptive)
             out = readout(ys, p, task.net)
             return jnp.mean(jnp.abs(out - parity_targets(stims_raw))), out
 
@@ -243,8 +274,13 @@ def _step_core(task: ParityTask, use_fused: bool = False,
         # gradient norms jumping ~0.2 -> 9e4 in one step) and then go NaN;
         # the reference merely warns at norm > 1e4 and steps anyway
         # (scripts/parity_ode.py:255-261), permanently corrupting the
-        # params. Skip such updates instead so training survives.
-        ok = grads_finite & (gnorm < 1e4)
+        # params. Skip such updates instead so training survives;
+        # ``reference_rails`` restores the faithful warn-and-step behavior
+        # (warnings still surface through the gnorm/update metrics).
+        if reference_rails:
+            ok = jnp.asarray(True)
+        else:
+            ok = grads_finite & (gnorm < 1e4)
         new_updates, new_opt_state = task.optimizer.update(grads, opt_state,
                                                            params)
         new_params = clamp_params(
@@ -261,15 +297,18 @@ def _step_core(task: ParityTask, use_fused: bool = False,
 
 
 def make_train_step(task: ParityTask, use_fused: bool = False,
-                    stochastic: bool = False):
-    return jax.jit(_step_core(task, use_fused, stochastic),
+                    stochastic: bool = False, adaptive: bool = False,
+                    reference_rails: bool = False):
+    return jax.jit(_step_core(task, use_fused, stochastic, adaptive,
+                              reference_rails),
                    donate_argnums=(0, 1))
 
 
 def make_train_scan(task: ParityTask, use_fused: bool = False,
                     n_inputs: int = 4, batch_size: int = 4,
                     fixed_position: bool = True,
-                    stochastic: bool = False):
+                    stochastic: bool = False, adaptive: bool = False,
+                    reference_rails: bool = False):
     """K training iterations per dispatch: batch generation, rollout,
     loss, rails, update and best-params tracking all inside one
     jitted ``lax.scan``. On the TPU tunnel every host round-trip
@@ -281,7 +320,8 @@ def make_train_scan(task: ParityTask, use_fused: bool = False,
     (params, opt_state, best, losses, gnorms, oks)`` where ``best``
     is a (best_loss, best_params) pair carried across calls.
     """
-    core = _step_core(task, use_fused, stochastic)
+    core = _step_core(task, use_fused, stochastic, adaptive,
+                      reference_rails)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_scan(params, opt_state, best, keys):
@@ -314,9 +354,10 @@ def make_train_scan(task: ParityTask, use_fused: bool = False,
 def make_dp_train_step(task: ParityTask, mesh, use_fused: bool = False):
     """Data-parallel training step: the sample batch is sharded across the
     device mesh, gradients pmean-ed over ICI (columnflow.parallel). Batch
-    arg: stims_raw (B, n_inputs), B divisible by mesh size. Note: the
-    reference-matching post-step weight clamps are NOT fused here; apply
-    ``clamp_params(params, task.clamps)`` after each step."""
+    arg: stims_raw (B, n_inputs), B divisible by mesh size. The
+    reference-matching post-step weight clamps (scripts/parity_ode.py:
+    267-274) are fused into the sharded step, so the mesh path applies the
+    same semantics as the single-device trainer."""
     from columnflow.parallel import make_dp_train_step as _mk
 
     def local_loss(params, stims_raw):
@@ -325,7 +366,8 @@ def make_dp_train_step(task: ParityTask, mesh, use_fused: bool = False):
         return jnp.mean(jnp.abs(out - parity_targets(stims_raw)))
 
     return _mk(local_loss, task.optimizer, task.grad_mask, mesh,
-               num_batch_args=1)
+               num_batch_args=1,
+               post_update=lambda p: clamp_params(p, task.clamps))
 
 
 def train_parity(
@@ -347,6 +389,8 @@ def train_parity(
     fixed_position: bool = True,
     resume_from: str | None = None,
     stochastic: bool = False,
+    adaptive: bool = False,
+    reference_rails: bool = False,
 ):
     """Reference defaults: 6400 samples / batch 4 -> 1600 iterations,
     fixed-position patterns (scripts/parity_ode.py:286-294).
@@ -372,7 +416,8 @@ def train_parity(
     scan_fn = make_train_scan(task, use_fused=use_fused,
                               n_inputs=n_inputs, batch_size=batch_size,
                               fixed_position=fixed_position,
-                              stochastic=stochastic)
+                              stochastic=stochastic, adaptive=adaptive,
+                              reference_rails=reference_rails)
 
     # Solver observability (SURVEY.md section 5): adaptive-step statistics
     # every stats_every iterations - naccept growth flags the approaching
@@ -516,6 +561,16 @@ def main():
                    help="train through the Ito SDE (sigma=10, SRA1 on the "
                         "fixed grid) — the reference's commented-in sdeint "
                         "alternative (scripts/parity_ode.py:234)")
+    p.add_argument("--reference-rails", action="store_true",
+                   help="faithful reference behavior on exploding/NaN "
+                        "gradients: warn and step anyway "
+                        "(scripts/parity_ode.py:255-261) instead of "
+                        "skipping the update")
+    p.add_argument("--adaptive", action="store_true",
+                   help="with --stochastic: adaptive step-doubling SRA1 on "
+                        "a virtual Brownian tree with replay gradients "
+                        "(torchsde adaptive=True; cures fixed-grid "
+                        "firing-rate artefacts, reference README.md:27-29)")
     p.add_argument("--metrics-out", default=None)
     p.add_argument("--profile-dir", default=None,
                    help="dump a jax.profiler trace of steps 2-4 here")
@@ -561,6 +616,8 @@ def main():
             metrics_path=args.metrics_out,
             profile_dir=args.profile_dir,
             stochastic=args.stochastic,
+            adaptive=args.adaptive,
+            reference_rails=args.reference_rails,
         )
     else:
         params, hist = train_parity(
@@ -573,6 +630,8 @@ def main():
             checkpoint_path=args.checkpoint_out,
             resume_from=args.resume,
             stochastic=args.stochastic,
+            adaptive=args.adaptive,
+            reference_rails=args.reference_rails,
         )
     final = next(h for h in reversed(hist) if "loss" in h)
     print(f"final loss {final['loss']:.5f} | "

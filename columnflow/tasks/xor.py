@@ -58,7 +58,10 @@ def build_task(cfg: ColumnConfig, key, lr: float = 0.5, alpha: float = 0.95,
 
 def batched_rollout(params, task: XORTask, conditions, method="dopri5",
                     differentiable=True, use_fused: bool = False,
-                    stochastic: bool = False, key=None):
+                    stochastic: bool = False, key=None,
+                    adaptive: bool = False, adaptive_rtol: float = 1e-3,
+                    adaptive_atol: float = 1e-3,
+                    adaptive_max_steps: int = 2048):
     """Integrate the four XOR conditions: (4, 2) -> (4, T, 72).
 
     ``use_fused=True``: one shared-controller Pallas fused dopri5 solve for
@@ -68,6 +71,9 @@ def batched_rollout(params, task: XORTask, conditions, method="dopri5",
     ``stochastic=True``: integrate the Ito SDE instead (membrane-only
     sigma=10 diffusion, scripts/xor_ode.py's commented-in sdeint at :115);
     requires ``key``; SRA1 on the fixed dt grid, per-sample Brownian.
+    ``adaptive=True`` (with ``stochastic``): adaptive step-doubling SRA1 on
+    a virtual-Brownian-tree path with replay gradients (torchsde's
+    ``adaptive=True`` with training support).
     """
     from columnflow.solvers import odeint
 
@@ -80,6 +86,23 @@ def batched_rollout(params, task: XORTask, conditions, method="dopri5",
         from columnflow.solvers import sdeint
 
         keys = jax.random.split(key, conditions.shape[0])
+
+        if adaptive:
+            from columnflow.solvers import sdeint_adaptive
+
+            def one_adaptive(cond, k):
+                table = prep_xor_stim(cond, time_steps)
+                stim = Stimulus(0.0, task.dt, table)
+                return sdeint_adaptive(
+                    lambda t, y: xor_drift(t, y, params, task.net, stim),
+                    lambda t, y: xor_diffusion(t, y, params, task.net, stim),
+                    jnp.zeros(XOR_STATE_DIM), task.ts, k,
+                    method="sra1", rtol=adaptive_rtol, atol=adaptive_atol,
+                    max_steps=adaptive_max_steps,
+                    differentiable=differentiable,
+                )
+
+            return jax.vmap(one_adaptive)(conditions, keys)
 
         def one_sde(cond, k):
             table = prep_xor_stim(cond, time_steps)
@@ -158,12 +181,13 @@ def xor_targets(conditions):
 
 
 def make_train_step(task: XORTask, use_fused: bool = False,
-                    stochastic: bool = False):
+                    stochastic: bool = False, adaptive: bool = False):
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, conditions, noise_key=None):
         def loss_fn(p):
             ys = batched_rollout(p, task, conditions, use_fused=use_fused,
-                                 stochastic=stochastic, key=noise_key)
+                                 stochastic=stochastic, key=noise_key,
+                                 adaptive=adaptive)
             _, loss = readout(ys, xor_targets(conditions))
             return loss
 
@@ -203,6 +227,7 @@ def train_xor(
     plot_every: int = 5,
     use_fused: bool = False,
     stochastic: bool = False,
+    adaptive: bool = False,
     checkpoint_every: int = 10,
     resume_from: str | None = None,
 ):
@@ -217,7 +242,7 @@ def train_xor(
     task = build_task(cfg, k_build, time_steps=time_steps, max_steps=max_steps)
 
     step_fn = make_train_step(task, use_fused=use_fused,
-                              stochastic=stochastic)
+                              stochastic=stochastic, adaptive=adaptive)
     eval_fn = jax.jit(
         lambda p, conds: readout(
             batched_rollout(p, task, conds, differentiable=False),
@@ -305,6 +330,9 @@ def main():
     p.add_argument("--stochastic", action="store_true",
                    help="train through the Ito SDE (the reference's "
                         "commented-in sdeint, scripts/xor_ode.py:115)")
+    p.add_argument("--adaptive", action="store_true",
+                   help="with --stochastic: adaptive step-doubling SRA1 "
+                        "with replay gradients (torchsde adaptive=True)")
     p.add_argument("--resume", default=None, metavar="CKPT",
                    help="resume training from a --checkpoint-out checkpoint")
     args = p.parse_args()
@@ -313,7 +341,8 @@ def main():
         params, hist = train_xor(nr_samples=8, time_steps=200, max_steps=1024,
                                  seed=args.seed, metrics_path=args.metrics_out,
                                  profile_dir=args.profile_dir,
-                                 stochastic=args.stochastic)
+                                 stochastic=args.stochastic,
+                                 adaptive=args.adaptive)
     else:
         params, hist = train_xor(nr_samples=args.samples, seed=args.seed,
                                  use_fused=args.fused,
@@ -321,6 +350,7 @@ def main():
                                  profile_dir=args.profile_dir,
                                  checkpoint_path=args.checkpoint_out,
                                  stochastic=args.stochastic,
+                                 adaptive=args.adaptive,
                                  resume_from=args.resume)
     print(f"final loss {hist[-1]['loss']:.5f} | acc {hist[-1]['acc']:.2f}")
 

@@ -101,12 +101,25 @@ class TestTaskDPSteps:
                              time_steps=60, max_steps=512)
         mesh = make_mesh(8)
         step = pt.make_dp_train_step(task, mesh)
-        params = replicate(task.params, mesh)
+        # Poison params with clamp violations (positive lateral inhibition,
+        # output weight above scale): the mesh step must apply the
+        # reference-matching post-step clamps (scripts/parity_ode.py:267-274)
+        # exactly like the single-device trainer does.
+        poisoned = dict(task.params)
+        poisoned["lateral"] = task.params["lateral"].at[0, 0].set(0.5)
+        poisoned["output_weights"] = (
+            task.params["output_weights"].at[0].set(pt.OUTPUT_SCALE + 3.0))
+        params = replicate(poisoned, mesh)
         opt_state = replicate(task.optimizer.init(task.params), mesh)
         stims = shard_batch(make_parity_batch(jax.random.PRNGKey(1), 2, 8),
                             mesh)
         params, opt_state, loss = step(params, opt_state, stims)
         assert bool(jnp.isfinite(loss))
+        assert float(jnp.max(params["lateral"])) <= 0.0
+        assert float(jnp.min(params["input_weights"])) >= 0.0
+        assert float(jnp.min(params["feedforward"])) >= 0.0
+        assert float(jnp.min(params["output_weights"])) >= 0.0
+        assert float(jnp.max(params["output_weights"])) <= pt.OUTPUT_SCALE
 
     def test_xor_dp_step(self):
         from columnflow.config import ColumnConfig
