@@ -53,8 +53,13 @@ def save_checkpoint(path: str, *, params, opt_state=None, key=None,
 
 
 def load_checkpoint(path: str, *, params_like, opt_state_like=None,
-                    key_like=None):
+                    key_like=None, strict: bool = True):
     """Restore a checkpoint into the structure of the provided examples.
+
+    ``strict=True`` (default) validates the stored pytree structure against
+    the provided ``*_like`` examples — treedef string, leaf count, and leaf
+    shapes must match, so a stale checkpoint cannot silently mis-restore
+    into a refactored pytree that happens to have the same leaf count.
 
     Returns dict with 'params', 'opt_state', 'key', 'step', 'extra'.
     """
@@ -70,7 +75,29 @@ def load_checkpoint(path: str, *, params_like, opt_state_like=None,
         n = manifest.get(f"{name}_num_leaves")
         if n is None:
             return None
+        if strict:
+            stored_td = manifest.get(f"{name}_treedef")
+            if stored_td is not None and stored_td != str(treedef):
+                raise ValueError(
+                    f"checkpoint {base!r}: stored '{name}' pytree structure "
+                    f"does not match the provided {name}_like.\n"
+                    f"  stored:   {stored_td}\n  expected: {treedef}"
+                )
+            if n != len(leaves):
+                raise ValueError(
+                    f"checkpoint {base!r}: '{name}' has {n} stored leaves, "
+                    f"{name}_like has {len(leaves)}"
+                )
         loaded = [data[f"{name}__{i}"] for i in range(n)]
+        if strict:
+            for i, (got, want) in enumerate(zip(loaded, leaves)):
+                want_shape = tuple(np.shape(want))
+                if tuple(got.shape) != want_shape:
+                    raise ValueError(
+                        f"checkpoint {base!r}: '{name}' leaf {i} has shape "
+                        f"{tuple(got.shape)}, {name}_like expects "
+                        f"{want_shape}"
+                    )
         return jax.tree_util.tree_unflatten(treedef, loaded)
 
     return {
