@@ -103,3 +103,26 @@ class ColumnConfig:
     @staticmethod
     def load(filepath: str | None = None) -> "ColumnConfig":
         return ColumnConfig.from_dict(load_config(filepath))
+
+
+def legacy_wta_config(cfg: ColumnConfig, scale: float = 1e-3) -> ColumnConfig:
+    """The config generation that produced the reference's shipped "trained"
+    WTA matrix (reference: scripts/plotting_results.py:36-99).
+
+    Config archaeology (verified by tests/test_legacy_scale.py): that matrix
+    equals the CURRENT anatomy with (a) every baseline-derived weight scaled
+    by 1e-3 — i.e. baseline synaptic strength 8.78e-5 instead of 0.0878 —
+    and (b) the stale connection probability p[L2/3e <- L4e] = 0.0874, which
+    the toml's own trailing comment "# 0.0874" records
+    (config/model.toml:6); only the 4 trained entries differ beyond that.
+    Scaling the baseline scales recurrent, background, and feedforward
+    weights together (they are all ``counts * baseline``), which is the only
+    self-consistent single-parameter generation of the shipped matrix.
+    """
+    probs = [list(r) for r in cfg.connection_probabilities]
+    probs[0][2] = 0.0874
+    return dataclasses.replace(
+        cfg,
+        baseline_synaptic_strength=cfg.baseline_synaptic_strength * scale,
+        connection_probabilities=tuple(tuple(r) for r in probs),
+    )

@@ -250,13 +250,21 @@ def train_wta(
     plot_dir: str | None = None,
     plot_every: int = 10,
     resume_from: str | None = None,
+    legacy_scale: bool = False,
 ):
     """Full training run (reference defaults: 3000 samples, batch 16,
     scripts/wta_ode.py:208-216). The last sample of each batch is held out
     for validation, like the reference (scripts/wta_ode.py:166).
     ``resume_from`` restores params/optimizer/RNG/step from a checkpoint
-    written by ``checkpoint_path`` and continues."""
+    written by ``checkpoint_path`` and continues. ``legacy_scale`` builds the
+    anatomy generation that produced the reference's shipped trained matrix
+    (baseline strength x1e-3, see ``columnflow.config.legacy_wta_config``) —
+    the regime where the reference protocol's RMSprop(lr=10) converges."""
     cfg = ColumnConfig.load()
+    if legacy_scale:
+        from columnflow.config import legacy_wta_config
+
+        cfg = legacy_wta_config(cfg)
     key = jax.random.PRNGKey(seed)
     key, k_build, k_data = jax.random.split(key, 3)
     task = build_task(cfg, k_build, lr=lr, time_steps=time_steps)
@@ -394,6 +402,9 @@ def main():
                    help="reference protocol uses 10.0; 0.01 optimizes stably")
     p.add_argument("--noise-reps", type=int, default=1,
                    help="average gradients over R noise realizations/sample")
+    p.add_argument("--legacy-scale", action="store_true",
+                   help="build the legacy x1e-3 anatomy generation (the "
+                        "reference's shipped trained matrix regime)")
     p.add_argument("--smoke", action="store_true",
                    help="tiny run: 48 samples, 300 steps")
     p.add_argument("--metrics-out", default=None)
@@ -410,6 +421,7 @@ def main():
             lr=args.lr, noise_reps=args.noise_reps,
             metrics_path=args.metrics_out,
             profile_dir=args.profile_dir, checkpoint_path=args.checkpoint_out,
+            legacy_scale=args.legacy_scale,
         )
     else:
         params, hist = train_wta(
@@ -419,6 +431,7 @@ def main():
             profile_dir=args.profile_dir,
             checkpoint_path=args.checkpoint_out,
             resume_from=args.resume,
+            legacy_scale=args.legacy_scale,
         )
     print(f"final loss {hist[-1]['loss']:.5f} | val {hist[-1]['val_loss']:.5f}")
 
