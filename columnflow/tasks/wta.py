@@ -12,15 +12,17 @@ over ``lax.scan``, and the optimizer update (torch-RMSprop lr=10.0 alpha=0.9
 fused into the same jitted step. Optionally shards the batch across a device
 mesh (data parallelism over ICI) via ``columnflow.parallel``.
 
-Faithfulness note on convergence: with the current config/model.toml the
-anatomical recurrent weights are O(300) (verified identical to the reference
-class run directly) and RMSprop(lr=10.0) moves the 4 trainable entries by
-O(10)/step, so the SmoothL1 loss is noisy and does not converge to a small
-value — this is the reference protocol's own behavior at this weight scale
-(every piece — weight construction, loss, optimizer+schedule, SRK solver —
-is parity-tested against the reference/torch; the hardcoded "trained" matrix
-in the reference's scripts/plotting_results.py:36-101 has O(0.1) weights,
-i.e. it predates the current config). ``lr=0.01`` optimizes stably
+Faithfulness note on convergence (demonstrated, round 2): torch-RMSprop's
+bias-uncorrected first step is lr/sqrt(0.1) = +-31.6 per trainable entry at
+lr=10 REGARDLESS of gradient magnitude or weight scale (our masked step is
+pinned against torch itself in tests/test_wta_oracle.py), so the published
+protocol is non-convergent both at the current O(300)-weight config and at
+the legacy x1e-3 anatomy that produced the reference's hardcoded "trained"
+matrix (scripts/plotting_results.py:36-101; generation reproduced by
+``--legacy-scale`` / ``columnflow.config.legacy_wta_config``, pinned in
+tests/test_legacy_scale.py). At the legacy scale an effective lr ~ 0.01
+converges and moves the 4 entries by exactly the shipped O(0.1-0.5) —
+see RESULTS.md "WTA protocol archaeology". ``lr=0.01`` optimizes stably
 (held-out trajectory loss 0.169 -> 0.118 over one epoch, measured on TPU);
 ``--noise-reps R`` averages gradients over R noise realizations per sample
 (the rollout batch becomes samples x R, chunked to the VMEM budget

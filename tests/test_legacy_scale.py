@@ -64,13 +64,79 @@ def test_legacy_scale_factor_is_required(legacy_matrix):
 
 def test_legacy_trained_deltas_are_o_point_one(legacy_matrix):
     """At the legacy scale the reference's training moved the 4 trainable
-    entries by O(0.1-0.5) — achievable by accumulated RMSprop(lr=10) steps
-    only where gradients are small enough that eps dominates the
-    preconditioner; at the current O(300) scale the same protocol jolts
-    entries by O(10)/step (tests/test_wta_oracle.py)."""
+    entries by O(0.1-0.5). torch-RMSprop's bias-uncorrected first step is
+    lr/sqrt(alpha_complement) = +-31.6 per entry at lr=10 REGARDLESS of
+    weight scale (tests/test_wta_oracle.py pins this against torch itself),
+    so the published lr=10 can never have produced these deltas; an
+    effective lr ~0.01 at this scale converges and moves the entries by
+    exactly this magnitude (test_legacy_lr001_converges, RESULTS.md)."""
     cfg = legacy_wta_config(ColumnConfig.load())
     area = build_area_params(cfg, "mt", 2, small_network=True)
     ours = np.asarray(area.recurrent_weights)
     trained = wta_lat_in_mask().astype(bool)
     delta = np.abs(legacy_matrix[trained] - ours[trained])
     assert np.all((delta > 0.1) & (delta < 0.6)), delta
+
+
+def _legacy_task(lr):
+    import jax
+    import jax.numpy as jnp
+
+    from columnflow.tasks import wta as wt
+    from columnflow.train.optim import exponential_lr, torch_rmsprop
+
+    cfg = legacy_wta_config(ColumnConfig.load())
+    task = wt.build_task(cfg, jax.random.PRNGKey(0), time_steps=400)
+    return task._replace(
+        optimizer=torch_rmsprop(exponential_lr(lr, 0.99), alpha=0.9))
+
+
+def test_legacy_lr001_converges_lr10_does_not():
+    """The resolution of the round-1 'does the reference protocol train?'
+    question, from both directions: at the legacy weight scale an effective
+    lr of 0.01 converges and moves the 4 trainable entries by the shipped
+    O(0.1-0.5), while the published lr=10 jolts them to O(30) in one step
+    and the loss diverges (probe curves in RESULTS.md at the full horizon;
+    this CI check runs a shortened 400-step grid)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from columnflow.data import make_wta_dataset
+    from columnflow.models.wta import wta_lat_in_mask
+    from columnflow.tasks import wta as wt
+
+    iters, batch = 30, 8
+    states, stims = make_wta_dataset(jax.random.PRNGKey(1),
+                                     iters * batch, 400)
+    trained = wta_lat_in_mask().astype(bool)
+
+    def run(lr):
+        task = _legacy_task(lr)
+        step = wt.make_train_step(task)
+        params = task.params
+        w0 = np.asarray(params["recurrent_weights"])[trained]
+        opt_state = task.optimizer.init(params)
+        key = jax.random.PRNGKey(2)
+        losses = []
+        for i in range(iters):
+            lo = i * batch
+            key, kk = jax.random.split(key)
+            params, opt_state, loss, _ = step(
+                params, opt_state, states[lo:lo + batch],
+                stims[lo:lo + batch], kk)
+            losses.append(float(loss))
+        dw = np.abs(np.asarray(params["recurrent_weights"])[trained] - w0)
+        return np.asarray(losses), dw
+
+    losses_lo, dw_lo = run(0.01)
+    # lr=0.01: loss decreases, weight movement at the shipped magnitude.
+    assert losses_lo[-10:].mean() < 0.75 * losses_lo[:5].mean(), losses_lo
+    assert np.all(dw_lo < 1.0), dw_lo
+
+    losses_hi, dw_hi = run(10.0)
+    # lr=10: first step is ~+-31.6/entry (torch RMSprop bias-uncorrected
+    # preconditioner) -> weights leave the legacy anatomy scale immediately.
+    assert np.all(dw_hi > 10.0), dw_hi
+    assert losses_hi[-10:].mean() > losses_lo[-10:].mean(), \
+        (losses_hi[-10:].mean(), losses_lo[-10:].mean())
