@@ -1,0 +1,233 @@
+"""Compiled-TPU kernel tier (round-1 VERDICT Missing #4 / Next #5).
+
+Every Pallas kernel in the framework, compiled for real through Mosaic on
+the bench chip and asserted against the XLA path on-device — the interpret-
+mode CPU tests (test_fused.py, test_kernels.py) cover semantics; this tier
+covers the actual TPU lowering, so a Mosaic regression (new JAX pin, new
+workaround needed — see the "Mosaic workarounds" notes in solvers/fused.py)
+fails here instead of only surfacing as a bench.py crash.
+
+Run: ``COLUMNFLOW_TPU_TESTS=1 python -m pytest tests/ -m tpu -q`` on the
+TPU host (auto-skipped everywhere else; see tests/conftest.py).
+
+Covers: fused dopri5 fwd+bwd in both arg_grads modes, sdeint_fused for all
+three methods (+ outer arg-grads), the WTA rollout fwd+bwd including the
+chunked variants, and the fused drift kernel.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from columnflow.config import ColumnConfig
+from columnflow.data import wta_stim_three_phases
+from columnflow.solvers import odeint, sdeint
+from columnflow.solvers.fused import odeint_dopri5_fused, sdeint_fused
+from columnflow.solvers.sde import _brownian_pack
+
+pytestmark = pytest.mark.tpu
+
+CFG = ColumnConfig.load()
+
+
+def _exp_drift(t, y, k):
+    return -k * y + jnp.sin(3.0 * t) * jnp.ones_like(y)
+
+
+class TestCompiledFusedDopri5:
+    def _setup(self):
+        ts = jnp.linspace(0.0, 5.0, 80)
+        y0 = jnp.arange(1.0, 9.0).reshape(2, 4)
+        k = jnp.full((2, 4), 0.7)
+        return ts, y0, k
+
+    def test_forward_parity(self):
+        ts, y0, k = self._setup()
+        ys_x = odeint(_exp_drift, y0, ts, k, method="dopri5")
+        ys_f = odeint_dopri5_fused(_exp_drift, y0, ts, k, max_steps=256,
+                                   chunk=64)
+        np.testing.assert_allclose(np.asarray(ys_f), np.asarray(ys_x),
+                                   rtol=1e-4, atol=1e-5)
+
+    @pytest.mark.parametrize("mode", ["kernel", "outer"])
+    def test_backward_parity(self, mode):
+        ts, y0, k = self._setup()
+
+        def loss_x(y0, k):
+            return jnp.sum(odeint(_exp_drift, y0, ts, k,
+                                  method="dopri5") ** 2)
+
+        def loss_f(y0, k):
+            return jnp.sum(odeint_dopri5_fused(
+                _exp_drift, y0, ts, k, max_steps=256, chunk=64,
+                arg_grads=mode) ** 2)
+
+        gx = jax.grad(loss_x, argnums=(0, 1))(y0, k)
+        gf = jax.grad(jax.jit(loss_f), argnums=(0, 1))(y0, k)
+        for a, b in zip(gx, gf):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-3, atol=1e-5)
+
+
+class TestCompiledFusedSDE:
+    def _setup(self):
+        ts = jnp.linspace(0.0, 2.0, 120)
+        y0 = jnp.arange(12.0).reshape(3, 4) / 6.0
+        p = {"k": jnp.full((3, 4), 0.8), "b": jnp.full((3, 4), 0.1)}
+        key = jax.random.PRNGKey(3)
+        _, i1, i10, i11, i111 = _brownian_pack(key, ts, (), jnp.float32)
+        return ts, y0, p, key, (i1, i10, i11, i111)
+
+    @staticmethod
+    def _drift(t, y, p):
+        return -p["k"] * y + p["b"] + 0.2 * jnp.sin(t)
+
+    @staticmethod
+    def _diff(t, y, p):
+        return 0.5 * jnp.ones_like(y)
+
+    @pytest.mark.parametrize("method", ["euler", "srk"])
+    def test_pathwise_parity(self, method):
+        ts, y0, p, key, (i1, i10, i11, i111) = self._setup()
+        ones = jnp.ones((1, 3, 4))
+        scan_pack = tuple(x[:, None, None] * ones
+                          for x in (i1, i10, i11, i111))
+        ys_s = sdeint(self._drift, self._diff, y0, ts, key, p,
+                      method=method, additive=True, noise_pack=scan_pack)
+        ys_f = sdeint_fused(self._drift, self._diff, y0, ts, key, p,
+                            method=method, noise_pack=(i1, i10))
+        np.testing.assert_allclose(np.asarray(ys_f), np.asarray(ys_s),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_milstein_pathwise_gbm(self):
+        """Milstein on multiplicative (GBM) noise — the in-kernel jax.jvp
+        diffusion-derivative path, compiled."""
+        ts = jnp.linspace(0.0, 1.0, 80)
+        y0 = jnp.full((2, 4), 1.0)
+        p = {"mu": jnp.full((2, 4), 0.3), "sig": jnp.full((2, 4), 0.5)}
+        key = jax.random.PRNGKey(7)
+        _, i1, i10, i11, i111 = _brownian_pack(key, ts, (), jnp.float32)
+        drift = lambda t, y, p: p["mu"] * y
+        diff = lambda t, y, p: p["sig"] * y
+        ones = jnp.ones((1, 2, 4))
+        scan_pack = tuple(x[:, None, None] * ones
+                          for x in (i1, i10, i11, i111))
+        ys_s = sdeint(drift, diff, y0, ts, key, p, method="milstein",
+                      noise_pack=scan_pack)
+        ys_f = sdeint_fused(drift, diff, y0, ts, key, p, method="milstein",
+                            noise_pack=(i1, i10))
+        np.testing.assert_allclose(np.asarray(ys_f), np.asarray(ys_s),
+                                   rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.parametrize("mode", ["kernel", "outer"])
+    def test_srk_grads(self, mode):
+        ts, y0, p, key, (i1, i10, i11, i111) = self._setup()
+        ones = jnp.ones((1, 3, 4))
+        scan_pack = tuple(x[:, None, None] * ones
+                          for x in (i1, i10, i11, i111))
+
+        def loss_s(p):
+            return jnp.sum(sdeint(self._drift, self._diff, y0, ts, key, p,
+                                  method="srk", additive=True,
+                                  noise_pack=scan_pack) ** 2)
+
+        def loss_f(p):
+            return jnp.sum(sdeint_fused(self._drift, self._diff, y0, ts,
+                                        key, p, method="srk",
+                                        noise_pack=(i1, i10),
+                                        arg_grads=mode) ** 2)
+
+        gs = jax.grad(loss_s)(p)
+        gf = jax.grad(jax.jit(loss_f))(p)
+        for kk in gs:
+            np.testing.assert_allclose(np.asarray(gf[kk]),
+                                       np.asarray(gs[kk]),
+                                       rtol=1e-3, atol=1e-4)
+
+
+class TestCompiledWTAKernels:
+    def _setup(self, B=3, T=100):
+        from columnflow.models import build_wta
+
+        params, area = build_wta(CFG, jax.random.PRNGKey(0))
+        dt = 1e-4
+        ts = jnp.linspace(0.0, T * dt, T)
+        stims = jnp.asarray([[20.0, 5.0 + i] for i in range(B)])
+        tables = jax.vmap(lambda s: wta_stim_three_phases(s, T))(stims)
+        h = float(ts[1] - ts[0])
+        z1, z2 = jax.random.normal(jax.random.PRNGKey(7), (2, T - 1, B))
+        i1 = np.sqrt(h) * z1
+        i10 = h * (0.5 * i1 + np.sqrt(h / 12) * z2)
+        return params, area, tables, ts, i1, i10
+
+    def test_fused_drift(self):
+        from columnflow.kernels import fused_drift
+        from columnflow.models import Stimulus, wta_drift
+
+        params, area, tables, ts, _, _ = self._setup()
+        rng = np.random.default_rng(0)
+        y = jnp.asarray(rng.normal(size=(3, 48)).astype(np.float32))
+        stim_t = tables[:, 40, :]
+        got = fused_drift(y, stim_t, params, area)
+
+        def one(y_i, s_i):
+            table = jnp.tile(s_i, (2, 1))
+            return wta_drift(0.0, y_i, params, area,
+                             Stimulus(0.0, 1.0, table))
+
+        want = jax.vmap(one)(y, stim_t)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-3)
+
+    def test_rollout_forward(self):
+        from columnflow.kernels import wta_rollout_fused, wta_rollout_reference
+
+        params, area, tables, ts, i1, i10 = self._setup()
+        got = wta_rollout_fused(params, area, tables, ts, i1, i10)
+        want = wta_rollout_reference(params, area, tables, ts, i1, i10)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-3, atol=5e-3)
+
+    @pytest.mark.parametrize("chunk", [None, 32])
+    def test_rollout_diff_fwd_bwd(self, chunk):
+        """The differentiable rollout (the bench.py workload): forward
+        trajectory and recurrent-weight gradient vs the XLA reference path,
+        compiled, unchunked AND chunked (chunk=32 splits T=100 into VMEM
+        chunks exercising the carried-state path)."""
+        from columnflow.kernels import wta_rollout_reference
+        from columnflow.kernels.column_step import make_wta_rollout_diff
+
+        params, area, tables, ts, i1, i10 = self._setup()
+        rollout = make_wta_rollout_diff(area, ts, chunk=chunk)
+        w = params["recurrent_weights"]
+
+        got = rollout(w, tables, i1, i10)
+        want = wta_rollout_reference(params, area, tables, ts, i1, i10)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-3, atol=5e-3)
+
+        def loss_f(w):
+            return jnp.sum(rollout(w, tables, i1, i10) ** 2) / 1e4
+
+        def loss_r(w):
+            p = dict(params, recurrent_weights=w)
+            return jnp.sum(wta_rollout_reference(p, area, tables, ts, i1,
+                                                 i10) ** 2) / 1e4
+
+        gf = jax.grad(jax.jit(loss_f))(w)
+        gr = jax.grad(loss_r)(w)
+        scale = max(1.0, float(jnp.abs(gr).max()))
+        err = float(jnp.abs(gf - gr).max()) / scale
+        assert err < 1e-3, err
+
+    def test_rollout_fused_chunked(self):
+        from columnflow.kernels import wta_rollout_reference
+        from columnflow.kernels.column_step import wta_rollout_fused_chunked
+
+        params, area, tables, ts, i1, i10 = self._setup()
+        got = wta_rollout_fused_chunked(params, area, jnp.zeros((3, 48)),
+                                        tables, ts, i1, i10, chunk=32)
+        want = wta_rollout_reference(params, area, tables, ts, i1, i10)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-3, atol=5e-3)
