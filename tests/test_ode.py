@@ -113,6 +113,23 @@ class TestDopri5:
         assert int(stats.naccept) > 0
         assert int(stats.nfev) >= 6 * int(stats.naccept)
 
+    def test_stats_vmap_per_lane(self):
+        """vmapped odeint_stats reports PER-LANE controller counts — the
+        instrument behind BASELINE.md's lockstep-cost measurement (stiffer
+        lanes take more accepted steps than gentle ones)."""
+        ts = jnp.linspace(0.0, 2.0, 3)
+        rates = jnp.asarray([1.0, 300.0])  # gentle vs stiff decay
+
+        def stats_one(k):
+            return odeint_stats(lambda t, y: -k * y, jnp.ones(1), ts,
+                                rtol=1e-6, atol=1e-8)
+
+        st = jax.jit(jax.vmap(stats_one))(rates)
+        assert st.naccept.shape == (2,)
+        assert bool(jnp.all(st.success))
+        assert int(st.naccept[1]) > 2 * int(st.naccept[0]), np.asarray(
+            st.naccept)
+
     def test_time_dependent_rhs(self):
         # y' = cos(t), y(0)=0 -> y = sin(t)
         ts = jnp.linspace(0.0, 3.0, 61)
