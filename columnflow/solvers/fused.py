@@ -23,6 +23,14 @@ kernels cannot capture array constants; unrolling also removes the
 ``tensordot`` over stages). Kernel-visible drifts must avoid 1-D dots,
 tiled reshapes, unequal lane concats, and row-index transposes — see the
 batched drift variants in ``models/``.
+
+Known limitation: differentiate INSIDE jit (``jit(grad(f))`` /
+``jit(value_and_grad(f))`` — what every train step here does), not
+``grad(jit(f))``. Reverse-mode through a jit boundary wrapping these
+custom-vjp solvers trips a tracer-constant error in partial-eval on TPU
+("No constant handler for DynamicJaxprTracer"); the unjitted
+``grad(f)`` and the jitted-grad forms both work and are what the tpu
+test tier asserts.
 """
 
 from __future__ import annotations
