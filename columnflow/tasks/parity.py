@@ -253,16 +253,27 @@ def parity_targets(stims_raw, level: float = 15.0):
 
 def _step_core(task: ParityTask, use_fused: bool = False,
                stochastic: bool = False, adaptive: bool = False,
-               reference_rails: bool = False):
+               reference_rails: bool = False, loss_scale: float = 1.0):
+    """``loss_scale`` scales the loss before backprop and unscales the
+    gradients after — mathematically a no-op, but it keeps intermediate
+    cotangents inside the f32 range. Needed at the 104-column adaptive
+    stochastic scale on TPU, where the reverse sweep's intermediates
+    overflow under the TPU's matmul rounding while the final gradients are
+    O(1e6) (measured; CPU f32 stays finite). 1e-6 is a good value there."""
+
     def train_step(params, opt_state, stims_raw, noise_key=None):
         def loss_fn(p):
             ys = batched_rollout(p, task, stims_raw, use_fused=use_fused,
                                  stochastic=stochastic, key=noise_key,
                                  adaptive=adaptive)
             out = readout(ys, p, task.net)
-            return jnp.mean(jnp.abs(out - parity_targets(stims_raw))), out
+            loss = jnp.mean(jnp.abs(out - parity_targets(stims_raw)))
+            return loss * loss_scale, (out, loss)
 
-        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (_, (out, loss)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        if loss_scale != 1.0:
+            grads = jax.tree_util.tree_map(lambda g: g / loss_scale, grads)
         grads = mask_grads(grads, task.grad_mask)
         gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(g))
                              for g in jax.tree_util.tree_leaves(grads)))
@@ -298,9 +309,9 @@ def _step_core(task: ParityTask, use_fused: bool = False,
 
 def make_train_step(task: ParityTask, use_fused: bool = False,
                     stochastic: bool = False, adaptive: bool = False,
-                    reference_rails: bool = False):
+                    reference_rails: bool = False, loss_scale: float = 1.0):
     return jax.jit(_step_core(task, use_fused, stochastic, adaptive,
-                              reference_rails),
+                              reference_rails, loss_scale),
                    donate_argnums=(0, 1))
 
 
@@ -308,7 +319,7 @@ def make_train_scan(task: ParityTask, use_fused: bool = False,
                     n_inputs: int = 4, batch_size: int = 4,
                     fixed_position: bool = True,
                     stochastic: bool = False, adaptive: bool = False,
-                    reference_rails: bool = False):
+                    reference_rails: bool = False, loss_scale: float = 1.0):
     """K training iterations per dispatch: batch generation, rollout,
     loss, rails, update and best-params tracking all inside one
     jitted ``lax.scan``. On the TPU tunnel every host round-trip
@@ -321,7 +332,7 @@ def make_train_scan(task: ParityTask, use_fused: bool = False,
     is a (best_loss, best_params) pair carried across calls.
     """
     core = _step_core(task, use_fused, stochastic, adaptive,
-                      reference_rails)
+                      reference_rails, loss_scale)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_scan(params, opt_state, best, keys):
@@ -391,6 +402,7 @@ def train_parity(
     stochastic: bool = False,
     adaptive: bool = False,
     reference_rails: bool = False,
+    loss_scale: float = 1.0,
 ):
     """Reference defaults: 6400 samples / batch 4 -> 1600 iterations,
     fixed-position patterns (scripts/parity_ode.py:286-294).
@@ -417,7 +429,8 @@ def train_parity(
                               n_inputs=n_inputs, batch_size=batch_size,
                               fixed_position=fixed_position,
                               stochastic=stochastic, adaptive=adaptive,
-                              reference_rails=reference_rails)
+                              reference_rails=reference_rails,
+                              loss_scale=loss_scale)
 
     # Solver observability (SURVEY.md section 5): adaptive-step statistics
     # every stats_every iterations - naccept growth flags the approaching
@@ -571,6 +584,12 @@ def main():
                         "a virtual Brownian tree with replay gradients "
                         "(torchsde adaptive=True; cures fixed-grid "
                         "firing-rate artefacts, reference README.md:27-29)")
+    p.add_argument("--loss-scale", type=float, default=1.0,
+                   help="scale the loss before backprop, unscale gradients "
+                        "after (a mathematical no-op that keeps reverse-"
+                        "sweep intermediates in f32 range; use 1e-6 for "
+                        "--stochastic --adaptive at >=64-column scale on "
+                        "TPU)")
     p.add_argument("--metrics-out", default=None)
     p.add_argument("--profile-dir", default=None,
                    help="dump a jax.profiler trace of steps 2-4 here")
@@ -618,6 +637,7 @@ def main():
             stochastic=args.stochastic,
             adaptive=args.adaptive,
             reference_rails=args.reference_rails,
+            loss_scale=args.loss_scale,
         )
     else:
         params, hist = train_parity(
@@ -632,6 +652,7 @@ def main():
             stochastic=args.stochastic,
             adaptive=args.adaptive,
             reference_rails=args.reference_rails,
+            loss_scale=args.loss_scale,
         )
     final = next(h for h in reversed(hist) if "loss" in h)
     print(f"final loss {final['loss']:.5f} | "

@@ -8,6 +8,7 @@ equivalent of the reference's run-and-look-at-the-plots workflow.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from columnflow.tasks.bifurcation import train_bifurcation
 from columnflow.tasks.parity import train_parity
@@ -64,6 +65,39 @@ class TestParityTask:
         assert np.all(np.asarray(params["feedforward"]) >= 0.0)
         out = np.asarray(params["output_weights"])
         assert np.all((out >= 0.0) & (out <= 1.0))
+
+    def test_loss_scale_is_gradient_noop(self):
+        """loss_scale (the f32 overflow guard for the 104-column adaptive
+        scale, RESULTS.md) must not change the training semantics: one step
+        with scale 1e-6 produces the same loss and updated params as
+        scale 1."""
+        import jax
+
+        from columnflow.config import ColumnConfig
+        from columnflow.data import make_parity_batch
+        from columnflow.tasks import parity as pt
+
+        cfg = ColumnConfig.load()
+        task = pt.build_task(cfg, jax.random.PRNGKey(0),
+                             columns_per_area=(2, 1), n_inputs=2,
+                             time_steps=60, max_steps=512)
+        stims = make_parity_batch(jax.random.PRNGKey(1), 2, 4)
+
+        def one(scale):
+            step = pt.make_train_step(task, loss_scale=scale)
+            # The step donates params/opt_state buffers; give it copies.
+            fresh = jax.tree_util.tree_map(jnp.array, task.params)
+            opt_state = task.optimizer.init(fresh)
+            params, _, loss, _, gnorm, ok = step(fresh, opt_state, stims)
+            return float(loss), float(gnorm), params
+
+        l1, g1, p1 = one(1.0)
+        l2, g2, p2 = one(1e-6)
+        assert l1 == pytest.approx(l2, rel=1e-5)
+        assert g1 == pytest.approx(g2, rel=1e-3)
+        for k in p1:
+            np.testing.assert_allclose(np.asarray(p2[k]), np.asarray(p1[k]),
+                                       rtol=1e-4, atol=1e-6)
 
     def test_checkpoint_resume(self, tmp_path):
         """Train 2 iters with checkpointing, resume, finish the remaining 2:
