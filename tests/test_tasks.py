@@ -232,6 +232,46 @@ class TestParityStochastic:
         assert _finite(hist)
         assert np.all(np.asarray(params["lateral"]) <= 0.0)
 
+    def test_adaptive_smoke_train(self):
+        """--stochastic --adaptive end-to-end: adaptive step-doubling SRA1
+        with replay gradients inside the jitted train scan (torchsde's
+        adaptive=True with training, reference README.md:27-29)."""
+        params, hist = train_parity(nr_samples=8, batch_size=4, seed=0,
+                                    columns_per_area=(2, 1), n_inputs=2,
+                                    time_steps=60, max_steps=512,
+                                    stochastic=True, adaptive=True)
+        assert _finite(hist)
+        assert np.all(np.asarray(params["lateral"]) <= 0.0)
+
+    def test_adaptive_rollout_shapes_and_noise(self):
+        """Adaptive rollout: right shape, finite, pure per key, and noisy
+        (two keys differ)."""
+        from columnflow.config import ColumnConfig
+        from columnflow.data import make_parity_batch
+        from columnflow.tasks import parity as pt
+
+        cfg = ColumnConfig.load()
+        task = pt.build_task(cfg, jax.random.PRNGKey(0),
+                             columns_per_area=(2, 1), n_inputs=2,
+                             time_steps=60, max_steps=512)
+        stims = make_parity_batch(jax.random.PRNGKey(1), 2, 2)
+        ys1 = pt.batched_rollout(task.params, task, stims, stochastic=True,
+                                 adaptive=True, key=jax.random.PRNGKey(5),
+                                 differentiable=False,
+                                 adaptive_max_steps=1024)
+        ys1b = pt.batched_rollout(task.params, task, stims, stochastic=True,
+                                  adaptive=True, key=jax.random.PRNGKey(5),
+                                  differentiable=False,
+                                  adaptive_max_steps=1024)
+        ys2 = pt.batched_rollout(task.params, task, stims, stochastic=True,
+                                 adaptive=True, key=jax.random.PRNGKey(6),
+                                 differentiable=False,
+                                 adaptive_max_steps=1024)
+        assert ys1.shape == (2, 60, 3 * task.net.num_pops)
+        assert bool(jnp.all(jnp.isfinite(ys1)))
+        np.testing.assert_array_equal(np.asarray(ys1), np.asarray(ys1b))
+        assert float(jnp.max(jnp.abs(ys1 - ys2))) > 1e-3
+
     def test_stochastic_rollout_paths(self):
         """Scan and fused SDE paths both produce finite, genuinely noisy
         trajectories of the right shape (noise draws differ by design:
@@ -276,6 +316,11 @@ class TestXORStochastic:
     def test_smoke_train(self):
         params, hist = train_xor(nr_samples=8, time_steps=60, max_steps=512,
                                  seed=0, stochastic=True)
+        assert _finite(hist)
+
+    def test_adaptive_smoke_train(self):
+        params, hist = train_xor(nr_samples=8, time_steps=60, max_steps=512,
+                                 seed=0, stochastic=True, adaptive=True)
         assert _finite(hist)
 
 
