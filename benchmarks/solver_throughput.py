@@ -174,11 +174,42 @@ def row_sde_fused(reps, batch=128):
             "value": round(batch * (T - 1) / sec), "unit": "steps/sec"}
 
 
+def row_sde_adaptive(reps, batch=16):
+    """Adaptive step-doubling SRA1 on the virtual Brownian tree (inference
+    path), WTA-sized: steps counted as per-lane accepted+rejected attempts
+    (each attempt = 3 stepper evaluations via step doubling)."""
+    import jax
+    import jax.numpy as jnp
+
+    from columnflow.models import Stimulus, wta_diffusion, wta_drift
+    from columnflow.solvers import sdeint_adaptive
+
+    params, area, ts, tables, keys, T = _wta_setup(batch)
+    dt = float(ts[1] - ts[0])
+
+    def one(table, k):
+        stim = Stimulus(0.0, dt, table)
+        return sdeint_adaptive(
+            lambda t, y: wta_drift(t, y, params, area, stim),
+            lambda t, y: wta_diffusion(t, y, params, area, stim),
+            jnp.zeros(48), ts, k, method="sra1", rtol=1e-3, atol=1e-3,
+            max_steps=8192, return_stats=True)
+
+    fn = jax.jit(lambda: jax.vmap(one)(tables, keys))
+    sec = _med_time(fn, reps)
+    _, st = fn()
+    steps = int(jax.numpy.sum(st.naccept + st.nreject))
+    return {"metric": "sde_adaptive_steps_per_sec", "path": "xla_vbt",
+            "workload": f"wta {batch}x48-dim adaptive SRA1 (VBT)",
+            "value": round(steps / sec), "unit": "steps/sec"}
+
+
 ROWS = {
     "ode_xla": row_ode_xla,
     "ode_fused": row_ode_fused,
     "sde_scan": row_sde_scan,
     "sde_fused": row_sde_fused,
+    "sde_adaptive": row_sde_adaptive,
 }
 
 
