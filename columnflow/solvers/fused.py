@@ -651,16 +651,16 @@ def odeint_dopri5_fused(
 # ---------------------------------------------------------------------------
 
 
-def _make_sde_chunk_kernel(drift, diffusion, prep, n_args, chunk, h,
-                           t_base, method):
-    """Forward SDE chunk: fixed-grid steps with everything VMEM-resident.
+def _make_sde_step(drift, diffusion, method, safe_h):
+    """One fixed-or-variable step ``step(t0, h, y, i1, i10, args)``.
 
-    Inputs: offs (SMEM (1,) i32 global step offset), y_in (S), i1/i10 chunk
-    ((chunk,) + noise shape), arg refs. Outputs: y_out (S), ys (chunk,)+S
-    (states AFTER each step).
+    ``safe_h=True`` (variable-step mode) guards the SRA1 ``i10 / h``
+    against h == 0 padding steps (which carry i1 = i10 = 0 and must be
+    exact no-ops); the uniform-grid path keeps the plain division so its
+    kernels are unchanged bit-for-bit.
     """
 
-    def step(t0, y, i1, i10, args):
+    def step(t0, h, y, i1, i10, args):
         if method == "euler":
             g = diffusion(t0, y, *args)
             return y + h * drift(t0, y, *args) + g * i1
@@ -674,7 +674,8 @@ def _make_sde_chunk_kernel(drift, diffusion, prep, n_args, chunk, h,
             return (y + h * drift(t0, y, *args) + g * i1
                     + 0.5 * dg_g * (i1 * i1 - h))
         # SRA1 (strong order 1.5, additive noise), matching sde._sra1_step.
-        i10_h = i10 / h
+        h_div = jnp.where(h > 0, h, 1.0) if safe_h else h
+        i10_h = i10 / h_div
         f1 = drift(t0, y, *args)
         g_end = diffusion(t0 + h, y, *args)
         h2 = y + 0.75 * h * f1 + 1.5 * i10_h * g_end
@@ -683,15 +684,44 @@ def _make_sde_chunk_kernel(drift, diffusion, prep, n_args, chunk, h,
         return (y + h * (f1 / 3.0 + 2.0 * f2 / 3.0)
                 + (i1 - i10_h) * g_end + i10_h * g_start)
 
-    def kernel(off_ref, y_ref, i1_ref, i10_ref, *refs):
+    return step
+
+
+def _make_sde_chunk_kernel(drift, diffusion, prep, n_args, chunk, h,
+                           t_base, method, variable_h=False):
+    """Forward SDE chunk: fixed-grid steps with everything VMEM-resident.
+
+    Inputs: offs (SMEM (1,) i32 global step offset), [st (chunk+1,) step
+    times when ``variable_h``], y_in (S), i1/i10 chunk ((chunk,) + noise
+    shape), arg refs. Outputs: y_out (S), ys (chunk,)+S (states AFTER each
+    step). With ``variable_h`` the per-step t0/h come from the st ref
+    (h == 0 steps are exact no-ops), enabling the adaptive replay to run
+    its frozen non-uniform accepted-step sequence inside the kernel.
+    """
+    step = _make_sde_step(drift, diffusion, method, safe_h=variable_h)
+
+    def kernel(off_ref, *in_refs):
+        if variable_h:
+            st_ref, y_ref, i1_ref, i10_ref = in_refs[:4]
+            refs = in_refs[4:]
+        else:
+            st_ref = None
+            y_ref, i1_ref, i10_ref = in_refs[:3]
+            refs = in_refs[3:]
         arg_refs = refs[:n_args]
         yout_ref, ys_ref = refs[n_args:]
         args = prep(tuple(r[:] for r in arg_refs))
-        t_off = off_ref[0].astype(jnp.float32) * h + t_base
+        if not variable_h:
+            t_off = off_ref[0].astype(jnp.float32) * h + t_base
 
         def body(k, y):
-            t0 = t_off + k.astype(jnp.float32) * h
-            y1 = step(t0, y, i1_ref[k], i10_ref[k], args)
+            if variable_h:
+                t0 = st_ref[k]
+                hk = st_ref[k + 1] - t0
+            else:
+                t0 = t_off + k.astype(jnp.float32) * h
+                hk = h
+            y1 = step(t0, hk, y, i1_ref[k], i10_ref[k], args)
             ys_ref[k] = y1
             return y1
 
@@ -701,10 +731,12 @@ def _make_sde_chunk_kernel(drift, diffusion, prep, n_args, chunk, h,
 
 
 def _make_sde_bwd_chunk_kernel(step, prep, n_args, chunk, h, t_base,
-                               diff_idx, emit_steps=False):
+                               diff_idx, emit_steps=False,
+                               variable_h=False):
     """Reverse SDE chunk: in-kernel ``jax.vjp`` of the step.
 
-    Inputs: offs (SMEM (1,)), ys_prev (chunk,)+S (states BEFORE each step),
+    Inputs: offs (SMEM (1,)), [st (chunk+1,) step times when
+    ``variable_h``], ys_prev (chunk,)+S (states BEFORE each step),
     ysbar (chunk,)+S (cotangents on states AFTER each step), ybar_in (S),
     i1/i10 chunks, arg refs. Outputs: ybar_out, diff-arg accumulators.
 
@@ -715,8 +747,14 @@ def _make_sde_bwd_chunk_kernel(step, prep, n_args, chunk, h, t_base,
     outside the kernel as step-batched VJPs.
     """
 
-    def kernel(off_ref, ysprev_ref, ysbar_ref, ybar_ref, i1_ref, i10_ref,
-               *refs):
+    def kernel(off_ref, *in_refs):
+        if variable_h:
+            st_ref = in_refs[0]
+            in_refs = in_refs[1:]
+        else:
+            st_ref = None
+        ysprev_ref, ysbar_ref, ybar_ref, i1_ref, i10_ref = in_refs[:5]
+        refs = in_refs[5:]
         arg_refs = refs[:n_args]
         ybarout_ref = refs[n_args]
         rest = refs[n_args + 1:]
@@ -726,14 +764,20 @@ def _make_sde_bwd_chunk_kernel(step, prep, n_args, chunk, h, t_base,
             abar_refs = rest
         raw = tuple(r[:] for r in arg_refs)
         pargs = prep(raw) if emit_steps else None
-        t_off = off_ref[0].astype(jnp.float32) * h + t_base
+        if not variable_h:
+            t_off = off_ref[0].astype(jnp.float32) * h + t_base
 
         abar0 = tuple(jnp.zeros(r.shape, r.dtype) for r in abar_refs)
 
         def body(kk, carry):
             ybar, abars = carry
             k = chunk - 1 - kk
-            t0 = t_off + k.astype(jnp.float32) * h
+            if variable_h:
+                t0 = st_ref[k]
+                hk = st_ref[k + 1] - t0
+            else:
+                t0 = t_off + k.astype(jnp.float32) * h
+                hk = h
             y = ysprev_ref[k]
             i1 = i1_ref[k]
             i10 = i10_ref[k]
@@ -743,11 +787,11 @@ def _make_sde_bwd_chunk_kernel(step, prep, n_args, chunk, h, t_base,
 
             def stepfn(y, *diff_vals):
                 if emit_steps:
-                    return step(t0, y, i1, i10, pargs)
+                    return step(t0, hk, y, i1, i10, pargs)
                 full = list(raw)
                 for i, v in zip(diff_idx, diff_vals):
                     full[i] = v
-                return step(t0, y, i1, i10, prep(tuple(full)))
+                return step(t0, hk, y, i1, i10, prep(tuple(full)))
 
             _, vjp = jax.vjp(stepfn, y, *(raw[i] for i in diff_idx))
             grads = vjp(seed)
@@ -778,6 +822,7 @@ def sdeint_fused(
     prepare: Callable | None = None,
     arg_grads: str = "auto",
     interpret: bool = False,
+    ts_steps=None,
 ):
     """Fixed-grid Ito SDE integration, every step loop a Pallas kernel.
 
@@ -798,6 +843,13 @@ def sdeint_fused(
     VJPs (required for models whose per-step arg-cotangent temporaries
     would blow VMEM); "auto" picks "outer" above ~1 MB of diff args.
 
+    ``ts_steps`` switches to VARIABLE-step mode (the adaptive replay's
+    engine): a traced ``(n_steps + 1,)`` array of step times consumed
+    inside the kernels (per-step t0/h; h == 0 padding steps are exact
+    no-ops). ``ts``/``key`` are ignored and an explicit ``noise_pack``
+    (per-interval i1/i10, leading axis n_steps) is required. Returns the
+    state at every ts_steps point.
+
     Returns ys with ys[0] == y0, shape (len(ts),) + y0.shape.
     """
     from columnflow.solvers.sde import _brownian_pack
@@ -806,13 +858,22 @@ def sdeint_fused(
         raise ValueError(f"unknown fused SDE method: {method!r}")
     if arg_grads not in ("auto", "kernel", "outer"):
         raise ValueError(f"unknown arg_grads mode: {arg_grads!r}")
-    ts_host = np.asarray(ts)
     y0 = jnp.asarray(y0)
     if not jnp.issubdtype(y0.dtype, jnp.inexact):
         y0 = y0.astype(jnp.float32)
-    n_steps = int(ts_host.shape[0]) - 1
-    h = float(ts_host[1] - ts_host[0])
-    t_base = float(ts_host[0])
+    variable_h = ts_steps is not None
+    if variable_h:
+        if noise_pack is None:
+            raise ValueError("ts_steps mode requires an explicit noise_pack")
+        ts_steps = jnp.asarray(ts_steps, y0.dtype)
+        n_steps = int(ts_steps.shape[0]) - 1
+        h = None
+        t_base = None
+    else:
+        ts_host = np.asarray(ts)
+        n_steps = int(ts_host.shape[0]) - 1
+        h = float(ts_host[1] - ts_host[0])
+        t_base = float(ts_host[0])
 
     if noise_pack is None:
         _, i1, i10, _, _ = _brownian_pack(
@@ -854,9 +915,12 @@ def sdeint_fused(
 
     step_fns = {}
 
+    n_extra = 1 if variable_h else 0  # st (chunk+1,) VMEM ref
+
     def make_calls(c):
         fwd_kernel, step = _make_sde_chunk_kernel(
-            wrapped_drift, wrapped_diff, prep, n_args, c, h, t_base, method
+            wrapped_drift, wrapped_diff, prep, n_args, c, h, t_base, method,
+            variable_h=variable_h,
         )
         step_fns[c] = step
         fwd = pl.pallas_call(
@@ -864,35 +928,42 @@ def sdeint_fused(
             out_shape=(jax.ShapeDtypeStruct(S, y0.dtype),
                        jax.ShapeDtypeStruct((c,) + S, y0.dtype)),
             in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
-                      + [_VMEM()] * (3 + n_args)),
+                      + [_VMEM()] * (3 + n_extra + n_args)),
             out_specs=(_VMEM(), _VMEM()),
             interpret=interpret,
         )
         if arg_grads == "outer":
             bwd = pl.pallas_call(
                 _make_sde_bwd_chunk_kernel(step, prep, n_args, c, h, t_base,
-                                           (), emit_steps=True),
+                                           (), emit_steps=True,
+                                           variable_h=variable_h),
                 out_shape=(jax.ShapeDtypeStruct(S, y0.dtype),
                            jax.ShapeDtypeStruct((c,) + S, y0.dtype)),
                 in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
-                          + [_VMEM()] * (5 + n_args)),
+                          + [_VMEM()] * (5 + n_extra + n_args)),
                 out_specs=(_VMEM(), _VMEM()),
                 interpret=interpret,
             )
         else:
             bwd = pl.pallas_call(
                 _make_sde_bwd_chunk_kernel(step, prep, n_args, c, h, t_base,
-                                           diff_idx),
+                                           diff_idx,
+                                           variable_h=variable_h),
                 out_shape=((jax.ShapeDtypeStruct(S, y0.dtype),)
                            + tuple(jax.ShapeDtypeStruct(dyn[i].shape,
                                                         dyn[i].dtype)
                                    for i in diff_idx)),
                 in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
-                          + [_VMEM()] * (5 + n_args)),
+                          + [_VMEM()] * (5 + n_extra + n_args)),
                 out_specs=(_VMEM(),) * (1 + len(diff_idx)),
                 interpret=interpret,
             )
         return fwd, bwd
+
+    def st_slice(start, c):
+        if not variable_h:
+            return ()
+        return (jax.lax.dynamic_slice(ts_steps, (start,), (c + 1,)),)
 
     fwd_call, bwd_call = make_calls(chunk)
     if rem:
@@ -907,14 +978,16 @@ def sdeint_fused(
             off = (c * chunk)[None].astype(jnp.int32)
             i1_c = jax.lax.dynamic_slice_in_dim(i1, c * chunk, chunk)
             i10_c = jax.lax.dynamic_slice_in_dim(i10, c * chunk, chunk)
-            y1, ys_c = fwd_call(off, y, i1_c, i10_c, *dyn)
+            y1, ys_c = fwd_call(off, *st_slice(c * chunk, chunk), y,
+                                i1_c, i10_c, *dyn)
             return y1, ys_c
 
         y_last, chunks = jax.lax.scan(body, y0, jnp.arange(n_full))
         ys = chunks.reshape((n_full * chunk,) + S)
         if rem:
             off = jnp.asarray([n_full * chunk], jnp.int32)
-            _, ys_r = fwd_rem(off, y_last, i1[n_full * chunk:],
+            _, ys_r = fwd_rem(off, *st_slice(n_full * chunk, rem), y_last,
+                              i1[n_full * chunk:],
                               i10[n_full * chunk:], *dyn)
             ys = jnp.concatenate([ys, ys_r], axis=0)
         return jnp.concatenate([y0[None], ys], axis=0)  # (T,) + S
@@ -932,14 +1005,19 @@ def sdeint_fused(
         linear in the seed, so zero-padded steps contribute exact zeros.
         """
         step = step_fns[chunk]
-        t0s = (t_base + h * jnp.arange(n_steps)).astype(y0.dtype)
+        if variable_h:
+            t0s = ts_steps[:-1]
+            hs = ts_steps[1:] - ts_steps[:-1]
+        else:
+            t0s = (t_base + h * jnp.arange(n_steps)).astype(y0.dtype)
+            hs = jnp.full((n_steps,), h, y0.dtype)
 
-        def one(t0k, yk, i1k, i10k, seedk):
+        def one(t0k, hk, yk, i1k, i10k, seedk):
             def stepfn(*diff_vals):
                 full = list(dyn_args)
                 for i, v in zip(diff_idx, diff_vals):
                     full[i] = v
-                return step(t0k, yk, i1k, i10k, prep(tuple(full)))
+                return step(t0k, hk, yk, i1k, i10k, prep(tuple(full)))
 
             _, vjp = jax.vjp(stepfn, *(dyn_args[i] for i in diff_idx))
             return vjp(seedk)
@@ -951,12 +1029,13 @@ def sdeint_fused(
         def padz(a):
             return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
 
-        t0p, ysp, i1p, i10p, sdp = (padz(t0s), padz(ys_prev), padz(i1),
-                                    padz(i10), padz(seeds))
+        t0p, hp, ysp, i1p, i10p, sdp = (padz(t0s), padz(hs), padz(ys_prev),
+                                        padz(i1), padz(i10), padz(seeds))
 
         def blk(acc, b):
             sl = lambda a: jax.lax.dynamic_slice_in_dim(a, b * blk_n, blk_n)
-            g = jax.vmap(one)(sl(t0p), sl(ysp), sl(i1p), sl(i10p), sl(sdp))
+            g = jax.vmap(one)(sl(t0p), sl(hp), sl(ysp), sl(i1p), sl(i10p),
+                              sl(sdp))
             return jax.tree_util.tree_map(
                 lambda a, gg: a + jnp.sum(gg, 0), acc, g), None
 
@@ -976,7 +1055,8 @@ def sdeint_fused(
             if rem:
                 off = jnp.asarray([n_full * chunk], jnp.int32)
                 ybar, seeds_rem = bwd_rem(
-                    off, ys_prev[n_full * chunk:],
+                    off, *st_slice(n_full * chunk, rem),
+                    ys_prev[n_full * chunk:],
                     ysbar_steps[n_full * chunk:], ybar,
                     i1[n_full * chunk:], i10[n_full * chunk:], *dyn)
 
@@ -989,7 +1069,9 @@ def sdeint_fused(
                                                    chunk)
                 ysb = jax.lax.dynamic_slice_in_dim(ysbar_steps, ci * chunk,
                                                    chunk)
-                ybar_new, seeds_c = bwd_call(off, ysp, ysb, ybar, i1_c,
+                ybar_new, seeds_c = bwd_call(off, *st_slice(ci * chunk,
+                                                            chunk),
+                                             ysp, ysb, ybar, i1_c,
                                              i10_c, *dyn)
                 return ybar_new, seeds_c
 
@@ -1007,7 +1089,8 @@ def sdeint_fused(
         abars = tuple(jnp.zeros(dyn[i].shape, dyn[i].dtype) for i in diff_idx)
         if rem:
             off = jnp.asarray([n_full * chunk], jnp.int32)
-            out = bwd_rem(off, ys_prev[n_full * chunk:],
+            out = bwd_rem(off, *st_slice(n_full * chunk, rem),
+                          ys_prev[n_full * chunk:],
                           ysbar_steps[n_full * chunk:], ybar,
                           i1[n_full * chunk:], i10[n_full * chunk:], *dyn)
             ybar = out[0]
@@ -1021,7 +1104,8 @@ def sdeint_fused(
             i10_c = jax.lax.dynamic_slice_in_dim(i10, ci * chunk, chunk)
             ysp = jax.lax.dynamic_slice_in_dim(ys_prev, ci * chunk, chunk)
             ysb = jax.lax.dynamic_slice_in_dim(ysbar_steps, ci * chunk, chunk)
-            out = bwd_call(off, ysp, ysb, ybar, i1_c, i10_c, *dyn)
+            out = bwd_call(off, *st_slice(ci * chunk, chunk), ysp, ysb,
+                           ybar, i1_c, i10_c, *dyn)
             abars = tuple(a + g for a, g in zip(abars, out[1:]))
             return (out[0], abars), None
 

@@ -217,7 +217,11 @@ def _replay_pass(stepper, with_i10, drift, diffusion, y0, ts, step_times,
         body = jax.checkpoint(body)
     _, ys_acc = jax.lax.scan(body, y0, jnp.arange(max_steps, dtype=jnp.int32))
     ys_acc = jnp.concatenate([y0[None], ys_acc], axis=0)  # (max_steps+1, ...)
+    return _interp_accepted(ys_acc, y0, ts, step_times, naccept)
 
+
+def _interp_accepted(ys_acc, y0, ts, step_times, naccept):
+    """Linear interpolation of the accepted-point states onto ``ts``."""
     idx = jnp.clip(
         jnp.searchsorted(step_times, ts, side="right") - 1, 0, naccept - 1
     ).astype(jnp.int32)
@@ -227,6 +231,57 @@ def _replay_pass(stepper, with_i10, drift, diffusion, y0, ts, step_times,
     theta = theta.reshape(theta.shape + (1,) * (y0.ndim))
     ys = ys_acc[idx] + theta * (ys_acc[idx + 1] - ys_acc[idx])
     return ys.at[0].set(y0)
+
+
+_FUSED_METHOD = {"sra1": "srk", "euler": "euler", "milstein": "milstein"}
+
+
+def _replay_pass_fused(method, with_i10, drift, diffusion, y0, ts,
+                       step_times, naccept, max_steps, tree, i10_key, args,
+                       interpret=None):
+    """The replay sweep as Pallas kernels: the frozen accepted-step
+    sequence's 2*max_steps half steps are one non-uniform fixed grid, run
+    through ``sdeint_fused(ts_steps=...)`` (per-step t0/h read inside the
+    kernel; h == 0 padding steps are exact no-ops). Noise per half interval
+    reproduces the XLA replay's draws: tree increments at the same half
+    points, space-time integrals keyed by the identical interval-endpoint
+    bit patterns (``_interval_normal``), so trajectories match the scan
+    replay to fp reassociation.
+
+    Requires a kernel-safe drift/diffusion (the sdeint_fused contract: no
+    1-D dots, gathers, tiled reshapes — see models/ batched variants).
+    """
+    from columnflow.solvers.fused import sdeint_fused
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    dtype = y0.dtype
+    st = step_times
+    hs = st[1:] - st[:-1]                         # (max_steps,)
+    mids = st[:-1] + 0.5 * hs                     # == _half_noise's tm
+    ht = jnp.concatenate(
+        [jnp.stack([st[:-1], mids], axis=1).reshape(-1), st[-1:]]
+    )                                             # (2*max_steps + 1,)
+    w = jax.vmap(tree.evaluate)(ht)
+    dw = w[1:] - w[:-1]
+    if with_i10:
+        za = jax.vmap(
+            lambda a, b: _interval_normal(i10_key, a, b, dtype)
+        )(ht[:-1], ht[1:])
+        hh = ht[1:] - ht[:-1]
+        i10 = hh * (0.5 * dw + jnp.sqrt(hh / 12.0) * za)
+    else:
+        i10 = jnp.zeros_like(dw)
+    dw = jax.lax.stop_gradient(dw)
+    i10 = jax.lax.stop_gradient(i10)
+
+    ys_h = sdeint_fused(
+        drift, diffusion, y0, None, None, *args,
+        method=_FUSED_METHOD[method], noise_pack=(dw, i10), ts_steps=ht,
+        interpret=interpret,
+    )                                             # (2*max_steps + 1,) + S
+    ys_acc = ys_h[::2]                            # states at accepted points
+    return _interp_accepted(ys_acc, y0, ts, step_times, naccept)
 
 
 def _setup(method, y0, ts, key, dt0, levy_depth):
@@ -265,6 +320,8 @@ def sdeint_adaptive(
     differentiable: bool = False,
     remat: bool = True,
     return_stats: bool = False,
+    fused: bool = False,
+    interpret: bool | None = None,
 ):
     """Adaptive Ito SDE integration with scalar noise on [ts[0], ts[-1]].
 
@@ -275,6 +332,13 @@ def sdeint_adaptive(
     ``args`` by replaying the frozen accepted-step sequence under a bounded
     ``lax.scan`` (cost: one extra sweep of ``max_steps`` scan iterations —
     size ``max_steps`` to the actual step budget when training).
+    ``fused=True`` (with ``differentiable``) runs that replay sweep — and
+    its backward — as Pallas kernels instead (``sdeint_fused`` in
+    variable-step mode): the accepted-step sequence's half steps become one
+    non-uniform grid integrated start-to-finish in VMEM. Same trajectories
+    and gradients up to fp reassociation; requires kernel-safe
+    drift/diffusion. ``interpret`` overrides the Pallas interpret-mode
+    auto-detection (interpret on CPU, compiled on TPU).
     ``return_stats=True`` additionally returns
     ``SDESolverStats(naccept, nreject, success)``.
     """
@@ -290,9 +354,14 @@ def sdeint_adaptive(
         )
         step_times = jax.lax.stop_gradient(carry.step_times)
         naccept = jax.lax.stop_gradient(carry.naccept)
-        ys = _replay_pass(stepper, with_i10, drift, diffusion, y0, ts,
-                          step_times, naccept, max_steps, tree, k_i10, args,
-                          remat=remat)
+        if fused:
+            ys = _replay_pass_fused(method, with_i10, drift, diffusion, y0,
+                                    ts, step_times, naccept, max_steps, tree,
+                                    k_i10, args, interpret=interpret)
+        else:
+            ys = _replay_pass(stepper, with_i10, drift, diffusion, y0, ts,
+                              step_times, naccept, max_steps, tree, k_i10,
+                              args, remat=remat)
         if return_stats:
             return ys, SDESolverStats(naccept, carry.nreject,
                                       carry.t1 >= t_end)

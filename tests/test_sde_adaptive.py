@@ -344,3 +344,62 @@ class TestLargeNetworkStability:
         assert all(bool(jnp.all(jnp.isfinite(g))) for g in leaves)
         # Gradients actually flow into every trainable group.
         assert float(sum(jnp.sum(jnp.abs(g)) for g in leaves)) > 0.0
+
+
+class TestFusedReplay:
+    """fused=True runs the replay sweep (and its backward) as Pallas
+    kernels over the non-uniform half-step grid (sdeint_fused ts_steps
+    mode). Same tree increments and interval-keyed I10 draws as the scan
+    replay -> trajectories and gradients match to fp reassociation."""
+
+    drift = staticmethod(lambda t, y: -1.3 * y)
+    diff = staticmethod(lambda t, y: 0.5 * jnp.ones_like(y))
+    ts = jnp.linspace(0.0, 1.0, 9)
+
+    @pytest.mark.parametrize("method", ["sra1", "euler", "milstein"])
+    def test_matches_scan_replay(self, method):
+        key = jax.random.PRNGKey(5)
+        a = sdeint_adaptive(self.drift, self.diff, jnp.ones(4), self.ts,
+                            key, method=method, rtol=1e-4, atol=1e-4,
+                            max_steps=256, differentiable=True)
+        b = sdeint_adaptive(self.drift, self.diff, jnp.ones(4), self.ts,
+                            key, method=method, rtol=1e-4, atol=1e-4,
+                            max_steps=256, differentiable=True, fused=True)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_gradients_match_scan_replay(self):
+        # Differentiable quantities must be explicit *args on the fused
+        # path (a Pallas kernel cannot capture traced closure constants) —
+        # the same contract as every fused solver here.
+        key = jax.random.PRNGKey(6)
+        drift = lambda t, y, th: -th * y
+        diff = lambda t, y, th: 0.5 * jnp.ones_like(y)
+
+        def final(theta, fused):
+            ys = sdeint_adaptive(drift, diff, jnp.ones(2), self.ts,
+                                 key, theta, method="sra1", rtol=1e-4,
+                                 atol=1e-4, max_steps=256,
+                                 differentiable=True, fused=fused)
+            return jnp.sum(ys ** 2)
+
+        th0 = jnp.full((2,), 1.1)
+        g_scan = np.asarray(jax.grad(lambda a: final(a, False))(th0))
+        g_fused = np.asarray(jax.grad(lambda a: final(a, True))(th0))
+        np.testing.assert_allclose(g_fused, g_scan, rtol=1e-4)
+
+    def test_vmapped_over_batch(self):
+        """The task usage pattern: vmap over per-sample keys (each sample
+        its own frozen step sequence inside the kernels)."""
+        keys = jax.random.split(jax.random.PRNGKey(7), 3)
+
+        def one(k, fused):
+            return sdeint_adaptive(self.drift, self.diff, jnp.ones(4),
+                                   self.ts, k, method="sra1", rtol=1e-4,
+                                   atol=1e-4, max_steps=256,
+                                   differentiable=True, fused=fused)
+
+        a = jax.vmap(lambda k: one(k, False))(keys)
+        b = jax.vmap(lambda k: one(k, True))(keys)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
