@@ -238,7 +238,7 @@ _FUSED_METHOD = {"sra1": "srk", "euler": "euler", "milstein": "milstein"}
 
 def _replay_pass_fused(method, with_i10, drift, diffusion, y0, ts,
                        step_times, naccept, max_steps, tree, i10_key, args,
-                       interpret=None):
+                       interpret=None, nondiff_args=(), prepare=None):
     """The replay sweep as Pallas kernels: the frozen accepted-step
     sequence's 2*max_steps half steps are one non-uniform fixed grid, run
     through ``sdeint_fused(ts_steps=...)`` (per-step t0/h read inside the
@@ -278,7 +278,7 @@ def _replay_pass_fused(method, with_i10, drift, diffusion, y0, ts,
     ys_h = sdeint_fused(
         drift, diffusion, y0, None, None, *args,
         method=_FUSED_METHOD[method], noise_pack=(dw, i10), ts_steps=ht,
-        interpret=interpret,
+        interpret=interpret, nondiff_args=nondiff_args, prepare=prepare,
     )                                             # (2*max_steps + 1,) + S
     ys_acc = ys_h[::2]                            # states at accepted points
     return _interp_accepted(ys_acc, y0, ts, step_times, naccept)
@@ -322,6 +322,8 @@ def sdeint_adaptive(
     return_stats: bool = False,
     fused: bool = False,
     interpret: bool | None = None,
+    nondiff_args: tuple = (),
+    prepare=None,
 ):
     """Adaptive Ito SDE integration with scalar noise on [ts[0], ts[-1]].
 
@@ -357,7 +359,9 @@ def sdeint_adaptive(
         if fused:
             ys = _replay_pass_fused(method, with_i10, drift, diffusion, y0,
                                     ts, step_times, naccept, max_steps, tree,
-                                    k_i10, args, interpret=interpret)
+                                    k_i10, args, interpret=interpret,
+                                    nondiff_args=nondiff_args,
+                                    prepare=prepare)
         else:
             ys = _replay_pass(stepper, with_i10, drift, diffusion, y0, ts,
                               step_times, naccept, max_steps, tree, k_i10,

@@ -99,6 +99,12 @@ def batched_rollout(params, task: ParityTask, stims_raw, method="dopri5",
     README recommends against fixed-grid firing-rate artefacts
     (README.md:27-29). The late stiff regime that destabilizes the fixed
     grid (RESULTS.md) is handled by the controller shrinking steps.
+    With ``use_fused`` the replay sweep and its backward run as Pallas
+    kernels over the frozen step sequence (premixed/knot drift — the same
+    kernel-safe formulation as the fixed-grid fused path, so trajectories
+    legitimately differ from the plain-drift XLA path within formulation
+    tolerance amplified by the noisy dynamics; the engines themselves are
+    parity-tested on identical drifts in tests/test_sde_adaptive.py).
     """
     from columnflow.solvers import odeint
 
@@ -153,6 +159,56 @@ def batched_rollout(params, task: ParityTask, stims_raw, method="dopri5",
 
         if adaptive:
             from columnflow.solvers import sdeint_adaptive
+
+            if use_fused:
+                # Kernel-safe drift for the fused replay: premixed weights,
+                # gather-free knot stimulus (same formulation as the fused
+                # fixed-grid path above); weights passed as explicit args so
+                # the Pallas backward differentiates them.
+                from columnflow.models.network import (
+                    NETWORK_NOISE_STD,
+                    build_network_fused_consts,
+                    network_drift_premixed,
+                    premix_network_weights,
+                    prepare_premixed_split,
+                )
+                from columnflow.ops.interp import interp_knots, step_table_knots
+
+                dt = task.dt
+                fc = build_network_fused_consts(task.net)
+                n_in = task.net.input_mask.shape[1]
+                kts, _ = step_table_knots(time_steps, dt, jnp.zeros(n_in),
+                                          jnp.zeros(n_in))
+                pw = premix_network_weights(params, task.net)
+
+                def a_drift(t, y, pw, fc, kv):
+                    return network_drift_premixed(
+                        t, y, pw, fc, Stimulus(0.0, dt, kv),
+                        interp_fn=lambda t_, t0_, dt_, v:
+                            interp_knots(t_, kts, v),
+                    )
+
+                def a_diff(t, y, pw, fc, kv):
+                    return jnp.full_like(y, NETWORK_NOISE_STD)
+
+                def one_adaptive_fused(stim_raw, k):
+                    _, kvals = step_table_knots(time_steps, dt,
+                                                jnp.zeros_like(stim_raw),
+                                                stim_raw)
+                    # The premixed drift is batched (kernel-safe 2-D dots);
+                    # each per-sample adaptive solve carries a singleton
+                    # batch axis.
+                    ys = sdeint_adaptive(
+                        a_drift, a_diff, jnp.zeros((1, state_dim)), task.ts,
+                        k, pw, fc, kvals[:, None, :],
+                        method="sra1", rtol=adaptive_rtol,
+                        atol=adaptive_atol, max_steps=adaptive_max_steps,
+                        differentiable=differentiable, fused=True,
+                        nondiff_args=(1, 2), prepare=prepare_premixed_split,
+                    )
+                    return ys[:, 0, :]
+
+                return jax.vmap(one_adaptive_fused)(stims_raw, keys)
 
             def one_adaptive(stim_raw, k):
                 table = parity_stim_table(stim_raw, time_steps)

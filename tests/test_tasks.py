@@ -272,6 +272,40 @@ class TestParityStochastic:
         np.testing.assert_array_equal(np.asarray(ys1), np.asarray(ys1b))
         assert float(jnp.max(jnp.abs(ys1 - ys2))) > 1e-3
 
+    def test_adaptive_fused_rollout_and_grads(self):
+        """--adaptive --fused: the replay sweep as Pallas kernels (premixed
+        knot drift). Rollout finite; gradients flow into every trainable
+        group."""
+        from columnflow.config import ColumnConfig
+        from columnflow.data import make_parity_batch
+        from columnflow.tasks import parity as pt
+
+        cfg = ColumnConfig.load()
+        task = pt.build_task(cfg, jax.random.PRNGKey(0),
+                             columns_per_area=(2, 1), n_inputs=2,
+                             time_steps=60, max_steps=512)
+        stims = make_parity_batch(jax.random.PRNGKey(1), 2, 2)
+        key = jax.random.PRNGKey(5)
+        ys = pt.batched_rollout(task.params, task, stims, stochastic=True,
+                                adaptive=True, use_fused=True, key=key,
+                                differentiable=False,
+                                adaptive_max_steps=512)
+        assert ys.shape == (2, 60, 3 * task.net.num_pops)
+        assert bool(jnp.all(jnp.isfinite(ys)))
+
+        def loss(p):
+            ys = pt.batched_rollout(p, task, stims, stochastic=True,
+                                    adaptive=True, use_fused=True, key=key,
+                                    adaptive_max_steps=512)
+            out = pt.readout(ys, p, task.net)
+            return jnp.mean(jnp.abs(out - pt.parity_targets(stims)))
+
+        l, g = jax.value_and_grad(loss)(task.params)
+        assert np.isfinite(float(l))
+        for k, v in g.items():
+            assert bool(jnp.all(jnp.isfinite(v))), k
+            assert float(jnp.sum(jnp.abs(v))) > 0.0, k
+
     def test_stochastic_rollout_paths(self):
         """Scan and fused SDE paths both produce finite, genuinely noisy
         trajectories of the right shape (noise draws differ by design:

@@ -151,6 +151,41 @@ def _scale_rel(got, want):
     return float(np.abs(g - w).max() / max(1.0, np.abs(w).max()))
 
 
+class TestCompiledAdaptiveReplay:
+    """The fused adaptive-SDE replay (sdeint_fused ts_steps mode):
+    variable-step kernels compiled through Mosaic, vs the scan replay."""
+
+    def test_fused_replay_matches_scan_and_grads(self):
+        from columnflow.solvers import sdeint_adaptive
+
+        drift = lambda t, y, th: -th * y
+        diff = lambda t, y, th: 0.5 * jnp.ones_like(y)
+        ts = jnp.linspace(0.0, 1.0, 9)
+        key = jax.random.PRNGKey(5)
+        th0 = jnp.full((4,), 1.3)
+
+        def run(fused):
+            return sdeint_adaptive(drift, diff, jnp.ones(4), ts, key, th0,
+                                   method="sra1", rtol=1e-4, atol=1e-4,
+                                   max_steps=256, differentiable=True,
+                                   fused=fused)
+
+        a, b = run(False), run(True)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+        def final(theta, fused):
+            ys = sdeint_adaptive(drift, diff, jnp.ones(4), ts, key, theta,
+                                 method="sra1", rtol=1e-4, atol=1e-4,
+                                 max_steps=256, differentiable=True,
+                                 fused=fused)
+            return jnp.sum(ys ** 2)
+
+        g_scan = np.asarray(jax.grad(lambda t: final(t, False))(th0))
+        g_fused = np.asarray(jax.grad(lambda t: final(t, True))(th0))
+        np.testing.assert_allclose(g_fused, g_scan, rtol=1e-3, atol=1e-5)
+
+
 class TestCompiledWTAKernels:
     """Compiled WTA kernels vs the XLA reference path.
 
