@@ -960,25 +960,34 @@ def sdeint_fused(
             )
         return fwd, bwd
 
-    def st_slice(start, c):
+    def st_slice(st, start, c):
         if not variable_h:
             return ()
-        return (jax.lax.dynamic_slice(ts_steps, (start,), (c + 1,)),)
+        return (jax.lax.dynamic_slice(st, (start,), (c + 1,)),)
 
     fwd_call, bwd_call = make_calls(chunk)
     if rem:
         fwd_rem, bwd_rem = make_calls(rem)
 
-    @jax.custom_vjp
-    def rollout(y0, *dyn):
-        return _fwd_impl(y0, *dyn)
+    # The noise pack (and variable-step times) travel through the
+    # custom_vjp as a formal argument, NOT a closure: a closed-over tracer
+    # in the bwd rule leaks under vmap (per-sample adaptive replays vmap
+    # this whole solver).
+    noise_res = (i1, i10, ts_steps) if variable_h else (i1, i10)
 
-    def _fwd_impl(y0, *dyn):
+    @jax.custom_vjp
+    def rollout(y0, noise, *dyn):
+        return _fwd_impl(y0, noise, *dyn)
+
+    def _fwd_impl(y0, noise, *dyn):
+        i1, i10 = noise[0], noise[1]
+        st = noise[2] if variable_h else None
+
         def body(y, c):
             off = (c * chunk)[None].astype(jnp.int32)
             i1_c = jax.lax.dynamic_slice_in_dim(i1, c * chunk, chunk)
             i10_c = jax.lax.dynamic_slice_in_dim(i10, c * chunk, chunk)
-            y1, ys_c = fwd_call(off, *st_slice(c * chunk, chunk), y,
+            y1, ys_c = fwd_call(off, *st_slice(st, c * chunk, chunk), y,
                                 i1_c, i10_c, *dyn)
             return y1, ys_c
 
@@ -986,17 +995,17 @@ def sdeint_fused(
         ys = chunks.reshape((n_full * chunk,) + S)
         if rem:
             off = jnp.asarray([n_full * chunk], jnp.int32)
-            _, ys_r = fwd_rem(off, *st_slice(n_full * chunk, rem), y_last,
-                              i1[n_full * chunk:],
+            _, ys_r = fwd_rem(off, *st_slice(st, n_full * chunk, rem),
+                              y_last, i1[n_full * chunk:],
                               i10[n_full * chunk:], *dyn)
             ys = jnp.concatenate([ys, ys_r], axis=0)
         return jnp.concatenate([y0[None], ys], axis=0)  # (T,) + S
 
-    def fwd(y0, *dyn):
-        ys = _fwd_impl(y0, *dyn)
-        return ys, (ys, dyn)
+    def fwd(y0, noise, *dyn):
+        ys = _fwd_impl(y0, noise, *dyn)
+        return ys, (ys, noise, dyn)
 
-    def _outer_sde_arg_grads(ys_prev, seeds, dyn_args):
+    def _outer_sde_arg_grads(ys_prev, seeds, dyn_args, i1, i10, st):
         """Arg gradients as step-batched VJPs outside the kernels.
 
         ``seeds`` are the total per-step output cotangents emitted by the
@@ -1006,8 +1015,8 @@ def sdeint_fused(
         """
         step = step_fns[chunk]
         if variable_h:
-            t0s = ts_steps[:-1]
-            hs = ts_steps[1:] - ts_steps[:-1]
+            t0s = st[:-1]
+            hs = st[1:] - st[:-1]
         else:
             t0s = (t_base + h * jnp.arange(n_steps)).astype(y0.dtype)
             hs = jnp.full((n_steps,), h, y0.dtype)
@@ -1045,7 +1054,10 @@ def sdeint_fused(
         return acc
 
     def bwd(res, ys_bar):
-        ys, dyn = res
+        ys, noise, dyn = res
+        i1, i10 = noise[0], noise[1]
+        st = noise[2] if variable_h else None
+        noise_zeros = jax.tree_util.tree_map(jnp.zeros_like, noise)
         ys_prev = ys[:-1]  # state BEFORE each step
         ysbar_steps = ys_bar[1:]
         ybar = jnp.zeros(S, y0.dtype)
@@ -1055,7 +1067,7 @@ def sdeint_fused(
             if rem:
                 off = jnp.asarray([n_full * chunk], jnp.int32)
                 ybar, seeds_rem = bwd_rem(
-                    off, *st_slice(n_full * chunk, rem),
+                    off, *st_slice(st, n_full * chunk, rem),
                     ys_prev[n_full * chunk:],
                     ysbar_steps[n_full * chunk:], ybar,
                     i1[n_full * chunk:], i10[n_full * chunk:], *dyn)
@@ -1069,7 +1081,7 @@ def sdeint_fused(
                                                    chunk)
                 ysb = jax.lax.dynamic_slice_in_dim(ysbar_steps, ci * chunk,
                                                    chunk)
-                ybar_new, seeds_c = bwd_call(off, *st_slice(ci * chunk,
+                ybar_new, seeds_c = bwd_call(off, *st_slice(st, ci * chunk,
                                                             chunk),
                                              ysp, ysb, ybar, i1_c,
                                              i10_c, *dyn)
@@ -1079,17 +1091,17 @@ def sdeint_fused(
             seeds = jnp.flip(seeds_rev, 0).reshape((n_full * chunk,) + S)
             if rem:
                 seeds = jnp.concatenate([seeds, seeds_rem], axis=0)
-            abars = _outer_sde_arg_grads(ys_prev, seeds, dyn)
+            abars = _outer_sde_arg_grads(ys_prev, seeds, dyn, i1, i10, st)
             ybar = ybar + ys_bar[0]
             full = [jnp.zeros(a.shape, a.dtype) for a in dyn]
             for i, g in zip(diff_idx, abars):
                 full[i] = g
-            return (ybar,) + tuple(full)
+            return (ybar, noise_zeros) + tuple(full)
 
         abars = tuple(jnp.zeros(dyn[i].shape, dyn[i].dtype) for i in diff_idx)
         if rem:
             off = jnp.asarray([n_full * chunk], jnp.int32)
-            out = bwd_rem(off, *st_slice(n_full * chunk, rem),
+            out = bwd_rem(off, *st_slice(st, n_full * chunk, rem),
                           ys_prev[n_full * chunk:],
                           ysbar_steps[n_full * chunk:], ybar,
                           i1[n_full * chunk:], i10[n_full * chunk:], *dyn)
@@ -1104,7 +1116,7 @@ def sdeint_fused(
             i10_c = jax.lax.dynamic_slice_in_dim(i10, ci * chunk, chunk)
             ysp = jax.lax.dynamic_slice_in_dim(ys_prev, ci * chunk, chunk)
             ysb = jax.lax.dynamic_slice_in_dim(ysbar_steps, ci * chunk, chunk)
-            out = bwd_call(off, *st_slice(ci * chunk, chunk), ysp, ysb,
+            out = bwd_call(off, *st_slice(st, ci * chunk, chunk), ysp, ysb,
                            ybar, i1_c, i10_c, *dyn)
             abars = tuple(a + g for a, g in zip(abars, out[1:]))
             return (out[0], abars), None
@@ -1115,7 +1127,7 @@ def sdeint_fused(
         full = [jnp.zeros(a.shape, a.dtype) for a in dyn]
         for i, g in zip(diff_idx, abars):
             full[i] = g
-        return (ybar,) + tuple(full)
+        return (ybar, noise_zeros) + tuple(full)
 
     rollout.defvjp(fwd, bwd)
-    return rollout(y0, *dyn)
+    return rollout(y0, noise_res, *dyn)

@@ -90,6 +90,53 @@ def batched_rollout(params, task: XORTask, conditions, method="dopri5",
         if adaptive:
             from columnflow.solvers import sdeint_adaptive
 
+            if use_fused:
+                # Kernel-safe replay (same formulation as the fused dopri5
+                # path): batched drift, split ff rows, knot stimulus;
+                # membrane-only sigma via iota mask (lane-concat-free).
+                from columnflow.models.xor import (
+                    XOR_NOISE_STD,
+                    build_xor_fused_consts,
+                    split_xor_params,
+                    xor_drift_batched,
+                )
+                from columnflow.ops.interp import interp_knots, step_table_knots
+
+                dt = task.dt
+                fc = build_xor_fused_consts(task.net)
+                kts, _ = step_table_knots(time_steps, dt, jnp.zeros(32),
+                                          jnp.zeros(32))
+                pf = split_xor_params(params)
+
+                def a_drift(t, y, pf, fc, kv):
+                    return xor_drift_batched(
+                        t, y, pf, fc, Stimulus(0.0, dt, kv),
+                        interp_fn=lambda t_, t0_, dt_, v:
+                            interp_knots(t_, kts, v),
+                    )
+
+                def a_diff(t, y, pf, fc, kv):
+                    idx = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
+                    return jnp.where(idx < 24, XOR_NOISE_STD, 0.0
+                                     ).astype(y.dtype)
+
+                def one_adaptive_fused(cond, k):
+                    table = prep_xor_stim(cond, time_steps)
+                    on_vals = table[-1].reshape(1, 32)
+                    _, kvals = step_table_knots(
+                        time_steps, dt, jnp.zeros_like(on_vals), on_vals)
+                    ys = sdeint_adaptive(
+                        a_drift, a_diff, jnp.zeros((1, XOR_STATE_DIM)),
+                        task.ts, k, pf, fc, kvals,
+                        method="sra1", rtol=adaptive_rtol,
+                        atol=adaptive_atol, max_steps=adaptive_max_steps,
+                        differentiable=differentiable, fused=True,
+                        nondiff_args=(1, 2),
+                    )
+                    return ys[:, 0, :]
+
+                return jax.vmap(one_adaptive_fused)(conditions, keys)
+
             def one_adaptive(cond, k):
                 table = prep_xor_stim(cond, time_steps)
                 stim = Stimulus(0.0, task.dt, table)

@@ -357,6 +357,34 @@ class TestXORStochastic:
                                  seed=0, stochastic=True, adaptive=True)
         assert _finite(hist)
 
+    def test_adaptive_fused_rollout_and_grads(self):
+        from columnflow.config import ColumnConfig
+        from columnflow.tasks import xor as xt
+
+        cfg = ColumnConfig.load()
+        task = xt.build_task(cfg, jax.random.PRNGKey(0), time_steps=60,
+                             max_steps=512)
+        conds = jnp.asarray(xt.xor_conditions())
+        key = jax.random.PRNGKey(5)
+        ys = xt.batched_rollout(task.params, task, conds, stochastic=True,
+                                adaptive=True, use_fused=True, key=key,
+                                differentiable=False, adaptive_max_steps=512)
+        assert ys.shape == (4, 60, 72)
+        assert bool(jnp.all(jnp.isfinite(ys)))
+
+        def loss(p):
+            ys = xt.batched_rollout(p, task, conds, stochastic=True,
+                                    adaptive=True, use_fused=True, key=key,
+                                    adaptive_max_steps=512)
+            _, l = xt.readout(ys, xt.xor_targets(conds))
+            return l
+
+        l, g = jax.value_and_grad(loss)(task.params)
+        assert np.isfinite(float(l))
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(bool(jnp.all(jnp.isfinite(v))) for v in leaves)
+        assert float(sum(jnp.sum(jnp.abs(v)) for v in leaves)) > 0.0
+
 
 class TestWTAResume:
     def test_checkpoint_resume_fast_path(self, tmp_path):
