@@ -151,6 +151,48 @@ def batched_rollout(params, task: XORTask, conditions, method="dopri5",
 
             return jax.vmap(one_adaptive)(conditions, keys)
 
+        if use_fused:
+            # Whole batch in ONE fused fixed-grid SDE solve (the parity
+            # pattern): kernel-safe batched drift, knot stimulus, one
+            # shared-per-sample scalar Brownian via noise_shape=(B, 1).
+            from columnflow.models.xor import (
+                XOR_NOISE_STD,
+                build_xor_fused_consts,
+                split_xor_params,
+                xor_drift_batched,
+            )
+            from columnflow.ops.interp import interp_knots, step_table_knots
+            from columnflow.solvers import sdeint_fused
+
+            dt = task.dt
+            fc = build_xor_fused_consts(task.net)
+            B = conditions.shape[0]
+            tables = jax.vmap(lambda c: prep_xor_stim(c, time_steps))(
+                conditions)
+            on_vals = tables[:, -1].reshape(B, 32)
+            kts, kvals = step_table_knots(time_steps, dt,
+                                          jnp.zeros_like(on_vals), on_vals)
+
+            def f_drift(t, y, p, fc, kv):
+                return xor_drift_batched(
+                    t, y, p, fc, Stimulus(0.0, dt, kv),
+                    interp_fn=lambda t_, t0_, dt_, v:
+                        interp_knots(t_, kts, v),
+                )
+
+            def f_diff(t, y, p, fc, kv):
+                idx = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
+                return jnp.where(idx < 24, XOR_NOISE_STD, 0.0
+                                 ).astype(y.dtype)
+
+            ys = sdeint_fused(
+                f_drift, f_diff, jnp.zeros((B, XOR_STATE_DIM)), task.ts,
+                key, split_xor_params(params), fc, kvals,
+                method="srk", noise_shape=(B, 1), nondiff_args=(1, 2),
+                interpret=jax.default_backend() == "cpu",
+            )  # (T, B, 72)
+            return jnp.transpose(ys, (1, 0, 2))
+
         def one_sde(cond, k):
             table = prep_xor_stim(cond, time_steps)
             stim = Stimulus(0.0, task.dt, table)

