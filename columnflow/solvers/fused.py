@@ -915,7 +915,10 @@ def sdeint_fused(
 
     step_fns = {}
 
-    n_extra = 1 if variable_h else 0  # st (chunk+1,) VMEM ref
+    # st (chunk+1,) travels in SMEM: the kernels read it only at dynamic
+    # scalar indices (st_ref[k]), which Mosaic rejects for VMEM vectors
+    # ("cannot statically prove that index ... is a multiple of 1024").
+    n_extra = 1 if variable_h else 0
 
     def make_calls(c):
         fwd_kernel, step = _make_sde_chunk_kernel(
@@ -927,8 +930,8 @@ def sdeint_fused(
             fwd_kernel,
             out_shape=(jax.ShapeDtypeStruct(S, y0.dtype),
                        jax.ShapeDtypeStruct((c,) + S, y0.dtype)),
-            in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
-                      + [_VMEM()] * (3 + n_extra + n_args)),
+            in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)] * (1 + n_extra)
+                      + [_VMEM()] * (3 + n_args)),
             out_specs=(_VMEM(), _VMEM()),
             interpret=interpret,
         )
@@ -940,7 +943,8 @@ def sdeint_fused(
                 out_shape=(jax.ShapeDtypeStruct(S, y0.dtype),
                            jax.ShapeDtypeStruct((c,) + S, y0.dtype)),
                 in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
-                          + [_VMEM()] * (5 + n_extra + n_args)),
+                          * (1 + n_extra)
+                          + [_VMEM()] * (5 + n_args)),
                 out_specs=(_VMEM(), _VMEM()),
                 interpret=interpret,
             )
@@ -954,7 +958,8 @@ def sdeint_fused(
                                                         dyn[i].dtype)
                                    for i in diff_idx)),
                 in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
-                          + [_VMEM()] * (5 + n_extra + n_args)),
+                          * (1 + n_extra)
+                          + [_VMEM()] * (5 + n_args)),
                 out_specs=(_VMEM(),) * (1 + len(diff_idx)),
                 interpret=interpret,
             )
