@@ -823,6 +823,7 @@ def sdeint_fused(
     arg_grads: str = "auto",
     interpret: bool = False,
     ts_steps=None,
+    bptt_every: int | None = None,
 ):
     """Fixed-grid Ito SDE integration, every step loop a Pallas kernel.
 
@@ -849,6 +850,13 @@ def sdeint_fused(
     no-ops). ``ts``/``key`` are ignored and an explicit ``noise_pack``
     (per-interval i1/i10, leading axis n_steps) is required. Returns the
     state at every ts_steps point.
+
+    ``bptt_every=W`` truncates reverse-mode gradient chains every ~W steps
+    (the solver chunk is capped at W and truncation lands on chunk
+    boundaries): the state cotangent is zeroed there in the backward
+    sweep. Use for
+    long-horizon chaotic dynamics whose pathwise cotangents grow
+    exponentially past f32 range (see solvers/sde_adaptive.py).
 
     Returns ys with ys[0] == y0, shape (len(ts),) + y0.shape.
     """
@@ -909,7 +917,23 @@ def sdeint_fused(
     if chunk is None:
         state_bytes = 4 * int(np.prod(y0.shape))
         chunk = int(max(16, min(1024, (2 << 20) // (6 * state_bytes))))
+    if bptt_every is not None:
+        # Truncation lands on chunk boundaries, so the chunk must not
+        # exceed the requested window — otherwise small windows on small
+        # states (auto-chunk up to 1024) would silently truncate nothing.
+        chunk = min(chunk, max(1, bptt_every))
     chunk = min(chunk, n_steps)
+
+    # Truncated BPTT (``bptt_every`` steps, rounded to chunk granularity):
+    # zero the state cotangent crossing out of every kc-th chunk boundary
+    # in the backward sweep — bounds exponential pathwise cotangent growth
+    # on chaotic dynamics to one window (see sde_adaptive._replay_pass).
+    kc = None if bptt_every is None else max(1, round(bptt_every / chunk))
+
+    def _trunc(ci, ybar):
+        if kc is None:
+            return ybar
+        return jnp.where(ci % kc == 0, jnp.zeros_like(ybar), ybar)
     n_full = n_steps // chunk
     rem = n_steps - n_full * chunk
 
@@ -1076,6 +1100,7 @@ def sdeint_fused(
                     ys_prev[n_full * chunk:],
                     ysbar_steps[n_full * chunk:], ybar,
                     i1[n_full * chunk:], i10[n_full * chunk:], *dyn)
+                ybar = _trunc(n_full, ybar)
 
             def body(ybar, c):
                 ci = n_full - 1 - c
@@ -1090,7 +1115,7 @@ def sdeint_fused(
                                                             chunk),
                                              ysp, ysb, ybar, i1_c,
                                              i10_c, *dyn)
-                return ybar_new, seeds_c
+                return _trunc(ci, ybar_new), seeds_c
 
             ybar, seeds_rev = jax.lax.scan(body, ybar, jnp.arange(n_full))
             seeds = jnp.flip(seeds_rev, 0).reshape((n_full * chunk,) + S)
@@ -1110,7 +1135,7 @@ def sdeint_fused(
                           ys_prev[n_full * chunk:],
                           ysbar_steps[n_full * chunk:], ybar,
                           i1[n_full * chunk:], i10[n_full * chunk:], *dyn)
-            ybar = out[0]
+            ybar = _trunc(n_full, out[0])
             abars = tuple(a + g for a, g in zip(abars, out[1:]))
 
         def body(carry, c):
@@ -1124,7 +1149,7 @@ def sdeint_fused(
             out = bwd_call(off, *st_slice(st, ci * chunk, chunk), ysp, ysb,
                            ybar, i1_c, i10_c, *dyn)
             abars = tuple(a + g for a, g in zip(abars, out[1:]))
-            return (out[0], abars), None
+            return (_trunc(ci, out[0]), abars), None
 
         (ybar, abars), _ = jax.lax.scan(body, (ybar, abars),
                                         jnp.arange(n_full))

@@ -76,7 +76,8 @@ def batched_rollout(params, task: ParityTask, stims_raw, method="dopri5",
                     stochastic: bool = False, key=None,
                     adaptive: bool = False, adaptive_rtol: float = 1e-3,
                     adaptive_atol: float = 1e-3,
-                    adaptive_max_steps: int = 2048):
+                    adaptive_max_steps: int = 2048,
+                    adaptive_bptt_every: int | None = None):
     """Integrate a batch of input patterns: (B, n_inputs) -> (B, T, 3P).
 
     ``use_fused=True`` runs the whole batch through the Pallas fused dopri5
@@ -205,6 +206,7 @@ def batched_rollout(params, task: ParityTask, stims_raw, method="dopri5",
                         atol=adaptive_atol, max_steps=adaptive_max_steps,
                         differentiable=differentiable, fused=True,
                         nondiff_args=(1, 2), prepare=prepare_premixed_split,
+                        bptt_every=adaptive_bptt_every,
                     )
                     return ys[:, 0, :]
 
@@ -221,6 +223,7 @@ def batched_rollout(params, task: ParityTask, stims_raw, method="dopri5",
                     method="sra1", rtol=adaptive_rtol, atol=adaptive_atol,
                     max_steps=adaptive_max_steps,
                     differentiable=differentiable,
+                    bptt_every=adaptive_bptt_every,
                 )
 
             return jax.vmap(one_adaptive)(stims_raw, keys)
@@ -309,7 +312,8 @@ def parity_targets(stims_raw, level: float = 15.0):
 
 def _step_core(task: ParityTask, use_fused: bool = False,
                stochastic: bool = False, adaptive: bool = False,
-               reference_rails: bool = False, loss_scale: float = 1.0):
+               reference_rails: bool = False, loss_scale: float = 1.0,
+               bptt_every: int | None = None):
     """``loss_scale`` scales the loss before backprop and unscales the
     gradients after — mathematically a no-op, but it keeps intermediate
     cotangents inside the f32 range. Needed at the 104-column adaptive
@@ -321,7 +325,8 @@ def _step_core(task: ParityTask, use_fused: bool = False,
         def loss_fn(p):
             ys = batched_rollout(p, task, stims_raw, use_fused=use_fused,
                                  stochastic=stochastic, key=noise_key,
-                                 adaptive=adaptive)
+                                 adaptive=adaptive,
+                                 adaptive_bptt_every=bptt_every)
             out = readout(ys, p, task.net)
             loss = jnp.mean(jnp.abs(out - parity_targets(stims_raw)))
             return loss * loss_scale, (out, loss)
@@ -365,9 +370,10 @@ def _step_core(task: ParityTask, use_fused: bool = False,
 
 def make_train_step(task: ParityTask, use_fused: bool = False,
                     stochastic: bool = False, adaptive: bool = False,
-                    reference_rails: bool = False, loss_scale: float = 1.0):
+                    reference_rails: bool = False, loss_scale: float = 1.0,
+                    bptt_every: int | None = None):
     return jax.jit(_step_core(task, use_fused, stochastic, adaptive,
-                              reference_rails, loss_scale),
+                              reference_rails, loss_scale, bptt_every),
                    donate_argnums=(0, 1))
 
 
@@ -375,7 +381,8 @@ def make_train_scan(task: ParityTask, use_fused: bool = False,
                     n_inputs: int = 4, batch_size: int = 4,
                     fixed_position: bool = True,
                     stochastic: bool = False, adaptive: bool = False,
-                    reference_rails: bool = False, loss_scale: float = 1.0):
+                    reference_rails: bool = False, loss_scale: float = 1.0,
+                    bptt_every: int | None = None):
     """K training iterations per dispatch: batch generation, rollout,
     loss, rails, update and best-params tracking all inside one
     jitted ``lax.scan``. On the TPU tunnel every host round-trip
@@ -388,7 +395,7 @@ def make_train_scan(task: ParityTask, use_fused: bool = False,
     is a (best_loss, best_params) pair carried across calls.
     """
     core = _step_core(task, use_fused, stochastic, adaptive,
-                      reference_rails, loss_scale)
+                      reference_rails, loss_scale, bptt_every)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_scan(params, opt_state, best, keys):
@@ -459,6 +466,7 @@ def train_parity(
     adaptive: bool = False,
     reference_rails: bool = False,
     loss_scale: float = 1.0,
+    bptt_every: int | None = None,
 ):
     """Reference defaults: 6400 samples / batch 4 -> 1600 iterations,
     fixed-position patterns (scripts/parity_ode.py:286-294).
@@ -486,7 +494,7 @@ def train_parity(
                               fixed_position=fixed_position,
                               stochastic=stochastic, adaptive=adaptive,
                               reference_rails=reference_rails,
-                              loss_scale=loss_scale)
+                              loss_scale=loss_scale, bptt_every=bptt_every)
 
     # Solver observability (SURVEY.md section 5): adaptive-step statistics
     # every stats_every iterations - naccept growth flags the approaching
@@ -640,6 +648,12 @@ def main():
                         "a virtual Brownian tree with replay gradients "
                         "(torchsde adaptive=True; cures fixed-grid "
                         "firing-rate artefacts, reference README.md:27-29)")
+    p.add_argument("--bptt-every", type=int, default=None,
+                   help="truncate adaptive-replay gradients every N accepted "
+                        "steps (truncated BPTT) — required at scales where "
+                        "the chaotic late regime makes full-horizon pathwise "
+                        "cotangents overflow f32 (RESULTS.md); 16-64 works "
+                        "at the 104-column scale")
     p.add_argument("--loss-scale", type=float, default=1.0,
                    help="scale the loss before backprop, unscale gradients "
                         "after (a mathematical no-op that keeps reverse-"
@@ -694,6 +708,7 @@ def main():
             adaptive=args.adaptive,
             reference_rails=args.reference_rails,
             loss_scale=args.loss_scale,
+            bptt_every=args.bptt_every,
         )
     else:
         params, hist = train_parity(
@@ -709,6 +724,7 @@ def main():
             adaptive=args.adaptive,
             reference_rails=args.reference_rails,
             loss_scale=args.loss_scale,
+            bptt_every=args.bptt_every,
         )
     final = next(h for h in reversed(hist) if "loss" in h)
     print(f"final loss {final['loss']:.5f} | "

@@ -61,7 +61,8 @@ def batched_rollout(params, task: XORTask, conditions, method="dopri5",
                     stochastic: bool = False, key=None,
                     adaptive: bool = False, adaptive_rtol: float = 1e-3,
                     adaptive_atol: float = 1e-3,
-                    adaptive_max_steps: int = 2048):
+                    adaptive_max_steps: int = 2048,
+                    adaptive_bptt_every: int | None = None):
     """Integrate the four XOR conditions: (4, 2) -> (4, T, 72).
 
     ``use_fused=True``: one shared-controller Pallas fused dopri5 solve for
@@ -132,6 +133,7 @@ def batched_rollout(params, task: XORTask, conditions, method="dopri5",
                         atol=adaptive_atol, max_steps=adaptive_max_steps,
                         differentiable=differentiable, fused=True,
                         nondiff_args=(1, 2),
+                        bptt_every=adaptive_bptt_every,
                     )
                     return ys[:, 0, :]
 
@@ -147,6 +149,7 @@ def batched_rollout(params, task: XORTask, conditions, method="dopri5",
                     method="sra1", rtol=adaptive_rtol, atol=adaptive_atol,
                     max_steps=adaptive_max_steps,
                     differentiable=differentiable,
+                    bptt_every=adaptive_bptt_every,
                 )
 
             return jax.vmap(one_adaptive)(conditions, keys)

@@ -403,3 +403,85 @@ class TestFusedReplay:
         b = jax.vmap(lambda k: one(k, True))(keys)
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-5, atol=1e-6)
+
+
+class TestTruncatedBPTT:
+    """``bptt_every=W`` truncates reverse-mode chains every W accepted
+    steps — the surrogate-gradient answer to exponential pathwise cotangent
+    growth on chaotic long horizons (measured ~1.4x/step on the 104-column
+    network's late attractor regime; RESULTS.md). Values are untouched;
+    only gradient flow is windowed."""
+
+    drift = staticmethod(lambda t, y, th: -th * y)
+    diff = staticmethod(lambda t, y, th: 0.5 * jnp.ones_like(y))
+    ts = jnp.linspace(0.0, 1.0, 9)
+
+    def _value_and_grad(self, fused, bptt):
+        def loss(th):
+            ys = sdeint_adaptive(self.drift, self.diff, jnp.ones(2), self.ts,
+                                 jax.random.PRNGKey(3), th, method="sra1",
+                                 rtol=1e-4, atol=1e-4, max_steps=256,
+                                 differentiable=True, fused=fused,
+                                 bptt_every=bptt)
+            return jnp.sum(ys ** 2)
+
+        v, g = jax.value_and_grad(loss)(jnp.full((2,), 1.1))
+        return float(v), np.asarray(g)
+
+    @pytest.mark.parametrize("fused", [False, True])
+    def test_window_covering_solve_is_exact(self, fused):
+        # W == max_steps puts the only truncation point at step 0, which
+        # severs d/dy0 through the dynamics but no parameter chains.
+        v_full, g_full = self._value_and_grad(fused, None)
+        v_trunc, g_trunc = self._value_and_grad(fused, 256)
+        assert v_full == v_trunc
+        np.testing.assert_allclose(g_trunc, g_full, rtol=1e-6)
+
+    @pytest.mark.parametrize("fused", [False, True])
+    def test_small_window_changes_gradient_not_value(self, fused):
+        # Fused path: the solver chunk is capped at the window, so small
+        # windows truncate even where the auto-chunk would cover the
+        # whole solve.
+        v_full, g_full = self._value_and_grad(fused, None)
+        v_trunc, g_trunc = self._value_and_grad(fused, 4)
+        assert v_full == v_trunc
+        assert np.all(np.isfinite(g_trunc))
+        assert np.any(g_trunc != 0.0)
+        assert not np.allclose(g_trunc, g_full, rtol=1e-3)
+
+    def test_fused_chunk_truncation_matches_manual_scan(self):
+        # The fused path truncates at chunk boundaries (window rounded to
+        # chunk granularity): chunk=8 + bptt_every=8 must equal a manual
+        # scan with stop_gradient on the carry every 8 steps.
+        from columnflow.solvers.fused import sdeint_fused
+
+        n = 32
+        st = jnp.linspace(0.0, 1.0, n + 1)
+        i1 = 0.1 * jax.random.normal(jax.random.PRNGKey(0), (n, 2))
+        i10 = jnp.zeros((n, 2))
+        drift = lambda t, y, th: -th * y
+        diff = lambda t, y, th: 0.3 * jnp.ones_like(y)
+        y0 = jnp.ones(2)
+
+        def loss_fused(th):
+            ys = sdeint_fused(drift, diff, y0, None, None, th,
+                              method="euler", noise_pack=(i1, i10),
+                              ts_steps=st, chunk=8, bptt_every=8,
+                              interpret=True)
+            return jnp.sum(ys ** 2)
+
+        def loss_manual(th):
+            def body(y, k):
+                y = jnp.where(k % 8 == 0, jax.lax.stop_gradient(y), y)
+                t0 = st[k]
+                h = st[k + 1] - t0
+                y1 = y + h * drift(t0, y, th) + diff(t0, y, th) * i1[k]
+                return y1, y1
+
+            _, ys = jax.lax.scan(body, y0, jnp.arange(n))
+            return jnp.sum(y0 ** 2) + jnp.sum(ys ** 2)
+
+        th0 = jnp.full((2,), 0.9)
+        g_f = np.asarray(jax.grad(loss_fused)(th0))
+        g_m = np.asarray(jax.grad(loss_manual)(th0))
+        np.testing.assert_allclose(g_f, g_m, rtol=1e-5)
