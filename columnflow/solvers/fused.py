@@ -914,6 +914,8 @@ def sdeint_fused(
     if not diff_idx:
         arg_grads = "kernel"
 
+    if bptt_every is not None and bptt_every < 1:
+        raise ValueError(f"bptt_every must be >= 1, got {bptt_every}")
     if chunk is None:
         state_bytes = 4 * int(np.prod(y0.shape))
         chunk = int(max(16, min(1024, (2 << 20) // (6 * state_bytes))))

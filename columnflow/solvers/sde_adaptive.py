@@ -370,6 +370,8 @@ def sdeint_adaptive(
     scale; windows of 16-64 keep gradients finite and training-usable.
     On the fused path the window is rounded to solver-chunk granularity.
     """
+    if bptt_every is not None and bptt_every < 1:
+        raise ValueError(f"bptt_every must be >= 1, got {bptt_every}")
     stepper, err_exp, with_i10, ts, t_start, t_end, tree, k_i10, h0 = _setup(
         method, y0, ts, key, dt0, levy_depth
     )

@@ -25,7 +25,14 @@ from columnflow.config import ColumnConfig
 from columnflow.data import make_parity_batch, parity_combinations, parity_stim_table
 from columnflow.models import Stimulus, build_column_network, network_drift
 from columnflow.ops.transfer import compute_firing_rate
-from columnflow.train import MetricsLogger, StepProfiler, adam, clamp_params, mask_grads
+from columnflow.train import (
+    MetricsLogger,
+    StepProfiler,
+    adam,
+    clamp_params,
+    global_norm,
+    mask_grads,
+)
 
 DT = 1e-3
 STIM_DURATION = 0.5
@@ -76,9 +83,14 @@ def batched_rollout(params, task: ParityTask, stims_raw, method="dopri5",
                     stochastic: bool = False, key=None,
                     adaptive: bool = False, adaptive_rtol: float = 1e-3,
                     adaptive_atol: float = 1e-3,
-                    adaptive_max_steps: int = 2048,
+                    adaptive_max_steps: int | None = None,
                     adaptive_bptt_every: int | None = None):
     """Integrate a batch of input patterns: (B, n_inputs) -> (B, T, 3P).
+
+    ``adaptive_max_steps=None`` uses ``task.max_steps`` — ONE solver step
+    budget per task; at the 104-column scale the adaptive controller
+    needs ~7000 accepted + ~3500 rejected steps over the 1 s horizon
+    (RESULTS.md), so build the task with ``max_steps=16384`` there.
 
     ``use_fused=True`` runs the whole batch through the Pallas fused dopri5
     (solvers.fused) with ONE shared step controller — torchdiffeq's batched
@@ -111,6 +123,8 @@ def batched_rollout(params, task: ParityTask, stims_raw, method="dopri5",
 
     time_steps = task.ts.shape[0]
     state_dim = 3 * task.net.num_pops
+    if adaptive_max_steps is None:
+        adaptive_max_steps = task.max_steps
 
     if stochastic:
         if key is None:
@@ -313,13 +327,23 @@ def parity_targets(stims_raw, level: float = 15.0):
 def _step_core(task: ParityTask, use_fused: bool = False,
                stochastic: bool = False, adaptive: bool = False,
                reference_rails: bool = False, loss_scale: float = 1.0,
-               bptt_every: int | None = None):
+               bptt_every: int | None = None,
+               clip_grad_norm: float | None = None):
     """``loss_scale`` scales the loss before backprop and unscales the
     gradients after — mathematically a no-op, but it keeps intermediate
     cotangents inside the f32 range. Needed at the 104-column adaptive
     stochastic scale on TPU, where the reverse sweep's intermediates
     overflow under the TPU's matmul rounding while the final gradients are
-    O(1e6) (measured; CPU f32 stays finite). 1e-6 is a good value there."""
+    O(1e6) (measured; CPU f32 stays finite). 1e-6 is a good value there.
+
+    ``clip_grad_norm`` rescales the masked gradient to at most that global
+    norm before the optimizer — the standard companion to ``bptt_every``:
+    truncated windows on chaotic dynamics still yield window-to-window
+    gradient magnitudes spanning many decades (4e2..1e15 measured at the
+    104-column scale), and clipping turns every window into a bounded,
+    usable descent direction. When set, the exploding-gradient skip rail
+    is unnecessary (clipped updates are bounded) and only non-finite
+    gradients skip."""
 
     def train_step(params, opt_state, stims_raw, noise_key=None):
         def loss_fn(p):
@@ -336,12 +360,10 @@ def _step_core(task: ParityTask, use_fused: bool = False,
         if loss_scale != 1.0:
             grads = jax.tree_util.tree_map(lambda g: g / loss_scale, grads)
         grads = mask_grads(grads, task.grad_mask)
-        gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(g))
-                             for g in jax.tree_util.tree_leaves(grads)))
+        gnorm, gmax, norm_scaled = global_norm(grads)
         grads_finite = jnp.all(
             jnp.asarray([jnp.all(jnp.isfinite(g))
-                         for g in jax.tree_util.tree_leaves(grads)])
-        )
+                         for g in jax.tree_util.tree_leaves(grads)]))
         # Stiff excursions make the discrete backprop explode (finite loss,
         # gradient norms jumping ~0.2 -> 9e4 in one step) and then go NaN;
         # the reference merely warns at norm > 1e4 and steps anyway
@@ -349,8 +371,17 @@ def _step_core(task: ParityTask, use_fused: bool = False,
         # params. Skip such updates instead so training survives;
         # ``reference_rails`` restores the faithful warn-and-step behavior
         # (warnings still surface through the gnorm/update metrics).
+        if clip_grad_norm is not None:
+            # (clip/gmax)/norm_scaled never overflows even when gnorm
+            # itself would not fit in f32.
+            scale = jnp.minimum(
+                1.0, (clip_grad_norm / gmax)
+                / jnp.maximum(norm_scaled, 1e-30))
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
         if reference_rails:
             ok = jnp.asarray(True)
+        elif clip_grad_norm is not None:
+            ok = grads_finite
         else:
             ok = grads_finite & (gnorm < 1e4)
         new_updates, new_opt_state = task.optimizer.update(grads, opt_state,
@@ -371,9 +402,11 @@ def _step_core(task: ParityTask, use_fused: bool = False,
 def make_train_step(task: ParityTask, use_fused: bool = False,
                     stochastic: bool = False, adaptive: bool = False,
                     reference_rails: bool = False, loss_scale: float = 1.0,
-                    bptt_every: int | None = None):
+                    bptt_every: int | None = None,
+                    clip_grad_norm: float | None = None):
     return jax.jit(_step_core(task, use_fused, stochastic, adaptive,
-                              reference_rails, loss_scale, bptt_every),
+                              reference_rails, loss_scale, bptt_every,
+                              clip_grad_norm),
                    donate_argnums=(0, 1))
 
 
@@ -382,7 +415,8 @@ def make_train_scan(task: ParityTask, use_fused: bool = False,
                     fixed_position: bool = True,
                     stochastic: bool = False, adaptive: bool = False,
                     reference_rails: bool = False, loss_scale: float = 1.0,
-                    bptt_every: int | None = None):
+                    bptt_every: int | None = None,
+                    clip_grad_norm: float | None = None):
     """K training iterations per dispatch: batch generation, rollout,
     loss, rails, update and best-params tracking all inside one
     jitted ``lax.scan``. On the TPU tunnel every host round-trip
@@ -395,7 +429,8 @@ def make_train_scan(task: ParityTask, use_fused: bool = False,
     is a (best_loss, best_params) pair carried across calls.
     """
     core = _step_core(task, use_fused, stochastic, adaptive,
-                      reference_rails, loss_scale, bptt_every)
+                      reference_rails, loss_scale, bptt_every,
+                      clip_grad_norm)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_scan(params, opt_state, best, keys):
@@ -467,6 +502,7 @@ def train_parity(
     reference_rails: bool = False,
     loss_scale: float = 1.0,
     bptt_every: int | None = None,
+    clip_grad_norm: float | None = None,
 ):
     """Reference defaults: 6400 samples / batch 4 -> 1600 iterations,
     fixed-position patterns (scripts/parity_ode.py:286-294).
@@ -494,7 +530,8 @@ def train_parity(
                               fixed_position=fixed_position,
                               stochastic=stochastic, adaptive=adaptive,
                               reference_rails=reference_rails,
-                              loss_scale=loss_scale, bptt_every=bptt_every)
+                              loss_scale=loss_scale, bptt_every=bptt_every,
+                              clip_grad_norm=clip_grad_norm)
 
     # Solver observability (SURVEY.md section 5): adaptive-step statistics
     # every stats_every iterations - naccept growth flags the approaching
@@ -596,8 +633,15 @@ def train_parity(
     targets = parity_targets(eval_stims)
 
     def evaluate(p):
+        # Evaluate in the TRAINING rollout mode: at stiff scales the
+        # deterministic dopri5 path can exhaust its step budget where the
+        # adaptive-SDE path trains fine, so a mode mismatch here would
+        # report garbage readouts for a healthy run.
         ys = batched_rollout(p, task, eval_stims, differentiable=False,
-                             use_fused=use_fused)
+                             use_fused=use_fused, stochastic=stochastic,
+                             adaptive=adaptive,
+                             key=jax.random.PRNGKey(1234)
+                             if stochastic else None)
         out = readout(ys, p, task.net)
         return float(jnp.mean((out > TARGET_EVEN / 2) == (targets > 0))), out
 
@@ -654,6 +698,21 @@ def main():
                         "the chaotic late regime makes full-horizon pathwise "
                         "cotangents overflow f32 (RESULTS.md); 16-64 works "
                         "at the 104-column scale")
+    p.add_argument("--max-steps", type=int, default=None,
+                   help="solver step budget per solve (default 3072; the "
+                        "104-column adaptive run needs ~10500 controller "
+                        "steps over the 1 s horizon — use 16384 there)")
+    p.add_argument("--clip-grad-norm", type=float, default=None,
+                   help="rescale the masked gradient to at most this global "
+                        "norm before the update — the standard companion to "
+                        "--bptt-every (truncated-window gradients on chaotic "
+                        "dynamics span many decades in magnitude); with it "
+                        "set, only non-finite gradients skip updates")
+    p.add_argument("--columns-per-area", default=None, metavar="N,N,...",
+                   help="comma-separated columns per area (default 8,4,1 — "
+                        "the reference's [8,4,1] parity topology, "
+                        "scripts/parity_ode.py:162-165); e.g. 64,32,8 for "
+                        "the 104-column scaling experiments in RESULTS.md")
     p.add_argument("--loss-scale", type=float, default=1.0,
                    help="scale the loss before backprop, unscale gradients "
                         "after (a mathematical no-op that keeps reverse-"
@@ -671,6 +730,8 @@ def main():
     p.add_argument("--eval-demo", action="store_true",
                    help="evaluate the packaged trained demo checkpoint")
     args = p.parse_args()
+    cpa = ((8, 4, 1) if args.columns_per_area is None else
+           tuple(int(x) for x in args.columns_per_area.split(",")))
 
     if args.eval_ckpt or args.eval_demo:
         if args.eval_demo:
@@ -680,6 +741,7 @@ def main():
         else:
             cfg = ColumnConfig.load()
             task = build_task(cfg, jax.random.PRNGKey(args.seed),
+                              columns_per_area=cpa,
                               random_fan_in=args.random_fan_in)
             from columnflow.train import load_checkpoint
 
@@ -688,7 +750,11 @@ def main():
         stims = jnp.asarray(parity_combinations(
             4, fixed_position=not args.position_invariant))
         ys = batched_rollout(task.params, task, stims, differentiable=False,
-                             use_fused=args.fused)
+                             use_fused=args.fused,
+                             stochastic=args.stochastic,
+                             adaptive=args.adaptive,
+                             key=jax.random.PRNGKey(1234)
+                             if args.stochastic else None)
         out = readout(ys, task.params, task.net)
         targets = parity_targets(stims)
         acc = float(jnp.mean((out > TARGET_EVEN / 2) == (targets > 0)))
@@ -699,7 +765,8 @@ def main():
     if args.smoke:
         params, hist = train_parity(
             nr_samples=8, batch_size=4, seed=args.seed, time_steps=200,
-            max_steps=1024, use_fused=args.fused,
+            max_steps=args.max_steps or 1024, columns_per_area=cpa,
+            use_fused=args.fused,
             random_fan_in=args.random_fan_in,
             fixed_position=not args.position_invariant,
             metrics_path=args.metrics_out,
@@ -709,11 +776,13 @@ def main():
             reference_rails=args.reference_rails,
             loss_scale=args.loss_scale,
             bptt_every=args.bptt_every,
+            clip_grad_norm=args.clip_grad_norm,
         )
     else:
         params, hist = train_parity(
             nr_samples=args.samples, batch_size=args.batch_size,
-            seed=args.seed, use_fused=args.fused,
+            seed=args.seed, columns_per_area=cpa,
+            max_steps=args.max_steps or 3072, use_fused=args.fused,
             random_fan_in=args.random_fan_in,
             fixed_position=not args.position_invariant,
             metrics_path=args.metrics_out,
@@ -725,6 +794,7 @@ def main():
             reference_rails=args.reference_rails,
             loss_scale=args.loss_scale,
             bptt_every=args.bptt_every,
+            clip_grad_norm=args.clip_grad_norm,
         )
     final = next(h for h in reversed(hist) if "loss" in h)
     print(f"final loss {final['loss']:.5f} | "

@@ -141,8 +141,10 @@ def make_train_step(task: WTATask):
 
 
 def global_norm(tree):
-    leaves = jax.tree_util.tree_leaves(tree)
-    return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
+    """Overflow-robust global L2 norm (columnflow.train.global_norm)."""
+    from columnflow.train import global_norm as _gn
+
+    return _gn(tree)[0]
 
 
 def make_train_scan(task: WTATask):

@@ -4,6 +4,7 @@ from columnflow.train.optim import (
     mask_grads,
     clamp_params,
     adam,
+    global_norm,
 )
 from columnflow.train.checkpoint import save_checkpoint, load_checkpoint
 from columnflow.train.metrics import MetricsLogger, StepProfiler
@@ -14,6 +15,7 @@ __all__ = [
     "mask_grads",
     "clamp_params",
     "adam",
+    "global_norm",
     "save_checkpoint",
     "load_checkpoint",
     "MetricsLogger",

@@ -77,6 +77,25 @@ def mask_grads(grads, masks):
     )
 
 
+def global_norm(tree):
+    """Global L2 norm of a pytree, overflow-robust via max-prescaling.
+
+    The naive ``sqrt(sum(g**2))`` leaves f32 range once any entry exceeds
+    ~1e19 — and on TPU the decomposed reduce then yields NaN, not inf
+    (observed at the 104-column truncated-BPTT gradient scale, RESULTS.md).
+    Dividing by the global max first keeps every intermediate in [0, 1]*n.
+    Returns (norm, gmax, norm_scaled) where norm == gmax * norm_scaled so
+    callers can form ``clip / norm`` as ``(clip / gmax) / norm_scaled``
+    without overflow.
+    """
+    leaves = jax.tree_util.tree_leaves(tree)
+    gmax = jnp.maximum(
+        jnp.max(jnp.asarray([jnp.max(jnp.abs(g)) for g in leaves])), 1e-30)
+    norm_scaled = jnp.sqrt(sum(jnp.sum(jnp.square(g / gmax))
+                               for g in leaves))
+    return gmax * norm_scaled, gmax, norm_scaled
+
+
 def clamp_params(params, clamps):
     """Clamp parameter leaves to (min, max) bounds; ``clamps`` mirrors the
     params pytree with (lo, hi) tuples or None."""

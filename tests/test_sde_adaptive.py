@@ -449,6 +449,13 @@ class TestTruncatedBPTT:
         assert np.any(g_trunc != 0.0)
         assert not np.allclose(g_trunc, g_full, rtol=1e-3)
 
+    def test_invalid_window_raises(self):
+        with pytest.raises(ValueError, match="bptt_every"):
+            sdeint_adaptive(self.drift, self.diff, jnp.ones(2), self.ts,
+                            jax.random.PRNGKey(0), jnp.ones(2),
+                            method="sra1", differentiable=True,
+                            bptt_every=0)
+
     def test_fused_chunk_truncation_matches_manual_scan(self):
         # The fused path truncates at chunk boundaries (window rounded to
         # chunk granularity): chunk=8 + bptt_every=8 must equal a manual

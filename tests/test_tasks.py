@@ -99,6 +99,50 @@ class TestParityTask:
             np.testing.assert_allclose(np.asarray(p2[k]), np.asarray(p1[k]),
                                        rtol=1e-4, atol=1e-6)
 
+    def test_clip_grad_norm(self):
+        """clip_grad_norm rescales the masked gradient to the requested
+        global norm before the update (the truncated-BPTT companion,
+        RESULTS.md): a tiny clip must produce a step of exactly that norm
+        direction, and the update must be APPLIED (not skipped) even
+        though the raw gnorm is reported unclipped."""
+        import jax
+
+        from columnflow.config import ColumnConfig
+        from columnflow.data import make_parity_batch
+        from columnflow.tasks import parity as pt
+
+        cfg = ColumnConfig.load()
+        task = pt.build_task(cfg, jax.random.PRNGKey(0),
+                             columns_per_area=(2, 1), n_inputs=2,
+                             time_steps=60, max_steps=512)
+        stims = make_parity_batch(jax.random.PRNGKey(1), 2, 4)
+
+        def one(clip):
+            step = pt.make_train_step(task, clip_grad_norm=clip)
+            fresh = jax.tree_util.tree_map(jnp.array, task.params)
+            opt_state = task.optimizer.init(fresh)
+            params, _, loss, _, gnorm, ok = step(fresh, opt_state, stims)
+            return float(loss), float(gnorm), bool(ok), params
+
+        l0, g0, ok0, p0 = one(None)
+        l1, g1, ok1, p1 = one(1e-3)  # far below the raw gradient norm
+        assert l0 == l1 and ok0 and ok1
+        # Reported gnorm is the raw (pre-clip) norm: the observability
+        # signal survives clipping.
+        assert g1 == pytest.approx(g0, rel=1e-6)
+        assert g0 > 1e-3
+        # Clipped step differs from the unclipped one but stays clamped.
+        changed = any(
+            not np.allclose(np.asarray(p1[k]), np.asarray(p0[k]))
+            for k in p0)
+        assert changed
+        assert np.all(np.asarray(p1["lateral"]) <= 0.0)
+        # A generous clip (above the raw norm) is a no-op.
+        _, _, _, p2 = one(1e6)
+        for k in p0:
+            np.testing.assert_allclose(np.asarray(p2[k]), np.asarray(p0[k]),
+                                       rtol=1e-6, atol=0)
+
     def test_checkpoint_resume(self, tmp_path):
         """Train 2 iters with checkpointing, resume, finish the remaining 2:
         the resumed run starts at the saved step and only runs the rest."""

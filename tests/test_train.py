@@ -99,6 +99,42 @@ class TestMasksAndClamps:
         np.testing.assert_array_equal(np.asarray(out["out"]), [0.5, 1.0])
 
 
+class TestGlobalNorm:
+    def test_exact_small(self):
+        from columnflow.train import global_norm
+
+        n, gmax, ns = global_norm({"a": jnp.asarray([3.0, 4.0]),
+                                   "b": jnp.zeros(7)})
+        assert float(n) == pytest.approx(5.0, rel=1e-6)
+        assert float(gmax) == pytest.approx(4.0)
+        assert float(gmax * ns) == pytest.approx(5.0, rel=1e-6)
+
+    def test_overflow_robust(self):
+        """Entries ~1e20 overflow the naive sqrt(sum(g**2)) (squares reach
+        1e40, past f32 max) — the max-prescaled norm stays exact, and the
+        (clip/gmax)/ns clip factor is finite (the 104-column truncated-BPTT
+        clip path, RESULTS.md)."""
+        from columnflow.train import global_norm
+
+        tree = {"a": jnp.full((1024,), 1e20, jnp.float32),
+                "b": jnp.zeros(5, jnp.float32)}
+        naive = jnp.sqrt(sum(jnp.sum(jnp.square(g))
+                             for g in tree.values()))
+        assert not np.isfinite(float(naive))
+        n, gmax, ns = global_norm(tree)
+        assert float(gmax) == pytest.approx(1e20)
+        assert float(ns) == pytest.approx(32.0, rel=1e-5)
+        assert float(n) == pytest.approx(3.2e21, rel=1e-5)
+        clip_factor = (1.0 / gmax) / jnp.maximum(ns, 1e-30)
+        assert np.isfinite(float(clip_factor)) and float(clip_factor) > 0
+
+    def test_zero_tree(self):
+        from columnflow.train import global_norm
+
+        n, gmax, ns = global_norm({"a": jnp.zeros(3)})
+        assert float(n) == 0.0 and np.isfinite(float(gmax))
+
+
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path):
         params = {"w": jnp.arange(4.0), "b": {"x": jnp.ones((2, 3))}}
