@@ -691,8 +691,8 @@ def _make_sde_chunk_kernel(drift, diffusion, prep, n_args, chunk, h,
                            t_base, method, variable_h=False):
     """Forward SDE chunk: fixed-grid steps with everything VMEM-resident.
 
-    Inputs: offs (SMEM (1,) i32 global step offset), [st (chunk+1,) step
-    times when ``variable_h``], y_in (S), i1/i10 chunk ((chunk,) + noise
+    Inputs: offs (SMEM (1, 1) i32 global step offset), [st (1, chunk+1)
+    step times when ``variable_h``], y_in (S), i1/i10 chunk ((chunk,) + noise
     shape), arg refs. Outputs: y_out (S), ys (chunk,)+S (states AFTER each
     step). With ``variable_h`` the per-step t0/h come from the st ref
     (h == 0 steps are exact no-ops), enabling the adaptive replay to run
@@ -712,12 +712,12 @@ def _make_sde_chunk_kernel(drift, diffusion, prep, n_args, chunk, h,
         yout_ref, ys_ref = refs[n_args:]
         args = prep(tuple(r[:] for r in arg_refs))
         if not variable_h:
-            t_off = off_ref[0].astype(jnp.float32) * h + t_base
+            t_off = off_ref[0, 0].astype(jnp.float32) * h + t_base
 
         def body(k, y):
             if variable_h:
-                t0 = st_ref[k]
-                hk = st_ref[k + 1] - t0
+                t0 = st_ref[0, k]
+                hk = st_ref[0, k + 1] - t0
             else:
                 t0 = t_off + k.astype(jnp.float32) * h
                 hk = h
@@ -735,7 +735,7 @@ def _make_sde_bwd_chunk_kernel(step, prep, n_args, chunk, h, t_base,
                                variable_h=False):
     """Reverse SDE chunk: in-kernel ``jax.vjp`` of the step.
 
-    Inputs: offs (SMEM (1,)), [st (chunk+1,) step times when
+    Inputs: offs (SMEM (1, 1)), [st (1, chunk+1) step times when
     ``variable_h``], ys_prev (chunk,)+S (states BEFORE each step),
     ysbar (chunk,)+S (cotangents on states AFTER each step), ybar_in (S),
     i1/i10 chunks, arg refs. Outputs: ybar_out, diff-arg accumulators.
@@ -765,7 +765,7 @@ def _make_sde_bwd_chunk_kernel(step, prep, n_args, chunk, h, t_base,
         raw = tuple(r[:] for r in arg_refs)
         pargs = prep(raw) if emit_steps else None
         if not variable_h:
-            t_off = off_ref[0].astype(jnp.float32) * h + t_base
+            t_off = off_ref[0, 0].astype(jnp.float32) * h + t_base
 
         abar0 = tuple(jnp.zeros(r.shape, r.dtype) for r in abar_refs)
 
@@ -773,8 +773,8 @@ def _make_sde_bwd_chunk_kernel(step, prep, n_args, chunk, h, t_base,
             ybar, abars = carry
             k = chunk - 1 - kk
             if variable_h:
-                t0 = st_ref[k]
-                hk = st_ref[k + 1] - t0
+                t0 = st_ref[0, k]
+                hk = st_ref[0, k + 1] - t0
             else:
                 t0 = t_off + k.astype(jnp.float32) * h
                 hk = h
@@ -941,9 +941,12 @@ def sdeint_fused(
 
     step_fns = {}
 
-    # st (chunk+1,) travels in SMEM: the kernels read it only at dynamic
-    # scalar indices (st_ref[k]), which Mosaic rejects for VMEM vectors
+    # st (1, chunk+1) travels in SMEM: the kernels read it only at dynamic
+    # scalar indices (st_ref[0, k]), which Mosaic rejects for VMEM vectors
     # ("cannot statically prove that index ... is a multiple of 1024").
+    # offs/st are 2-D so their SMEM blocks survive vmap batching (the
+    # per-sample adaptive replay vmaps this whole solver; Mosaic requires
+    # a batched block's trailing dims to equal the array's).
     n_extra = 1 if variable_h else 0
 
     def make_calls(c):
@@ -994,7 +997,10 @@ def sdeint_fused(
     def st_slice(st, start, c):
         if not variable_h:
             return ()
-        return (jax.lax.dynamic_slice(st, (start,), (c + 1,)),)
+        # (1, c+1): 2-D so the SMEM block survives vmap batching —
+        # the batched block's trailing dims must equal the array's
+        # (Mosaic's last-two-dims rule; same reason offs is (1, 1)).
+        return (jax.lax.dynamic_slice(st, (start,), (c + 1,))[None, :],)
 
     fwd_call, bwd_call = make_calls(chunk)
     if rem:
@@ -1015,7 +1021,7 @@ def sdeint_fused(
         st = noise[2] if variable_h else None
 
         def body(y, c):
-            off = (c * chunk)[None].astype(jnp.int32)
+            off = (c * chunk).reshape(1, 1).astype(jnp.int32)
             i1_c = jax.lax.dynamic_slice_in_dim(i1, c * chunk, chunk)
             i10_c = jax.lax.dynamic_slice_in_dim(i10, c * chunk, chunk)
             y1, ys_c = fwd_call(off, *st_slice(st, c * chunk, chunk), y,
@@ -1025,7 +1031,7 @@ def sdeint_fused(
         y_last, chunks = jax.lax.scan(body, y0, jnp.arange(n_full))
         ys = chunks.reshape((n_full * chunk,) + S)
         if rem:
-            off = jnp.asarray([n_full * chunk], jnp.int32)
+            off = jnp.asarray([[n_full * chunk]], jnp.int32)
             _, ys_r = fwd_rem(off, *st_slice(st, n_full * chunk, rem),
                               y_last, i1[n_full * chunk:],
                               i10[n_full * chunk:], *dyn)
@@ -1096,7 +1102,7 @@ def sdeint_fused(
         if arg_grads == "outer":
             seeds_rem = None
             if rem:
-                off = jnp.asarray([n_full * chunk], jnp.int32)
+                off = jnp.asarray([[n_full * chunk]], jnp.int32)
                 ybar, seeds_rem = bwd_rem(
                     off, *st_slice(st, n_full * chunk, rem),
                     ys_prev[n_full * chunk:],
@@ -1106,7 +1112,7 @@ def sdeint_fused(
 
             def body(ybar, c):
                 ci = n_full - 1 - c
-                off = (ci * chunk)[None].astype(jnp.int32)
+                off = (ci * chunk).reshape(1, 1).astype(jnp.int32)
                 i1_c = jax.lax.dynamic_slice_in_dim(i1, ci * chunk, chunk)
                 i10_c = jax.lax.dynamic_slice_in_dim(i10, ci * chunk, chunk)
                 ysp = jax.lax.dynamic_slice_in_dim(ys_prev, ci * chunk,
@@ -1132,7 +1138,7 @@ def sdeint_fused(
 
         abars = tuple(jnp.zeros(dyn[i].shape, dyn[i].dtype) for i in diff_idx)
         if rem:
-            off = jnp.asarray([n_full * chunk], jnp.int32)
+            off = jnp.asarray([[n_full * chunk]], jnp.int32)
             out = bwd_rem(off, *st_slice(st, n_full * chunk, rem),
                           ys_prev[n_full * chunk:],
                           ysbar_steps[n_full * chunk:], ybar,
@@ -1143,7 +1149,7 @@ def sdeint_fused(
         def body(carry, c):
             ybar, abars = carry
             ci = n_full - 1 - c
-            off = (ci * chunk)[None].astype(jnp.int32)
+            off = (ci * chunk).reshape(1, 1).astype(jnp.int32)
             i1_c = jax.lax.dynamic_slice_in_dim(i1, ci * chunk, chunk)
             i10_c = jax.lax.dynamic_slice_in_dim(i10, ci * chunk, chunk)
             ysp = jax.lax.dynamic_slice_in_dim(ys_prev, ci * chunk, chunk)

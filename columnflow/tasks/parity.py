@@ -130,7 +130,12 @@ def batched_rollout(params, task: ParityTask, stims_raw, method="dopri5",
         if key is None:
             raise ValueError("stochastic rollout needs a PRNG key")
         B = stims_raw.shape[0]
-        if use_fused:
+        # NOTE: the adaptive branch must win over the fixed-grid fused
+        # branch — with ``use_fused and adaptive`` the fused engine is the
+        # REPLAY inside sdeint_adaptive below, not this fixed-grid solve
+        # (which is exactly the dt=1e-3 instability --adaptive exists to
+        # cure, RESULTS.md).
+        if use_fused and not adaptive:
             from columnflow.models.network import (
                 NETWORK_NOISE_STD,
                 build_network_fused_consts,

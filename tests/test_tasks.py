@@ -143,6 +143,40 @@ class TestParityTask:
             np.testing.assert_allclose(np.asarray(p2[k]), np.asarray(p0[k]),
                                        rtol=1e-6, atol=0)
 
+    def test_adaptive_fused_routes_to_adaptive_engine(self, monkeypatch):
+        """``stochastic + adaptive + use_fused`` must run the ADAPTIVE
+        engine (fused replay inside sdeint_adaptive). A branch-ordering bug
+        used to let the fixed-grid fused branch shadow it, silently
+        integrating the dt=1e-3 grid that --adaptive exists to avoid
+        (RESULTS.md: unstable at scale)."""
+        import jax
+
+        import columnflow.solvers as solvers
+        from columnflow.config import ColumnConfig
+        from columnflow.data import make_parity_batch
+        from columnflow.tasks import parity as pt
+
+        calls = []
+        real = solvers.sdeint_adaptive
+
+        def spy(*a, **kw):
+            calls.append(1)
+            return real(*a, **kw)
+
+        monkeypatch.setattr(solvers, "sdeint_adaptive", spy)
+        cfg = ColumnConfig.load()
+        task = pt.build_task(cfg, jax.random.PRNGKey(0),
+                             columns_per_area=(2, 1), n_inputs=2,
+                             time_steps=60, max_steps=512)
+        stims = make_parity_batch(jax.random.PRNGKey(1), 2, 2)
+        ys = pt.batched_rollout(task.params, task, stims, stochastic=True,
+                                adaptive=True, use_fused=True,
+                                key=jax.random.PRNGKey(0),
+                                differentiable=False)
+        assert calls, "adaptive engine was never invoked"
+        assert ys.shape == (2, 60, 3 * task.net.num_pops)
+        assert bool(jnp.all(jnp.isfinite(ys)))
+
     def test_checkpoint_resume(self, tmp_path):
         """Train 2 iters with checkpointing, resume, finish the remaining 2:
         the resumed run starts at the saved step and only runs the rest."""
