@@ -31,6 +31,14 @@ custom-vjp solvers trips a tracer-constant error in partial-eval on TPU
 ("No constant handler for DynamicJaxprTracer"); the unjitted
 ``grad(f)`` and the jitted-grad forms both work and are what the tpu
 test tier asserts.
+
+Known limitation: ``vmap`` over a COMPILED fused solve requires >= 2-D
+states (the ``(1, S)`` layout every kernel-safe batched drift already
+uses). Mosaic batches each kernel ref by prepending a squeezed grid dim,
+and the batched block satisfies the trailing-dims rule only when the
+unbatched ref's trailing dims equal the array's — which is also why the
+SMEM scalar refs (step offset/times) are shaped ``(1, n)``. 1-D states
+work unvmapped and in interpret mode.
 """
 
 from __future__ import annotations
@@ -910,7 +918,14 @@ def sdeint_fused(
     if arg_grads == "auto":
         diff_bytes = sum(dyn[i].dtype.itemsize * int(np.prod(dyn[i].shape))
                          for i in diff_idx)
-        arg_grads = "outer" if diff_bytes > (1 << 20) else "kernel"
+        # "outer" for big args (VMEM) and for ANY 1-D diff arg: a 1-D
+        # cotangent output batches to a (B, n) block under vmap, which
+        # fails Mosaic's trailing-dims rule — the outer path emits only
+        # >=2-D step cotangents, so vmapped compiled solves keep working.
+        arg_grads = ("outer"
+                     if (diff_bytes > (1 << 20)
+                         or any(dyn[i].ndim < 2 for i in diff_idx))
+                     else "kernel")
     if not diff_idx:
         arg_grads = "kernel"
 

@@ -185,6 +185,40 @@ class TestCompiledAdaptiveReplay:
         g_fused = np.asarray(jax.grad(lambda t: final(t, True))(th0))
         np.testing.assert_allclose(g_fused, g_scan, rtol=1e-3, atol=1e-5)
 
+    def test_vmapped_fused_replay_compiles_and_matches(self):
+        """vmap(B=3) over the fused replay, COMPILED: Mosaic batches every
+        kernel ref, and a batched block passes the trailing-dims rule only
+        if the unbatched ref was >= 2-D (trailing dims then equal the
+        array's). Hence the SMEM scalar refs are (1, n) and states must be
+        the 2-D (1, S) layout the kernel-safe batched drifts already use —
+        the 104-column --fused --adaptive failure mode (RESULTS.md)."""
+        from columnflow.solvers import sdeint_adaptive
+
+        drift = lambda t, y, th: -th * y
+        diff = lambda t, y, th: 0.5 * jnp.ones_like(y)
+        ts = jnp.linspace(0.0, 1.0, 9)
+        keys = jax.random.split(jax.random.PRNGKey(11), 3)
+        th0 = jnp.full((4,), 1.3)
+        y0 = jnp.ones((1, 4))  # 2-D state: vmapped-compiled support surface
+
+        def loss(t, fused):
+            return jnp.sum(jax.vmap(
+                lambda k: sdeint_adaptive(
+                    drift, diff, y0, ts, k, t, method="sra1",
+                    rtol=1e-4, atol=1e-4, max_steps=256,
+                    differentiable=True, fused=fused, bptt_every=8) ** 2
+            )(keys))
+
+        # Differentiate INSIDE jit — the trainers' pattern and the solvers'
+        # documented support surface (see fused.py module docstring).
+        v_scan, g_scan = jax.jit(
+            jax.value_and_grad(lambda t: loss(t, False)))(th0)
+        v_fused, g_fused = jax.jit(
+            jax.value_and_grad(lambda t: loss(t, True)))(th0)
+        np.testing.assert_allclose(float(v_fused), float(v_scan), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_scan),
+                                   rtol=1e-3, atol=1e-5)
+
 
 class TestCompiledWTAKernels:
     """Compiled WTA kernels vs the XLA reference path.
