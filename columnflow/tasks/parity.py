@@ -540,17 +540,33 @@ def train_parity(
 
     # Solver observability (SURVEY.md section 5): adaptive-step statistics
     # every stats_every iterations - naccept growth flags the approaching
-    # stiff regime before gradients explode.
+    # stiff regime before gradients explode. The probe integrates in the
+    # TRAINING mode: a deterministic dopri5 probe at default tolerances
+    # exhausts its budget at stiff scales where the adaptive SDE trains
+    # fine, and would report success=0 for a healthy run.
     @jax.jit
     def solver_stats(params, stim_raw):
+        table = parity_stim_table(stim_raw, time_steps)
+        stim = Stimulus(0.0, task.dt, table)
+        y0 = jnp.zeros(3 * task.net.num_pops)
+        if stochastic and adaptive:
+            from columnflow.models.network import network_diffusion
+            from columnflow.solvers import sdeint_adaptive
+
+            _, st = sdeint_adaptive(
+                lambda t, y: network_drift(t, y, params, task.net, stim),
+                lambda t, y: network_diffusion(t, y, params, task.net,
+                                               stim),
+                y0, task.ts, jax.random.PRNGKey(99), method="sra1",
+                rtol=1e-3, atol=1e-3, max_steps=task.max_steps,
+                return_stats=True)
+            # SDESolverStats has no nfev; mirror the odeint stats shape.
+            return st
         from columnflow.solvers import odeint_stats
 
-        table = parity_stim_table(stim_raw, time_steps)
         return odeint_stats(
-            lambda t, y: network_drift(t, y, params, task.net,
-                                       Stimulus(0.0, task.dt, table)),
-            jnp.zeros(3 * task.net.num_pops), task.ts,
-            max_steps=task.max_steps,
+            lambda t, y: network_drift(t, y, params, task.net, stim),
+            y0, task.ts, max_steps=task.max_steps,
         )
 
     stats_every = 50
