@@ -862,9 +862,8 @@ def sdeint_fused(
     ``bptt_every=W`` truncates reverse-mode gradient chains every ~W steps
     (the solver chunk is capped at W and truncation lands on chunk
     boundaries): the state cotangent is zeroed there in the backward
-    sweep. Use for
-    long-horizon chaotic dynamics whose pathwise cotangents grow
-    exponentially past f32 range (see solvers/sde_adaptive.py).
+    sweep. Use for long-horizon chaotic dynamics whose pathwise cotangents
+    grow exponentially past f32 range (see solvers/sde_adaptive.py).
 
     Returns ys with ys[0] == y0, shape (len(ts),) + y0.shape.
     """

@@ -763,6 +763,7 @@ def main():
             cfg = ColumnConfig.load()
             task = build_task(cfg, jax.random.PRNGKey(args.seed),
                               columns_per_area=cpa,
+                              max_steps=args.max_steps or 3072,
                               random_fan_in=args.random_fan_in)
             from columnflow.train import load_checkpoint
 
