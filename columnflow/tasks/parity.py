@@ -465,7 +465,9 @@ def make_train_scan(task: ParityTask, use_fused: bool = False,
     return train_scan
 
 
-def make_dp_train_step(task: ParityTask, mesh, use_fused: bool = False):
+def make_dp_train_step(task: ParityTask, mesh, use_fused: bool = False,
+                       stochastic: bool = False, adaptive: bool = False,
+                       bptt_every: int | None = None):
     """Data-parallel training step: the sample batch is sharded across the
     device mesh, gradients pmean-ed over ICI (columnflow.parallel). Batch
     arg: stims_raw (B, n_inputs), B divisible by mesh size. The
@@ -473,6 +475,25 @@ def make_dp_train_step(task: ParityTask, mesh, use_fused: bool = False):
     267-274) are fused into the sharded step, so the mesh path applies the
     same semantics as the single-device trainer."""
     from columnflow.parallel import make_dp_train_step as _mk
+
+    if stochastic:
+        # Stochastic/adaptive DP: the flagship large-scale configuration
+        # (adaptive SRA1 + truncated BPTT, RESULTS.md) sharded over the
+        # mesh. Per-device Brownian keys ride as a second batch arg with
+        # leading axis == mesh size, so each shard integrates independent
+        # noise; call as step(params, opt_state, stims (B, n),
+        # dev_keys (n_devices, 2)).
+        def local_loss(params, stims_raw, dev_keys):
+            ys = batched_rollout(params, task, stims_raw,
+                                 use_fused=use_fused, stochastic=True,
+                                 adaptive=adaptive, key=dev_keys[0],
+                                 adaptive_bptt_every=bptt_every)
+            out = readout(ys, params, task.net)
+            return jnp.mean(jnp.abs(out - parity_targets(stims_raw)))
+
+        return _mk(local_loss, task.optimizer, task.grad_mask, mesh,
+                   num_batch_args=2,
+                   post_update=lambda p: clamp_params(p, task.clamps))
 
     def local_loss(params, stims_raw):
         ys = batched_rollout(params, task, stims_raw, use_fused=use_fused)

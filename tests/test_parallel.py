@@ -121,6 +121,35 @@ class TestTaskDPSteps:
         assert float(jnp.min(params["output_weights"])) >= 0.0
         assert float(jnp.max(params["output_weights"])) <= pt.OUTPUT_SCALE
 
+    def test_parity_dp_step_stochastic_adaptive(self):
+        """The flagship scale configuration sharded over the mesh: each
+        device shard integrates the adaptive SDE (truncated-BPTT replay
+        gradients) on its own Brownian key, gradients pmean over the mesh
+        axis, clamps applied in the sharded step."""
+        from columnflow.config import ColumnConfig
+        from columnflow.data import make_parity_batch
+        from columnflow.parallel import make_mesh, replicate, shard_batch
+        from columnflow.tasks import parity as pt
+
+        cfg = ColumnConfig.load()
+        task = pt.build_task(cfg, jax.random.PRNGKey(0),
+                             columns_per_area=(2, 1), n_inputs=2,
+                             time_steps=60, max_steps=512)
+        mesh = make_mesh(8)
+        step = pt.make_dp_train_step(task, mesh, stochastic=True,
+                                     adaptive=True, bptt_every=16)
+        params = replicate(task.params, mesh)
+        opt_state = replicate(task.optimizer.init(task.params), mesh)
+        stims = shard_batch(make_parity_batch(jax.random.PRNGKey(1), 2, 8),
+                            mesh)
+        dev_keys = shard_batch(
+            jax.random.split(jax.random.PRNGKey(2), 8), mesh)
+        params, opt_state, loss = step(params, opt_state, stims, dev_keys)
+        assert bool(jnp.isfinite(loss))
+        for leaf in jax.tree_util.tree_leaves(params):
+            assert bool(jnp.all(jnp.isfinite(leaf)))
+        assert float(jnp.max(params["lateral"])) <= 0.0
+
     def test_xor_dp_step(self):
         from columnflow.config import ColumnConfig
         from columnflow.parallel import make_mesh, replicate, shard_batch
