@@ -205,9 +205,9 @@ def _replay_pass(stepper, with_i10, drift, diffusion, y0, ts, step_times,
     ``bptt_every=W`` truncates reverse-mode gradient chains at every W-th
     accepted step (stop_gradient on the carry), bounding the pathwise
     cotangent growth to one window: chaotic/stiff attractor dynamics
-    amplify cotangents exponentially per step (measured ~1.4x/step on the
-    104-column network's late WTA regime, i.e. overflow within ~200 steps
-    from ANY seed scale), so full-horizon pathwise gradients are not
+    amplify cotangents exponentially per step (measured ~1.4x/step in the
+    104-column network's late attractor regime, i.e. overflow within ~200
+    steps from ANY seed scale), so full-horizon pathwise gradients are not
     representable in f32 — truncated-BPTT windows are the standard,
     well-defined surrogate."""
     dtype = y0.dtype
