@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--max-steps", type=int, default=16384)
     ap.add_argument("--bptt-every", type=int, default=32)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--select-bf16", action="store_true",
+                    help="pick step sizes with bf16 weight matrices (halves "
+                         "the adaptive pass's HBM traffic; replay stays f32)")
     args = ap.parse_args()
 
     import jax
@@ -63,12 +66,12 @@ def main():
 
         fwd = jax.jit(lambda p, k: pt.batched_rollout(
             p, task, stims, stochastic=True, adaptive=True, use_fused=fused,
-            key=k, differentiable=False))
+            key=k, differentiable=False, select_bf16=args.select_bf16))
         t_pass = timeit(fwd, task.params, key)
 
         replay = jax.jit(lambda p, k: pt.batched_rollout(
             p, task, stims, stochastic=True, adaptive=True, use_fused=fused,
-            key=k, differentiable=True,
+            key=k, differentiable=True, select_bf16=args.select_bf16,
             adaptive_bptt_every=args.bptt_every))
         t_replay = timeit(replay, task.params, key)
 
@@ -76,6 +79,7 @@ def main():
             ys = pt.batched_rollout(p, task, stims, stochastic=True,
                                     adaptive=True, use_fused=fused, key=k,
                                     differentiable=True,
+                                    select_bf16=args.select_bf16,
                                     adaptive_bptt_every=args.bptt_every)
             return jnp.sum(ys[:, -1, :] ** 2)
 
@@ -84,6 +88,7 @@ def main():
 
         print(json.dumps({
             "row": f"adaptive_breakdown_{engine}",
+            "select_bf16": args.select_bf16,
             "columns_per_area": list(cpa),
             "state_dim": 3 * task.net.num_pops,
             "pass_s": round(t_pass, 4),

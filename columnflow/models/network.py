@@ -273,6 +273,85 @@ def network_diffusion(t, y, params, net: NetworkStatic, stim: Stimulus,
     return jnp.full_like(y, NETWORK_NOISE_STD)
 
 
+def select_weights_bf16(params: dict, net: NetworkStatic):
+    """bfloat16 copies of the network's weight matrices for adaptive
+    step-size SELECTION (``sdeint_adaptive(select_drift=...)``): the
+    adaptive pass is HBM-bandwidth-bound on the (P, P) f32 recurrent
+    matrix (RESULTS.md's 104-column accounting — ~150 MB re-read per
+    controller step), and a bf16-resident copy used only to pick step
+    sizes halves that traffic while the replay still integrates f32 on
+    the frozen sequence."""
+    w16 = (jnp.asarray(net.inner_weights) + params["lateral"]
+           + params["feedforward"]).astype(jnp.bfloat16)
+    iw16 = params["input_weights"].astype(jnp.bfloat16)
+    return w16, iw16
+
+
+def network_drift_select16(t, y, w16, iw16, net: NetworkStatic,
+                           stim: Stimulus, interp_fn=interp_at):
+    """``network_drift`` with bf16 weight matmuls (f32 accumulation, single
+    native MXU pass) — the step-size-selection drift for
+    ``select_weights_bf16``. State, transfer function, and all elementwise
+    math stay f32; only the matrix reads are bf16, perturbing the drift by
+    ~2^-9 relative. Step doubling compares two integrations of this SAME
+    perturbed drift, so the local-error estimate remains meaningful (the
+    O(h) rounding term cancels exactly between the full- and half-step
+    solutions)."""
+    P = net.num_pops
+    v, a, r = y[:P], y[P : 2 * P], y[2 * P :]
+    fr = compute_firing_rate(v - a)
+
+    ext = interp_fn(t, stim.t0, stim.dt, stim.table)  # (n_inputs,)
+
+    f32 = jnp.float32
+    current = (
+        jnp.matmul(w16, fr.astype(jnp.bfloat16), preferred_element_type=f32)
+        + jnp.matmul(iw16, ext.astype(jnp.bfloat16),
+                     preferred_element_type=f32)
+        + jnp.asarray(net.background_current)
+    )
+    total = current * net.tau_syn
+
+    dv = (-v + total * net.resistance) / net.tau_mem
+    da = (-a + jnp.asarray(net.adaptation_strength) * fr) / net.tau_adapt
+    dr = (-r + fr) / net.tau_syn
+    return jnp.concatenate([dv, da, dr])
+
+
+def premix_select16(pw: dict) -> dict:
+    """bf16 copy of ``premix_network_weights`` output, for the fused-replay
+    adaptive path's selection pass (see ``select_weights_bf16``)."""
+    return {"wT16": pw["wT"].astype(jnp.bfloat16),
+            "iwT16": pw["iwT"].astype(jnp.bfloat16)}
+
+
+def network_drift_premixed_select16(t, y, pw16: dict, fc: dict,
+                                    stim: Stimulus, interp_fn=interp_at):
+    """``network_drift_premixed`` with bf16 weight matmuls — the batched
+    selection drift matching ``premix_select16`` (see
+    ``network_drift_select16`` for the precision contract)."""
+    P = fc["bg"].shape[0]
+    v, a, r = y[:, :P], y[:, P : 2 * P], y[:, 2 * P :]
+    fr = compute_firing_rate(v - a)
+
+    ext = interp_fn(t, stim.t0, stim.dt, stim.table)  # (B, n_inputs)
+
+    f32 = jnp.float32
+    current = (
+        jnp.matmul(fr.astype(jnp.bfloat16), pw16["wT16"],
+                   preferred_element_type=f32)
+        + jnp.matmul(ext.astype(jnp.bfloat16), pw16["iwT16"],
+                     preferred_element_type=f32)
+        + fc["bg"][None, :]
+    )
+    total = current * fc["tau_syn"]
+
+    dv = (-v + total * fc["resistance"]) / fc["tau_mem"]
+    da = (-a + fc["adapt"][None, :] * fr) / fc["tau_adapt"]
+    dr = (-r + fr) / fc["tau_syn"]
+    return jnp.concatenate([dv, da, dr], axis=1)
+
+
 def network_drift_batched(t, y, params, net: NetworkStatic, stim: Stimulus,
                           interp_fn=interp_at):
     """Batched ``network_drift``: y (B, 3P) -> (B, 3P), stim table

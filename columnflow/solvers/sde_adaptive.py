@@ -29,7 +29,10 @@ freezes the accepted-step sequence from the adaptive pass (run under
 pattern of the dopri5 path (solvers/dopri.py:197-242), with linear (not
 Hermite) interpolation because an SDE path is only 1/2-Holder. The replay
 reproduces the adaptive trajectory bit-for-bit (same tree increments, same
-interval-keyed I10 draws) while exposing d(outputs)/d(params, y0).
+interval-keyed I10 draws) while exposing d(outputs)/d(params, y0) — unless
+``select_drift``/``select_args`` route the selection pass through a cheaper
+drift (e.g. bfloat16 weights), in which case the replay is the authoritative
+full-precision integration over the selected grid.
 """
 
 from __future__ import annotations
@@ -342,6 +345,9 @@ def sdeint_adaptive(
     nondiff_args: tuple = (),
     prepare=None,
     bptt_every: int | None = None,
+    select_drift: Callable | None = None,
+    select_diffusion: Callable | None = None,
+    select_args: tuple | None = None,
 ):
     """Adaptive Ito SDE integration with scalar noise on [ts[0], ts[-1]].
 
@@ -369,18 +375,37 @@ def sdeint_adaptive(
     hundred steps the TRUE pathwise gradient overflows f32 at any loss
     scale; windows of 16-64 keep gradients finite and training-usable.
     On the fused path the window is rounded to solver-chunk granularity.
+
+    ``select_drift`` / ``select_diffusion`` / ``select_args`` override the
+    functions the step-size SELECTION uses (the while_loop adaptive pass),
+    without touching the replay: with ``differentiable=True`` the returned
+    trajectory and its gradients always come from the full-precision
+    ``drift``/``diffusion``/``args`` re-integrated over the frozen
+    accepted-step grid — the overrides only influence WHICH steps get
+    accepted. Intended use: a bfloat16-weight drift for selection, halving
+    the HBM traffic of the bandwidth-bound adaptive pass at large state
+    (RESULTS.md's 104-column accounting: every controller step re-reads
+    the (P, P) f32 recurrent matrix; the local-error ESTIMATE stays f32 and
+    step doubling compares two integrations of the SAME perturbed drift, so
+    the leading O(h) rounding term cancels between the full and half
+    solutions). In inference mode (``differentiable=False``) the pass IS
+    the integration, so the overrides determine the returned trajectory —
+    appropriate only for stats probes and step-count prediction.
     """
     if bptt_every is not None and bptt_every < 1:
         raise ValueError(f"bptt_every must be >= 1, got {bptt_every}")
     stepper, err_exp, with_i10, ts, t_start, t_end, tree, k_i10, h0 = _setup(
         method, y0, ts, key, dt0, levy_depth
     )
+    sel_drift = drift if select_drift is None else select_drift
+    sel_diffusion = diffusion if select_diffusion is None else select_diffusion
+    sel_args = args if select_args is None else select_args
 
     if differentiable:
         carry = _adaptive_pass(
-            stepper, err_exp, with_i10, drift, diffusion,
+            stepper, err_exp, with_i10, sel_drift, sel_diffusion,
             jax.lax.stop_gradient(y0), t_start, t_end, tree, k_i10, rtol,
-            atol, h0, max_steps, jax.lax.stop_gradient(args),
+            atol, h0, max_steps, jax.lax.stop_gradient(sel_args),
         )
         step_times = jax.lax.stop_gradient(carry.step_times)
         naccept = jax.lax.stop_gradient(carry.naccept)
@@ -402,8 +427,8 @@ def sdeint_adaptive(
     # Inference path: no replay sweep — advance the while_loop to each output
     # time and interpolate linearly between the bracketing accepted points
     # (cost proportional to the ACTUAL number of steps, not max_steps).
-    body = _make_body(stepper, err_exp, with_i10, drift, diffusion, t_end,
-                      tree, k_i10, rtol, atol, y0.dtype, args)
+    body = _make_body(stepper, err_exp, with_i10, sel_drift, sel_diffusion,
+                      t_end, tree, k_i10, rtol, atol, y0.dtype, sel_args)
 
     def advance_until(c: _Carry, t_target):
         return jax.lax.while_loop(

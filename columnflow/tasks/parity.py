@@ -84,7 +84,8 @@ def batched_rollout(params, task: ParityTask, stims_raw, method="dopri5",
                     adaptive: bool = False, adaptive_rtol: float = 1e-3,
                     adaptive_atol: float = 1e-3,
                     adaptive_max_steps: int | None = None,
-                    adaptive_bptt_every: int | None = None):
+                    adaptive_bptt_every: int | None = None,
+                    select_bf16: bool = False):
     """Integrate a batch of input patterns: (B, n_inputs) -> (B, T, 3P).
 
     ``adaptive_max_steps=None`` uses ``task.max_steps`` — ONE solver step
@@ -118,6 +119,13 @@ def batched_rollout(params, task: ParityTask, stims_raw, method="dopri5",
     legitimately differ from the plain-drift XLA path within formulation
     tolerance amplified by the noisy dynamics; the engines themselves are
     parity-tested on identical drifts in tests/test_sde_adaptive.py).
+
+    ``select_bf16=True`` (with ``adaptive``) runs the step-size-selection
+    pass with bfloat16 weight matrices (models.network.select_weights_bf16)
+    — the adaptive pass is HBM-bandwidth-bound on the f32 recurrent matrix
+    at large pop counts (RESULTS.md), and bf16 reads halve that traffic.
+    The replay (values AND gradients) still integrates the full-precision
+    drift over the frozen accepted-step grid.
     """
     from columnflow.solvers import odeint
 
@@ -211,6 +219,21 @@ def batched_rollout(params, task: ParityTask, stims_raw, method="dopri5",
                 def a_diff(t, y, pw, fc, kv):
                     return jnp.full_like(y, NETWORK_NOISE_STD)
 
+                if select_bf16:
+                    from columnflow.models.network import (
+                        network_drift_premixed_select16,
+                        premix_select16,
+                    )
+
+                    pw16 = premix_select16(pw)
+
+                    def s_drift(t, y, pw16, fc, kv):
+                        return network_drift_premixed_select16(
+                            t, y, pw16, fc, Stimulus(0.0, dt, kv),
+                            interp_fn=lambda t_, t0_, dt_, v:
+                                interp_knots(t_, kts, v),
+                        )
+
                 def one_adaptive_fused(stim_raw, k):
                     _, kvals = step_table_knots(time_steps, dt,
                                                 jnp.zeros_like(stim_raw),
@@ -226,14 +249,30 @@ def batched_rollout(params, task: ParityTask, stims_raw, method="dopri5",
                         differentiable=differentiable, fused=True,
                         nondiff_args=(1, 2), prepare=prepare_premixed_split,
                         bptt_every=adaptive_bptt_every,
+                        select_drift=s_drift if select_bf16 else None,
+                        select_args=(pw16, fc, kvals[:, None, :])
+                        if select_bf16 else None,
                     )
                     return ys[:, 0, :]
 
                 return jax.vmap(one_adaptive_fused)(stims_raw, keys)
 
+            if select_bf16:
+                from columnflow.models.network import (
+                    network_drift_select16,
+                    select_weights_bf16,
+                )
+
+                w16, iw16 = select_weights_bf16(params, task.net)
+
             def one_adaptive(stim_raw, k):
                 table = parity_stim_table(stim_raw, time_steps)
                 stim = Stimulus(0.0, task.dt, table)
+                sel = (
+                    (lambda t, y: network_drift_select16(
+                        t, y, w16, iw16, task.net, stim))
+                    if select_bf16 else None
+                )
                 return sdeint_adaptive(
                     lambda t, y: network_drift(t, y, params, task.net, stim),
                     lambda t, y: network_diffusion(t, y, params, task.net,
@@ -243,6 +282,7 @@ def batched_rollout(params, task: ParityTask, stims_raw, method="dopri5",
                     max_steps=adaptive_max_steps,
                     differentiable=differentiable,
                     bptt_every=adaptive_bptt_every,
+                    select_drift=sel,
                 )
 
             return jax.vmap(one_adaptive)(stims_raw, keys)
@@ -333,7 +373,8 @@ def _step_core(task: ParityTask, use_fused: bool = False,
                stochastic: bool = False, adaptive: bool = False,
                reference_rails: bool = False, loss_scale: float = 1.0,
                bptt_every: int | None = None,
-               clip_grad_norm: float | None = None):
+               clip_grad_norm: float | None = None,
+               select_bf16: bool = False):
     """``loss_scale`` scales the loss before backprop and unscales the
     gradients after — mathematically a no-op, but it keeps intermediate
     cotangents inside the f32 range. Needed at the 104-column adaptive
@@ -355,7 +396,8 @@ def _step_core(task: ParityTask, use_fused: bool = False,
             ys = batched_rollout(p, task, stims_raw, use_fused=use_fused,
                                  stochastic=stochastic, key=noise_key,
                                  adaptive=adaptive,
-                                 adaptive_bptt_every=bptt_every)
+                                 adaptive_bptt_every=bptt_every,
+                                 select_bf16=select_bf16)
             out = readout(ys, p, task.net)
             loss = jnp.mean(jnp.abs(out - parity_targets(stims_raw)))
             return loss * loss_scale, (out, loss)
@@ -408,10 +450,11 @@ def make_train_step(task: ParityTask, use_fused: bool = False,
                     stochastic: bool = False, adaptive: bool = False,
                     reference_rails: bool = False, loss_scale: float = 1.0,
                     bptt_every: int | None = None,
-                    clip_grad_norm: float | None = None):
+                    clip_grad_norm: float | None = None,
+                    select_bf16: bool = False):
     return jax.jit(_step_core(task, use_fused, stochastic, adaptive,
                               reference_rails, loss_scale, bptt_every,
-                              clip_grad_norm),
+                              clip_grad_norm, select_bf16),
                    donate_argnums=(0, 1))
 
 
@@ -421,7 +464,8 @@ def make_train_scan(task: ParityTask, use_fused: bool = False,
                     stochastic: bool = False, adaptive: bool = False,
                     reference_rails: bool = False, loss_scale: float = 1.0,
                     bptt_every: int | None = None,
-                    clip_grad_norm: float | None = None):
+                    clip_grad_norm: float | None = None,
+                    select_bf16: bool = False):
     """K training iterations per dispatch: batch generation, rollout,
     loss, rails, update and best-params tracking all inside one
     jitted ``lax.scan``. On the TPU tunnel every host round-trip
@@ -435,7 +479,7 @@ def make_train_scan(task: ParityTask, use_fused: bool = False,
     """
     core = _step_core(task, use_fused, stochastic, adaptive,
                       reference_rails, loss_scale, bptt_every,
-                      clip_grad_norm)
+                      clip_grad_norm, select_bf16)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_scan(params, opt_state, best, keys):
@@ -467,7 +511,8 @@ def make_train_scan(task: ParityTask, use_fused: bool = False,
 
 def make_dp_train_step(task: ParityTask, mesh, use_fused: bool = False,
                        stochastic: bool = False, adaptive: bool = False,
-                       bptt_every: int | None = None):
+                       bptt_every: int | None = None,
+                       select_bf16: bool = False):
     """Data-parallel training step: the sample batch is sharded across the
     device mesh, gradients pmean-ed over ICI (columnflow.parallel). Batch
     arg: stims_raw (B, n_inputs), B divisible by mesh size. The
@@ -487,7 +532,8 @@ def make_dp_train_step(task: ParityTask, mesh, use_fused: bool = False,
             ys = batched_rollout(params, task, stims_raw,
                                  use_fused=use_fused, stochastic=True,
                                  adaptive=adaptive, key=dev_keys[0],
-                                 adaptive_bptt_every=bptt_every)
+                                 adaptive_bptt_every=bptt_every,
+                                 select_bf16=select_bf16)
             out = readout(ys, params, task.net)
             return jnp.mean(jnp.abs(out - parity_targets(stims_raw)))
 
@@ -529,6 +575,7 @@ def train_parity(
     loss_scale: float = 1.0,
     bptt_every: int | None = None,
     clip_grad_norm: float | None = None,
+    select_bf16: bool = False,
 ):
     """Reference defaults: 6400 samples / batch 4 -> 1600 iterations,
     fixed-position patterns (scripts/parity_ode.py:286-294).
@@ -557,7 +604,8 @@ def train_parity(
                               stochastic=stochastic, adaptive=adaptive,
                               reference_rails=reference_rails,
                               loss_scale=loss_scale, bptt_every=bptt_every,
-                              clip_grad_norm=clip_grad_norm)
+                              clip_grad_norm=clip_grad_norm,
+                              select_bf16=select_bf16)
 
     # Solver observability (SURVEY.md section 5): adaptive-step statistics
     # every stats_every iterations - naccept growth flags the approaching
@@ -574,13 +622,25 @@ def train_parity(
             from columnflow.models.network import network_diffusion
             from columnflow.solvers import sdeint_adaptive
 
+            sel = None
+            if select_bf16:
+                # Probe with the SAME selection drift the training pass
+                # uses, so the reported step counts are the training ones.
+                from columnflow.models.network import (
+                    network_drift_select16,
+                    select_weights_bf16,
+                )
+
+                w16, iw16 = select_weights_bf16(params, task.net)
+                sel = lambda t, y: network_drift_select16(
+                    t, y, w16, iw16, task.net, stim)
             _, st = sdeint_adaptive(
                 lambda t, y: network_drift(t, y, params, task.net, stim),
                 lambda t, y: network_diffusion(t, y, params, task.net,
                                                stim),
                 y0, task.ts, jax.random.PRNGKey(99), method="sra1",
                 rtol=1e-3, atol=1e-3, max_steps=task.max_steps,
-                return_stats=True)
+                return_stats=True, select_drift=sel)
             # SDESolverStats has no nfev; mirror the odeint stats shape.
             return st
         from columnflow.solvers import odeint_stats
@@ -681,7 +741,7 @@ def train_parity(
         # report garbage readouts for a healthy run.
         ys = batched_rollout(p, task, eval_stims, differentiable=False,
                              use_fused=use_fused, stochastic=stochastic,
-                             adaptive=adaptive,
+                             adaptive=adaptive, select_bf16=select_bf16,
                              key=jax.random.PRNGKey(1234)
                              if stochastic else None)
         out = readout(ys, p, task.net)
@@ -755,6 +815,12 @@ def main():
                         "the reference's [8,4,1] parity topology, "
                         "scripts/parity_ode.py:162-165); e.g. 64,32,8 for "
                         "the 104-column scaling experiments in RESULTS.md")
+    p.add_argument("--select-bf16", action="store_true",
+                   help="with --adaptive: pick step sizes with bfloat16 "
+                        "weight matrices (halves the HBM traffic of the "
+                        "bandwidth-bound adaptive pass at large scale, "
+                        "RESULTS.md); values and gradients still come from "
+                        "the f32 replay over the frozen step grid")
     p.add_argument("--loss-scale", type=float, default=1.0,
                    help="scale the loss before backprop, unscale gradients "
                         "after (a mathematical no-op that keeps reverse-"
@@ -796,6 +862,7 @@ def main():
                              use_fused=args.fused,
                              stochastic=args.stochastic,
                              adaptive=args.adaptive,
+                             select_bf16=args.select_bf16,
                              key=jax.random.PRNGKey(1234)
                              if args.stochastic else None)
         out = readout(ys, task.params, task.net)
@@ -820,6 +887,7 @@ def main():
             loss_scale=args.loss_scale,
             bptt_every=args.bptt_every,
             clip_grad_norm=args.clip_grad_norm,
+            select_bf16=args.select_bf16,
         )
     else:
         params, hist = train_parity(
@@ -838,6 +906,7 @@ def main():
             loss_scale=args.loss_scale,
             bptt_every=args.bptt_every,
             clip_grad_norm=args.clip_grad_norm,
+            select_bf16=args.select_bf16,
         )
     final = next(h for h in reversed(hist) if "loss" in h)
     print(f"final loss {final['loss']:.5f} | "

@@ -492,3 +492,168 @@ class TestTruncatedBPTT:
         g_f = np.asarray(jax.grad(loss_fused)(th0))
         g_m = np.asarray(jax.grad(loss_manual)(th0))
         np.testing.assert_allclose(g_f, g_m, rtol=1e-5)
+
+
+class TestSelectionOverride:
+    """select_drift/select_args route the step-size-selection pass through a
+    cheaper drift (the bf16-weights optimization, RESULTS.md's 104-column
+    bandwidth accounting) without touching the replay's values/gradients."""
+
+    drift = staticmethod(lambda t, y, a: -a * y)
+    diff = staticmethod(lambda t, y, a: jnp.full_like(y, 0.4))
+    ts = jnp.linspace(0.0, 1.0, 9)
+
+    def _solve(self, **kw):
+        return sdeint_adaptive(
+            self.drift, self.diff, jnp.ones(3), self.ts,
+            jax.random.PRNGKey(11), jnp.float32(1.3),
+            method="sra1", max_steps=512, differentiable=True,
+            return_stats=True, **kw,
+        )
+
+    def test_identity_select_is_bit_exact(self):
+        a, sa = self._solve()
+        b, sb = self._solve(select_drift=self.drift,
+                            select_diffusion=self.diff,
+                            select_args=(jnp.float32(1.3),))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert int(sa.naccept) == int(sb.naccept)
+
+    def test_perturbed_select_changes_grid_not_accuracy(self):
+        # A bf16-level perturbation of the selection drift picks a (possibly)
+        # different accepted-step grid; the replayed f32 integration of the
+        # SAME Brownian path must agree at the final time (an accepted point
+        # on both grids — INTERIOR output points interpolate linearly across
+        # different accepted intervals and legitimately differ by the
+        # O(sigma*sqrt(h)) Brownian wiggle between them) and the controller
+        # must stay in the same step-count regime.
+        def sel(t, y, a):
+            y16 = y.astype(jnp.bfloat16).astype(jnp.float32)
+            return -a * y16
+
+        a, sa = self._solve()
+        b, sb = self._solve(select_drift=sel)
+        assert bool(sb.success)
+        np.testing.assert_allclose(np.asarray(a[-1]), np.asarray(b[-1]),
+                                   atol=5e-2)
+        assert int(sb.naccept) < 2 * int(sa.naccept) + 4
+        assert int(sa.naccept) < 2 * int(sb.naccept) + 4
+
+    def test_select_args_fixed_grid_gradient_matches_fd(self):
+        # With select_args pinned to a constant, the accepted grid does not
+        # move with the diff arg, so central FD is exact for the replayed
+        # scheme and must match the replay gradient.
+        key = jax.random.PRNGKey(12)
+        ts = self.ts
+        sel_a = (jnp.float32(1.25),)
+
+        def final(a):
+            ys = sdeint_adaptive(
+                self.drift, self.diff, jnp.ones(1), ts, key, a,
+                method="milstein", rtol=1e-5, atol=1e-5, max_steps=1024,
+                differentiable=True, select_args=sel_a,
+            )
+            return ys[-1].sum()
+
+        g = float(jax.grad(final)(jnp.float32(1.3)))
+        eps = 1e-2
+        fd = (float(final(jnp.float32(1.3 + eps)))
+              - float(final(jnp.float32(1.3 - eps)))) / (2 * eps)
+        assert g == pytest.approx(fd, rel=1e-3), (g, fd)
+
+    def test_inference_mode_uses_select_fns(self):
+        # In inference mode the pass IS the integration: a zero select drift
+        # must produce the zero-drift (pure noise) trajectory.
+        zero_drift = lambda t, y, a: jnp.zeros_like(y)
+        ys_sel = sdeint_adaptive(
+            self.drift, self.diff, jnp.ones(3), self.ts,
+            jax.random.PRNGKey(13), jnp.float32(1.3),
+            method="sra1", max_steps=512, select_drift=zero_drift,
+        )
+        ys_zero = sdeint_adaptive(
+            zero_drift, self.diff, jnp.ones(3), self.ts,
+            jax.random.PRNGKey(13), jnp.float32(1.3),
+            method="sra1", max_steps=512,
+        )
+        np.testing.assert_allclose(np.asarray(ys_sel), np.asarray(ys_zero),
+                                   rtol=1e-6, atol=1e-6)
+
+
+class TestNetworkSelect16:
+    """models.network's bf16 selection drifts: faithful to the f32 drift at
+    bf16 precision, and usable end-to-end through the parity rollout."""
+
+    def _setup(self):
+        from columnflow.config import ColumnConfig
+        from columnflow.models.network import build_column_network
+        from columnflow.tasks.parity import parity_stim_table
+        from columnflow.models.column import Stimulus
+
+        cfg = ColumnConfig.load()
+        params, net = build_column_network(
+            cfg, jax.random.PRNGKey(0), columns_per_area=(2, 1),
+        )
+        table = parity_stim_table(jnp.asarray([15.0, 0.0, 15.0, 0.0]), 50)
+        stim = Stimulus(0.0, 1e-3, table)
+        return params, net, stim
+
+    def test_select16_matches_f32_to_bf16_precision(self):
+        from columnflow.models.network import (
+            network_drift,
+            network_drift_select16,
+            select_weights_bf16,
+        )
+
+        params, net, stim = self._setup()
+        w16, iw16 = select_weights_bf16(params, net)
+        P3 = 3 * net.num_pops
+        y = 5.0 * jax.random.normal(jax.random.PRNGKey(1), (P3,))
+        f = np.asarray(network_drift(0.02, y, params, net, stim))
+        f16 = np.asarray(network_drift_select16(0.02, y, w16, iw16, net,
+                                                stim))
+        denom = np.maximum(np.abs(f), 1e-1 * np.max(np.abs(f)))
+        assert np.max(np.abs(f16 - f) / denom) < 3e-2
+
+    def test_premixed_select16_matches_plain_select16(self):
+        from columnflow.models.network import (
+            build_network_fused_consts,
+            network_drift_premixed_select16,
+            network_drift_select16,
+            premix_network_weights,
+            premix_select16,
+            select_weights_bf16,
+        )
+
+        params, net, stim = self._setup()
+        w16, iw16 = select_weights_bf16(params, net)
+        pw16 = premix_select16(premix_network_weights(params, net))
+        fc = build_network_fused_consts(net)
+        P3 = 3 * net.num_pops
+        y = 5.0 * jax.random.normal(jax.random.PRNGKey(2), (P3,))
+        a = np.asarray(network_drift_select16(0.02, y, w16, iw16, net, stim))
+        from columnflow.models.column import Stimulus as _S
+        stim_b = _S(stim.t0, stim.dt, stim.table[:, None, :])
+        b = np.asarray(network_drift_premixed_select16(
+            0.02, y[None], pw16, fc, stim_b))[0]
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-4)
+
+    def test_parity_rollout_select_bf16_trains(self):
+        from columnflow.config import ColumnConfig
+        from columnflow.tasks.parity import (
+            build_task,
+            make_train_step,
+            make_parity_batch,
+        )
+
+        cfg = ColumnConfig.load()
+        task = build_task(cfg, jax.random.PRNGKey(0),
+                          columns_per_area=(2, 1), time_steps=50,
+                          max_steps=256)
+        step = make_train_step(task, stochastic=True, adaptive=True,
+                               select_bf16=True)
+        stims = make_parity_batch(jax.random.PRNGKey(1), 4, 2)
+        opt_state = task.optimizer.init(task.params)
+        params, opt_state, loss, out, gnorm, ok = step(
+            task.params, opt_state, stims, jax.random.PRNGKey(2))
+        assert np.isfinite(float(loss)) and np.isfinite(float(gnorm))
+        assert bool(ok)
