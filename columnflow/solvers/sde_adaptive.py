@@ -6,7 +6,8 @@ avoids firing-rate artefacts at high cost, README.md:27-29).
 Method: step doubling — one full step vs two half steps driven by the SAME
 Brownian path (increments from a ``VirtualBrownianTree``, so W(t) is
 consistent no matter how the step sequence evolves), local extrapolation from
-the half-step solution, and an I-controller on the scaled error.
+the half-step solution, and a PI controller (deadbeat-I optional) on the
+scaled error.
 
 Steppers:
     "milstein"  derivative-corrected Euler (strong 1.0), default — correct
@@ -47,6 +48,14 @@ from columnflow.solvers.brownian import VirtualBrownianTree
 _SAFETY = 0.9
 _IFACTOR = 5.0
 _DFACTOR = 0.2
+# PI controller coefficients (x err_exp): factor = safety * err^(-_PI_A/q)
+# * err_prev^(_PI_B/q). Tuned on the stochastic column-network workload
+# (two scales x two seeds): every pair in a in [0.5, 0.7], b in [0.1, 0.4]
+# cuts total attempts ~12-13% vs the deadbeat I-controller with the
+# in-range differences at noise level, so the exact values are not
+# load-bearing.
+_PI_A = 0.5
+_PI_B = 0.25
 
 
 def _em_step(drift, diffusion, t, y, h, dw, i10, args):
@@ -125,6 +134,7 @@ class _Carry(NamedTuple):
     step_times: jax.Array  # (max_steps + 1,) accepted times, padded with t_end
     naccept: jax.Array
     nreject: jax.Array
+    err_prev: jax.Array  # last ACCEPTED scaled error (PI controller memory)
 
 
 class SDESolverStats(NamedTuple):
@@ -134,8 +144,17 @@ class SDESolverStats(NamedTuple):
 
 
 def _make_body(stepper, err_exp, with_i10, drift, diffusion, t_end, tree,
-               i10_key, rtol, atol, dtype, args):
-    """One adaptive step-doubling attempt + accept/reject bookkeeping."""
+               i10_key, rtol, atol, dtype, args, controller="i"):
+    """One adaptive step-doubling attempt + accept/reject bookkeeping.
+
+    ``controller="i"`` is the deadbeat I-controller
+    (``factor = safety * err^(-1/q)``). ``controller="pi"`` is a standard
+    PI controller (``factor = safety * err^(-_PI_A/q) * err_prev^(_PI_B/q)``
+    — the Hairer & Wanner PI.4.2 family): step-size memory damps the
+    controller's oscillation around the accept threshold, which on stiff
+    column dynamics converts most rejected attempts into accepted ones
+    (measured in RESULTS.md). Rejected attempts retry with the deadbeat
+    factor and do not update the memory."""
 
     def attempt(t, y, h):
         dw_a, dw_b, i10_a, i10_b, i10_f = _half_noise(
@@ -157,10 +176,16 @@ def _make_body(stepper, err_exp, with_i10, drift, diffusion, t_end, tree,
         h = (c.t1 + h) - c.t1
         y_new, err = attempt(c.t1, c.y1, h)
         accept = err <= 1.0
-        factor = jnp.where(
-            err <= 0.0, _IFACTOR,
-            jnp.clip(_SAFETY * err ** (-err_exp), _DFACTOR, _IFACTOR),
-        )
+        err_c = jnp.maximum(err, 1e-10)
+        fac_i = _SAFETY * err_c ** (-err_exp)
+        if controller == "pi":
+            fac_acc = (_SAFETY * err_c ** (-_PI_A * err_exp)
+                       * c.err_prev ** (_PI_B * err_exp))
+            factor = jnp.where(accept, fac_acc, fac_i)
+        else:
+            factor = fac_i
+        factor = jnp.where(err <= 0.0, _IFACTOR,
+                           jnp.clip(factor, _DFACTOR, _IFACTOR))
         naccept = c.naccept + accept.astype(jnp.int32)
         step_times = jnp.where(
             accept, c.step_times.at[naccept].set(c.t1 + h), c.step_times
@@ -174,6 +199,7 @@ def _make_body(stepper, err_exp, with_i10, drift, diffusion, t_end, tree,
             step_times=step_times,
             naccept=naccept,
             nreject=c.nreject + 1 - accept.astype(jnp.int32),
+            err_prev=jnp.where(accept, err_c, c.err_prev),
         )
 
     return body
@@ -185,13 +211,16 @@ def _init_carry(y0, t_start, t_end, h0, max_steps):
     return _Carry(t0=t_start, y0=y0, t1=t_start, y1=y0, h=h0,
                   step_times=step_times,
                   naccept=jnp.zeros((), jnp.int32),
-                  nreject=jnp.zeros((), jnp.int32))
+                  nreject=jnp.zeros((), jnp.int32),
+                  err_prev=jnp.ones((), y0.dtype))
 
 
 def _adaptive_pass(stepper, err_exp, with_i10, drift, diffusion, y0, t_start,
-                   t_end, tree, i10_key, rtol, atol, h0, max_steps, args):
+                   t_end, tree, i10_key, rtol, atol, h0, max_steps, args,
+                   controller="i"):
     body = _make_body(stepper, err_exp, with_i10, drift, diffusion, t_end,
-                      tree, i10_key, rtol, atol, y0.dtype, args)
+                      tree, i10_key, rtol, atol, y0.dtype, args,
+                      controller=controller)
     return jax.lax.while_loop(
         lambda s: (s.t1 < t_end) & (s.naccept + s.nreject < max_steps),
         body, _init_carry(y0, t_start, t_end, h0, max_steps),
@@ -348,6 +377,7 @@ def sdeint_adaptive(
     select_drift: Callable | None = None,
     select_diffusion: Callable | None = None,
     select_args: tuple | None = None,
+    controller: str = "pi",
 ):
     """Adaptive Ito SDE integration with scalar noise on [ts[0], ts[-1]].
 
@@ -391,9 +421,19 @@ def sdeint_adaptive(
     solutions). In inference mode (``differentiable=False``) the pass IS
     the integration, so the overrides determine the returned trajectory —
     appropriate only for stats probes and step-count prediction.
+
+    ``controller`` picks the step-size controller: ``"pi"`` (default) is
+    a standard PI controller (see ``_make_body``), ``"i"`` the deadbeat
+    I-controller. PI's memory damps the oscillation around the accept
+    threshold; on the stiff column networks it removes most rejected
+    attempts at equal tolerance (~12-13% fewer total attempts,
+    RESULTS.md), and torchsde's own adaptive stepping is PI-controlled,
+    so this is also the semantics-matching default.
     """
     if bptt_every is not None and bptt_every < 1:
         raise ValueError(f"bptt_every must be >= 1, got {bptt_every}")
+    if controller not in ("i", "pi"):
+        raise ValueError(f"unknown step controller: {controller!r}")
     stepper, err_exp, with_i10, ts, t_start, t_end, tree, k_i10, h0 = _setup(
         method, y0, ts, key, dt0, levy_depth
     )
@@ -406,6 +446,7 @@ def sdeint_adaptive(
             stepper, err_exp, with_i10, sel_drift, sel_diffusion,
             jax.lax.stop_gradient(y0), t_start, t_end, tree, k_i10, rtol,
             atol, h0, max_steps, jax.lax.stop_gradient(sel_args),
+            controller=controller,
         )
         step_times = jax.lax.stop_gradient(carry.step_times)
         naccept = jax.lax.stop_gradient(carry.naccept)
@@ -428,7 +469,8 @@ def sdeint_adaptive(
     # time and interpolate linearly between the bracketing accepted points
     # (cost proportional to the ACTUAL number of steps, not max_steps).
     body = _make_body(stepper, err_exp, with_i10, sel_drift, sel_diffusion,
-                      t_end, tree, k_i10, rtol, atol, y0.dtype, sel_args)
+                      t_end, tree, k_i10, rtol, atol, y0.dtype, sel_args,
+                      controller=controller)
 
     def advance_until(c: _Carry, t_target):
         return jax.lax.while_loop(

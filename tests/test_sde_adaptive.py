@@ -657,3 +657,53 @@ class TestNetworkSelect16:
             task.params, opt_state, stims, jax.random.PRNGKey(2))
         assert np.isfinite(float(loss)) and np.isfinite(float(gnorm))
         assert bool(ok)
+
+
+class TestStepController:
+    def test_invalid_controller_raises(self):
+        drift = lambda t, y: -y
+        diff = lambda t, y: 0.3 * jnp.ones_like(y)
+        with pytest.raises(ValueError, match="controller"):
+            sdeint_adaptive(drift, diff, jnp.ones(2),
+                            jnp.linspace(0.0, 1.0, 5),
+                            jax.random.PRNGKey(0), controller="pid")
+
+    def test_pi_cuts_rejections_on_stiff_noise(self):
+        # Stiff OU + strong additive noise keeps the deadbeat controller
+        # oscillating around the accept threshold; PI's memory damps it.
+        # (On the column networks the measured cut is ~55% of rejections /
+        # ~12% of total attempts, RESULTS.md.)
+        drift = lambda t, y: -40.0 * y
+        diff = lambda t, y: jnp.full_like(y, 2.0)
+        ts = jnp.linspace(0.0, 2.0, 9)
+
+        def counts(ctrl):
+            na = nr = 0
+            for k in range(4):
+                _, st = sdeint_adaptive(
+                    drift, diff, jnp.ones(4), ts, jax.random.PRNGKey(k),
+                    method="sra1", max_steps=4096, return_stats=True,
+                    controller=ctrl)
+                assert bool(st.success)
+                na += int(st.naccept)
+                nr += int(st.nreject)
+            return na, nr
+
+        na_i, nr_i = counts("i")
+        na_pi, nr_pi = counts("pi")
+        assert nr_pi < nr_i
+        assert na_pi + nr_pi < na_i + nr_i  # fewer TOTAL attempts
+
+    def test_pi_replay_matches_inference(self):
+        # The frozen-sequence replay must track the PI-selected grid too.
+        drift = lambda t, y: -2.0 * y
+        diff = lambda t, y: jnp.full_like(y, 0.4)
+        ts = jnp.linspace(0.0, 1.0, 9)
+        key = jax.random.PRNGKey(4)
+        a = sdeint_adaptive(drift, diff, jnp.ones(3), ts, key,
+                            method="sra1", max_steps=512, controller="pi")
+        b = sdeint_adaptive(drift, diff, jnp.ones(3), ts, key,
+                            method="sra1", max_steps=512, controller="pi",
+                            differentiable=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
