@@ -707,3 +707,47 @@ class TestStepController:
                             differentiable=True)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+class TestPairedDoubling:
+    def test_sra1_paired_matches_sequential(self):
+        # The pass's paired SRA1 doubling attempt (one batched stage-2 drift
+        # eval for the full and first-half steps — one weight-matrix HBM
+        # read instead of two) must equal three sequential _sra1_step calls
+        # up to matmul reassociation.
+        from columnflow.solvers.sde_adaptive import _sra1_doubling, _sra1_step
+
+        drift = lambda t, y, a: -a * y + jnp.sin(3.0 * t)
+        diff = lambda t, y, a: jnp.full_like(y, 0.4) * (1.0 + 0.1 * t)
+        a = jnp.float32(1.3)
+        for k in range(5):
+            ks = jax.random.split(jax.random.PRNGKey(k), 5)
+            y = jax.random.normal(ks[0], (7,))
+            t, h = jnp.float32(0.3), jnp.float32(0.05)
+            dw_a = 0.1 * jax.random.normal(ks[1], ())
+            dw_b = 0.1 * jax.random.normal(ks[2], ())
+            i10_a = 0.01 * jax.random.normal(ks[3], ())
+            i10_b = 0.01 * jax.random.normal(ks[4], ())
+            i10_f = i10_a + i10_b + 0.5 * h * dw_a
+            yf_seq = _sra1_step(drift, diff, t, y, h, dw_a + dw_b, i10_f,
+                                (a,))
+            yh = _sra1_step(drift, diff, t, y, 0.5 * h, dw_a, i10_a, (a,))
+            yh2_seq = _sra1_step(drift, diff, t + 0.5 * h, yh, 0.5 * h,
+                                 dw_b, i10_b, (a,))
+            yf, yh2 = _sra1_doubling(drift, diff, t, y, h, dw_a, dw_b,
+                                     i10_a, i10_b, i10_f, (a,))
+            np.testing.assert_allclose(np.asarray(yf), np.asarray(yf_seq),
+                                       rtol=2e-6, atol=1e-7)
+            np.testing.assert_allclose(np.asarray(yh2), np.asarray(yh2_seq),
+                                       rtol=2e-6, atol=1e-7)
+
+    def test_zero_h_is_safe(self):
+        from columnflow.solvers.sde_adaptive import _sra1_doubling
+
+        drift = lambda t, y: -y
+        diff = lambda t, y: jnp.full_like(y, 0.4)
+        y = jnp.ones(3)
+        z = jnp.float32(0.0)
+        yf, yh2 = _sra1_doubling(drift, diff, z, y, z, z, z, z, z, z, ())
+        assert np.all(np.isfinite(np.asarray(yf)))
+        np.testing.assert_allclose(np.asarray(yh2), np.asarray(y))
