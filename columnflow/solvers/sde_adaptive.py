@@ -142,25 +142,29 @@ def _interval_normal(key, ta, tb, dtype):
     return jax.random.normal(k, (), dtype)
 
 
-def _half_noise(tree, i10_key, t, h, dtype, with_i10):
+def _half_noise(tree, i10_key, t, h, dtype, with_i10, w0=None):
     """Brownian data for the two half steps of [t, t+h]: increments from the
     tree; I10 per half interval-keyed; the full-step I10 derived from the
-    decomposition identity."""
+    decomposition identity. ``w0`` optionally supplies the already-known
+    W(t) (a tree evaluation is a depth-``levy_depth`` scalar hash walk;
+    the pass and replay carry W across steps, saving a third of the tree
+    traffic)."""
     tm = t + 0.5 * h
-    w0 = tree.evaluate(t)
+    if w0 is None:
+        w0 = tree.evaluate(t)
     wm = tree.evaluate(tm)
     w1 = tree.evaluate(t + h)
     dw_a, dw_b = wm - w0, w1 - wm
     if not with_i10:
         zero = jnp.zeros((), dtype)
-        return dw_a, dw_b, zero, zero, zero
+        return dw_a, dw_b, zero, zero, zero, w1
     hh = 0.5 * h
     za = _interval_normal(i10_key, t, tm, dtype)
     zb = _interval_normal(i10_key, tm, t + h, dtype)
     i10_a = hh * (0.5 * dw_a + jnp.sqrt(hh / 12.0) * za)
     i10_b = hh * (0.5 * dw_b + jnp.sqrt(hh / 12.0) * zb)
     i10_full = i10_a + i10_b + hh * dw_a
-    return dw_a, dw_b, i10_a, i10_b, i10_full
+    return dw_a, dw_b, i10_a, i10_b, i10_full, w1
 
 
 class _Carry(NamedTuple):
@@ -173,6 +177,7 @@ class _Carry(NamedTuple):
     naccept: jax.Array
     nreject: jax.Array
     err_prev: jax.Array  # last ACCEPTED scaled error (PI controller memory)
+    w_t1: jax.Array  # W(t1), carried so attempts skip one tree evaluation
 
 
 class SDESolverStats(NamedTuple):
@@ -195,9 +200,9 @@ def _make_body(stepper, err_exp, with_i10, drift, diffusion, t_end, tree,
     (measured in RESULTS.md). Rejected attempts retry with the deadbeat
     factor and do not update the memory."""
 
-    def attempt(t, y, h):
-        dw_a, dw_b, i10_a, i10_b, i10_f = _half_noise(
-            tree, i10_key, t, h, dtype, with_i10
+    def attempt(t, y, h, w0):
+        dw_a, dw_b, i10_a, i10_b, i10_f, w1 = _half_noise(
+            tree, i10_key, t, h, dtype, with_i10, w0=w0
         )
         if doubling is not None:
             y_full, y_half2 = doubling(drift, diffusion, t, y, h, dw_a,
@@ -211,7 +216,7 @@ def _make_body(stepper, err_exp, with_i10, drift, diffusion, t_end, tree,
                               0.5 * h, dw_b, i10_b, args)
         scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_half2))
         err = jnp.sqrt(jnp.mean(jnp.square((y_half2 - y_full) / scale)))
-        return y_half2, err
+        return y_half2, err, w1
 
     def body(c: _Carry):
         h = jnp.minimum(c.h, t_end - c.t1)
@@ -219,7 +224,7 @@ def _make_body(stepper, err_exp, with_i10, drift, diffusion, t_end, tree,
         # the replay pass (which recomputes h from the recorded step times)
         # reproduces the interval-keyed I10 draws bit-exactly.
         h = (c.t1 + h) - c.t1
-        y_new, err = attempt(c.t1, c.y1, h)
+        y_new, err, w1 = attempt(c.t1, c.y1, h, c.w_t1)
         accept = err <= 1.0
         err_c = jnp.maximum(err, 1e-10)
         fac_i = _SAFETY * err_c ** (-err_exp)
@@ -245,19 +250,21 @@ def _make_body(stepper, err_exp, with_i10, drift, diffusion, t_end, tree,
             naccept=naccept,
             nreject=c.nreject + 1 - accept.astype(jnp.int32),
             err_prev=jnp.where(accept, err_c, c.err_prev),
+            w_t1=jnp.where(accept, w1, c.w_t1),
         )
 
     return body
 
 
-def _init_carry(y0, t_start, t_end, h0, max_steps):
+def _init_carry(y0, t_start, t_end, h0, max_steps, tree):
     step_times = jnp.full((max_steps + 1,), t_end, dtype=y0.dtype)
     step_times = step_times.at[0].set(t_start)
     return _Carry(t0=t_start, y0=y0, t1=t_start, y1=y0, h=h0,
                   step_times=step_times,
                   naccept=jnp.zeros((), jnp.int32),
                   nreject=jnp.zeros((), jnp.int32),
-                  err_prev=jnp.ones((), y0.dtype))
+                  err_prev=jnp.ones((), y0.dtype),
+                  w_t1=tree.evaluate(t_start))
 
 
 def _adaptive_pass(stepper, err_exp, with_i10, drift, diffusion, y0, t_start,
@@ -268,7 +275,7 @@ def _adaptive_pass(stepper, err_exp, with_i10, drift, diffusion, y0, t_start,
                       controller=controller, doubling=doubling)
     return jax.lax.while_loop(
         lambda s: (s.t1 < t_end) & (s.naccept + s.nreject < max_steps),
-        body, _init_carry(y0, t_start, t_end, h0, max_steps),
+        body, _init_carry(y0, t_start, t_end, h0, max_steps, tree),
     )
 
 
@@ -289,22 +296,26 @@ def _replay_pass(stepper, with_i10, drift, diffusion, y0, ts, step_times,
     well-defined surrogate."""
     dtype = y0.dtype
 
-    def body(y, idx):
+    def body(carry, idx):
+        y, w0 = carry
         if bptt_every is not None:
             y = jnp.where(idx % bptt_every == 0, jax.lax.stop_gradient(y), y)
         t0 = step_times[idx]
         h = step_times[idx + 1] - t0
-        dw_a, dw_b, i10_a, i10_b, _ = _half_noise(
-            tree, i10_key, t0, h, dtype, with_i10
+        # W(t0) is carried from the previous step (steps are consecutive),
+        # skipping one depth-levy_depth tree walk per step.
+        dw_a, dw_b, i10_a, i10_b, _, w1 = _half_noise(
+            tree, i10_key, t0, h, dtype, with_i10, w0=w0
         )
         y_half = stepper(drift, diffusion, t0, y, 0.5 * h, dw_a, i10_a, args)
         y1 = stepper(drift, diffusion, t0 + 0.5 * h, y_half, 0.5 * h, dw_b,
                      i10_b, args)
-        return y1, y1
+        return (y1, w1), y1
 
     if remat:
         body = jax.checkpoint(body)
-    _, ys_acc = jax.lax.scan(body, y0, jnp.arange(max_steps, dtype=jnp.int32))
+    _, ys_acc = jax.lax.scan(body, (y0, tree.evaluate(step_times[0])),
+                             jnp.arange(max_steps, dtype=jnp.int32))
     ys_acc = jnp.concatenate([y0[None], ys_acc], axis=0)  # (max_steps+1, ...)
     return _interp_accepted(ys_acc, y0, ts, step_times, naccept)
 
@@ -532,7 +543,7 @@ def sdeint_adaptive(
         return c, y_out
 
     carry, ys = jax.lax.scan(scan_fn, _init_carry(y0, t_start, t_end, h0,
-                                                  max_steps), ts[1:])
+                                                  max_steps, tree), ts[1:])
     ys = jnp.concatenate([y0[None], ys], axis=0)
     if return_stats:
         return ys, SDESolverStats(carry.naccept, carry.nreject,
