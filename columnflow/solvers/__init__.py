@@ -19,7 +19,8 @@ scripts/parity_ode.py:10-11, scripts/bifurcation_ode.py:12):
 
 from columnflow.solvers.api import odeint
 from columnflow.solvers.sde import sdeint
-from columnflow.solvers.sde_adaptive import sdeint_adaptive
+from columnflow.solvers.sde_adaptive import (sdeint_adaptive,
+                                             sdeint_adaptive_batch)
 from columnflow.solvers.brownian import VirtualBrownianTree
 from columnflow.solvers.dopri import SolverStats, odeint_stats
 from columnflow.solvers.fused import odeint_dopri5_fused, sdeint_fused
@@ -30,6 +31,7 @@ __all__ = [
     "sdeint",
     "sdeint_fused",
     "sdeint_adaptive",
+    "sdeint_adaptive_batch",
     "VirtualBrownianTree",
     "SolverStats",
     "odeint_stats",

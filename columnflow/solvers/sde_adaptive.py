@@ -29,11 +29,13 @@ freezes the accepted-step sequence from the adaptive pass (run under
 ``lax.scan`` and linearly interpolates the outputs — exactly the replay
 pattern of the dopri5 path (solvers/dopri.py:197-242), with linear (not
 Hermite) interpolation because an SDE path is only 1/2-Holder. The replay
-reproduces the adaptive trajectory bit-for-bit (same tree increments, same
-interval-keyed I10 draws) while exposing d(outputs)/d(params, y0) — unless
-``select_drift``/``select_args`` route the selection pass through a cheaper
-drift (e.g. bfloat16 weights), in which case the replay is the authoritative
-full-precision integration over the selected grid.
+re-integrates the SAME Brownian data (same tree increments, same
+interval-keyed I10 draws) over the frozen grid while exposing
+d(outputs)/d(params, y0); it is the authoritative trajectory. It can differ
+from the pass's internal trajectory at floating-point level (the pass's
+paired SRA1 doubling batches two stage evaluations; ``select_drift``/
+``select_args`` may run the pass on e.g. bfloat16 weights), which chaotic
+dynamics amplify pointwise — the pass only SELECTS the step grid.
 """
 
 from __future__ import annotations
@@ -548,4 +550,162 @@ def sdeint_adaptive(
     if return_stats:
         return ys, SDESolverStats(carry.naccept, carry.nreject,
                                   carry.t1 >= t_end)
+    return ys
+
+
+def sdeint_adaptive_batch(
+    drift: Callable,
+    diffusion: Callable,
+    y0: jax.Array,
+    ts: jax.Array,
+    keys: jax.Array,
+    *args,
+    batch_args: tuple = (),
+    method: str = "milstein",
+    rtol: float = 1e-3,
+    atol: float = 1e-3,
+    dt0: float | None = None,
+    max_steps: int = 16384,
+    levy_depth: int = 20,
+    remat: bool = True,
+    return_stats: bool = False,
+    bptt_every: int | None = None,
+    select_drift: Callable | None = None,
+    select_diffusion: Callable | None = None,
+    select_args: tuple | None = None,
+    controller: str = "pi",
+    replay_chunk: int = 256,
+):
+    """Batched differentiable adaptive SDE integration: ``y0`` (B,) + state,
+    ``keys`` (B,) PRNG keys (one Brownian path per sample), returning ys
+    (B, len(ts)) + state. ``drift``/``diffusion`` keep the per-sample
+    signature ``f(t, y, *args, *batch_args_b)``; entries of ``batch_args``
+    carry a leading batch axis and are indexed per sample (e.g. a per-sample
+    stimulus table), while ``*args`` are shared.
+
+    Semantically equivalent to ``vmap(sdeint_adaptive)(..,
+    differentiable=True)`` — per-sample step controllers, identical noise
+    draws, identical truncated-BPTT windows — but the replay is executed
+    BATCH-WISE in chunks of ``replay_chunk`` accepted steps, and chunks past
+    ``max(naccept)`` are skipped with a REAL runtime branch. Under vmap a
+    per-sample skip degrades to ``lax.select`` (both branches execute), so
+    the vmapped replay always pays all ``max_steps`` scan iterations of
+    drift matmuls even when only ~40% are real steps (the 104-column
+    configuration in RESULTS.md: naccept ~7k of a 16384 budget). Gating on
+    the batch-max accepted count is a scalar predicate, so XLA executes the
+    skip branch at runtime and the padding tail costs nothing.
+    """
+    if controller not in ("i", "pi"):
+        raise ValueError(f"unknown step controller: {controller!r}")
+    if bptt_every is not None and bptt_every < 1:
+        raise ValueError(f"bptt_every must be >= 1, got {bptt_every}")
+    stepper, err_exp, with_i10, doubling = _STEPPERS.get(
+        method, (None, None, None, None))
+    if stepper is None:
+        raise ValueError(f"unknown adaptive SDE method: {method!r}")
+    ts = jnp.asarray(ts, dtype=y0.dtype)
+    dtype = y0.dtype
+    t_start, t_end = ts[0], ts[-1]
+    B = y0.shape[0]
+
+    # --- per-sample adaptive passes (selection only, under stop_gradient) --
+    def one_pass(y0_b, key_b, *ba_b):
+        (stp, ee, wi, dbl, ts_, t0_, t1_, tree, k_i10, h0) = _setup(
+            method, y0_b, ts, key_b, dt0, levy_depth)
+        sel_drift = drift if select_drift is None else select_drift
+        sel_diff = diffusion if select_diffusion is None else select_diffusion
+        base = args + ba_b
+        sel_args = base if select_args is None else (select_args + ba_b)
+        carry = _adaptive_pass(
+            stp, ee, wi, sel_drift, sel_diff, jax.lax.stop_gradient(y0_b),
+            t0_, t1_, tree, k_i10, rtol, atol, h0, max_steps,
+            jax.lax.stop_gradient(sel_args), controller=controller,
+            doubling=dbl)
+        return carry.step_times, carry.naccept, carry.nreject, carry.t1
+
+    step_times, naccept, nreject, t1s = jax.vmap(one_pass)(
+        y0, keys, *batch_args)
+    step_times = jax.lax.stop_gradient(step_times)     # (B, max_steps + 1)
+    naccept = jax.lax.stop_gradient(naccept)           # (B,)
+    stats = SDESolverStats(naccept, jax.lax.stop_gradient(nreject),
+                           jax.lax.stop_gradient(t1s) >= t_end)
+
+    # --- batched replay over the frozen grids, chunk-gated on max(naccept) -
+    k_i10s = jax.vmap(lambda k: jax.random.fold_in(k, 0x51DE))(keys)
+
+    def w_at(key_b, t_b):
+        tree = VirtualBrownianTree(t0=t_start, t1=t_end, key=key_b,
+                                   depth=levy_depth, dtype=dtype)
+        return tree.evaluate(t_b)
+
+    w_at_v = jax.vmap(w_at)
+
+    def step_v(t, y, h, dw, i10):
+        return jax.vmap(
+            lambda t_, y_, h_, dw_, i10_, *ba_b: stepper(
+                drift, diffusion, t_, y_, h_, dw_, i10_, args + ba_b)
+        )(t, y, h, dw, i10, *batch_args)
+
+    def inner(carry, idx):
+        y, w0 = carry
+        if bptt_every is not None:
+            y = jnp.where(idx % bptt_every == 0,
+                          jax.lax.stop_gradient(y), y)
+        t0 = step_times[:, idx]                       # (B,)
+        h = step_times[:, idx + 1] - t0
+        tm = t0 + 0.5 * h
+        wm = w_at_v(keys, tm)
+        w1 = w_at_v(keys, t0 + h)
+        dw_a, dw_b = wm - w0, w1 - wm
+        if with_i10:
+            za = jax.vmap(
+                lambda k, a, b: _interval_normal(k, a, b, dtype)
+            )(k_i10s, t0, tm)
+            zb = jax.vmap(
+                lambda k, a, b: _interval_normal(k, a, b, dtype)
+            )(k_i10s, tm, t0 + h)
+            hh = 0.5 * h
+            i10_a = hh * (0.5 * dw_a + jnp.sqrt(hh / 12.0) * za)
+            i10_b = hh * (0.5 * dw_b + jnp.sqrt(hh / 12.0) * zb)
+        else:
+            i10_a = i10_b = jnp.zeros_like(dw_a)
+        hh = 0.5 * h
+        y_half = step_v(t0, y, hh, dw_a, i10_a)
+        y1 = step_v(t0 + hh, y_half, hh, dw_b, i10_b)
+        return (y1, w1), y1
+
+    if remat:
+        inner = jax.checkpoint(inner)
+
+    chunk = max(1, min(replay_chunk, max_steps))
+    while max_steps % chunk:
+        chunk //= 2
+    n_chunks = max_steps // chunk
+    max_na = jnp.max(naccept)
+
+    def chunk_body(carry, c):
+        def run(cr):
+            return jax.lax.scan(
+                inner, cr, c * chunk + jnp.arange(chunk, dtype=jnp.int32))
+
+        def skip(cr):
+            y, w = cr
+            return (y, w), jnp.broadcast_to(y, (chunk,) + y.shape)
+
+        # Scalar predicate (batch max) -> a REAL runtime branch, not select.
+        return jax.lax.cond(c * chunk < max_na, run, skip, carry)
+
+    w_start = w_at_v(keys, jnp.full((B,), t_start, dtype))
+    (_, _), ys_chunks = jax.lax.scan(
+        chunk_body, (y0, w_start), jnp.arange(n_chunks, dtype=jnp.int32))
+    ys_acc = ys_chunks.reshape((max_steps,) + y0.shape)
+    ys_acc = jnp.concatenate([y0[None], ys_acc], axis=0)
+
+    ys = jax.vmap(
+        lambda ya, y0_b, st, na: _interp_accepted(ya, y0_b, ts, st, na),
+        in_axes=(1, 0, 0, 0),
+    )(ys_acc, y0, step_times, naccept)                # (B, len(ts)) + state
+
+    if return_stats:
+        return ys, stats
     return ys

@@ -265,6 +265,41 @@ def batched_rollout(params, task: ParityTask, stims_raw, method="dopri5",
 
                 w16, iw16 = select_weights_bf16(params, task.net)
 
+            if differentiable:
+                # Batched replay (sdeint_adaptive_batch): per-sample
+                # controllers and noise identical to the vmapped per-sample
+                # path, but the replay sweep is chunk-gated on the batch-max
+                # accepted count — under vmap a per-sample skip degrades to
+                # select, so the vmapped replay pays ALL max_steps scan
+                # iterations of drift matmuls even when most are h=0 padding
+                # (naccept ~7k of a 16384 budget at the 104-column scale).
+                from columnflow.solvers import sdeint_adaptive_batch
+
+                tables = jax.vmap(
+                    lambda s: parity_stim_table(s, time_steps))(stims_raw)
+
+                def b_drift(t, y, tab):
+                    return network_drift(t, y, params, task.net,
+                                         Stimulus(0.0, task.dt, tab))
+
+                def b_diff(t, y, tab):
+                    return network_diffusion(t, y, params, task.net,
+                                             Stimulus(0.0, task.dt, tab))
+
+                sel = (
+                    (lambda t, y, tab: network_drift_select16(
+                        t, y, w16, iw16, task.net,
+                        Stimulus(0.0, task.dt, tab)))
+                    if select_bf16 else None
+                )
+                return sdeint_adaptive_batch(
+                    b_drift, b_diff, jnp.zeros((B, state_dim)), task.ts,
+                    keys, batch_args=(tables,), method="sra1",
+                    rtol=adaptive_rtol, atol=adaptive_atol,
+                    max_steps=adaptive_max_steps,
+                    bptt_every=adaptive_bptt_every, select_drift=sel,
+                )
+
             def one_adaptive(stim_raw, k):
                 table = parity_stim_table(stim_raw, time_steps)
                 stim = Stimulus(0.0, task.dt, table)

@@ -139,6 +139,27 @@ def batched_rollout(params, task: XORTask, conditions, method="dopri5",
 
                 return jax.vmap(one_adaptive_fused)(conditions, keys)
 
+            if differentiable:
+                # Batched replay with the padding-tail chunk skip (see
+                # tasks.parity.batched_rollout; per-sample controllers and
+                # noise are identical to the vmapped per-sample path).
+                from columnflow.solvers import sdeint_adaptive_batch
+
+                tables = jax.vmap(
+                    lambda c: prep_xor_stim(c, time_steps))(conditions)
+                B = conditions.shape[0]
+                return sdeint_adaptive_batch(
+                    lambda t, y, tab: xor_drift(
+                        t, y, params, task.net, Stimulus(0.0, task.dt, tab)),
+                    lambda t, y, tab: xor_diffusion(
+                        t, y, params, task.net, Stimulus(0.0, task.dt, tab)),
+                    jnp.zeros((B, XOR_STATE_DIM)), task.ts, keys,
+                    batch_args=(tables,), method="sra1",
+                    rtol=adaptive_rtol, atol=adaptive_atol,
+                    max_steps=adaptive_max_steps,
+                    bptt_every=adaptive_bptt_every,
+                )
+
             def one_adaptive(cond, k):
                 table = prep_xor_stim(cond, time_steps)
                 stim = Stimulus(0.0, task.dt, table)

@@ -751,3 +751,141 @@ class TestPairedDoubling:
         yf, yh2 = _sra1_doubling(drift, diff, z, y, z, z, z, z, z, z, ())
         assert np.all(np.isfinite(np.asarray(yf)))
         np.testing.assert_allclose(np.asarray(yh2), np.asarray(y))
+
+
+class TestBatchedReplay:
+    """sdeint_adaptive_batch: vmapped-per-sample semantics, chunk-gated
+    batched replay (the padding-tail skip the vmapped path cannot do —
+    per-sample lax.cond under vmap degrades to select)."""
+
+    drift = staticmethod(lambda t, y, a, s: -a * y + s * jnp.sin(3.0 * t))
+    diff = staticmethod(lambda t, y, a, s: jnp.full_like(y, 0.4))
+    ts = jnp.linspace(0.0, 1.0, 9)
+    theta = jnp.float32(1.3)
+
+    def _inputs(self):
+        B = 4
+        keys = jax.random.split(jax.random.PRNGKey(7), B)
+        y0 = jax.random.normal(jax.random.PRNGKey(1), (B, 3))
+        shifts = jnp.linspace(0.5, 2.0, B)
+        return y0, keys, shifts
+
+    def _ref(self, y0, keys, shifts, method, bptt):
+        return jax.vmap(lambda y0b, kb, sb: sdeint_adaptive(
+            self.drift, self.diff, y0b, self.ts, kb, self.theta, sb,
+            method=method, max_steps=128, differentiable=True,
+            bptt_every=bptt))(y0, keys, shifts)
+
+    @pytest.mark.parametrize("method", ["sra1", "milstein", "euler"])
+    def test_matches_vmapped_per_sample(self, method):
+        from columnflow.solvers import sdeint_adaptive_batch
+
+        y0, keys, shifts = self._inputs()
+        ref = self._ref(y0, keys, shifts, method, None)
+        for chunk in (128, 16, 5):  # incl. a non-divisor of max_steps
+            out = sdeint_adaptive_batch(
+                self.drift, self.diff, y0, self.ts, keys, self.theta,
+                batch_args=(shifts,), method=method, max_steps=128,
+                replay_chunk=chunk)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=2e-6, atol=1e-7,
+                                       err_msg=f"chunk={chunk}")
+
+    def test_bptt_and_gradients_match(self):
+        from columnflow.solvers import sdeint_adaptive_batch
+
+        y0, keys, shifts = self._inputs()
+        ref = self._ref(y0, keys, shifts, "sra1", 3)
+        out = sdeint_adaptive_batch(
+            self.drift, self.diff, y0, self.ts, keys, self.theta,
+            batch_args=(shifts,), method="sra1", max_steps=128,
+            bptt_every=3, replay_chunk=16)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-6, atol=1e-7)
+
+        def loss_ref(a):
+            ys = jax.vmap(lambda y0b, kb, sb: sdeint_adaptive(
+                self.drift, self.diff, y0b, self.ts, kb, a, sb,
+                method="sra1", max_steps=128, differentiable=True,
+                bptt_every=3))(y0, keys, shifts)
+            return jnp.sum(ys ** 2)
+
+        def loss_bat(a):
+            from columnflow.solvers import sdeint_adaptive_batch as bat
+            ys = bat(self.drift, self.diff, y0, self.ts, keys, a,
+                     batch_args=(shifts,), method="sra1", max_steps=128,
+                     bptt_every=3, replay_chunk=16)
+            return jnp.sum(ys ** 2)
+
+        g_ref = float(jax.grad(loss_ref)(self.theta))
+        g_bat = float(jax.grad(loss_bat)(self.theta))
+        assert g_bat == pytest.approx(g_ref, rel=1e-4), (g_ref, g_bat)
+
+    def test_stats_match_and_select_drift(self):
+        from columnflow.solvers import sdeint_adaptive_batch
+
+        y0, keys, shifts = self._inputs()
+        _, st_b = sdeint_adaptive_batch(
+            self.drift, self.diff, y0, self.ts, keys, self.theta,
+            batch_args=(shifts,), method="sra1", max_steps=128,
+            return_stats=True)
+        _, st_r = jax.vmap(lambda y0b, kb, sb: sdeint_adaptive(
+            self.drift, self.diff, y0b, self.ts, kb, self.theta, sb,
+            method="sra1", max_steps=128, differentiable=True,
+            return_stats=True))(y0, keys, shifts)
+        np.testing.assert_array_equal(np.asarray(st_b.naccept),
+                                      np.asarray(st_r.naccept))
+        np.testing.assert_array_equal(np.asarray(st_b.nreject),
+                                      np.asarray(st_r.nreject))
+        assert bool(jnp.all(st_b.success))
+
+        # select_drift keeps the batch signature (*args, *batch_args_b)
+        sel = lambda t, y, a, s: (-a) * y.astype(jnp.bfloat16).astype(
+            jnp.float32) + s * jnp.sin(3.0 * t)
+        ys = sdeint_adaptive_batch(
+            self.drift, self.diff, y0, self.ts, keys, self.theta,
+            batch_args=(shifts,), method="sra1", max_steps=128,
+            select_drift=sel)
+        assert np.all(np.isfinite(np.asarray(ys)))
+
+    def test_parity_rollout_uses_batched_replay(self):
+        # The task's XLA adaptive training branch routes through
+        # sdeint_adaptive_batch and must reproduce the vmapped per-sample
+        # replay BIT-EXACTLY on the column network (same grids, same draws,
+        # same vmapped stepper lowering). Pointwise train-vs-inference
+        # comparison is NOT meaningful here: the pass's paired doubling
+        # differs from the replay at matmul-reassociation level and the
+        # column dynamics amplify that chaotically.
+        from columnflow.config import ColumnConfig
+        from columnflow.data import parity_stim_table
+        from columnflow.models.column import Stimulus
+        from columnflow.models.network import (network_diffusion,
+                                               network_drift)
+        from columnflow.tasks.parity import (batched_rollout, build_task,
+                                             make_parity_batch)
+
+        cfg = ColumnConfig.load()
+        task = build_task(cfg, jax.random.PRNGKey(0),
+                          columns_per_area=(2, 1), time_steps=50,
+                          max_steps=256)
+        stims = make_parity_batch(jax.random.PRNGKey(1), 4, 2)
+        key = jax.random.PRNGKey(2)
+        keys = jax.random.split(key, stims.shape[0])
+        P3 = 3 * task.net.num_pops
+
+        ys_new = batched_rollout(task.params, task, stims, stochastic=True,
+                                 adaptive=True, key=key, differentiable=True)
+
+        def one(stim_raw, k):
+            stim = Stimulus(0.0, task.dt, parity_stim_table(stim_raw, 50))
+            return sdeint_adaptive(
+                lambda t, y: network_drift(t, y, task.params, task.net,
+                                           stim),
+                lambda t, y: network_diffusion(t, y, task.params, task.net,
+                                               stim),
+                jnp.zeros(P3), task.ts, k, method="sra1", rtol=1e-3,
+                atol=1e-3, max_steps=256, differentiable=True)
+
+        ys_old = jax.vmap(one)(stims, keys)
+        np.testing.assert_array_equal(np.asarray(ys_new),
+                                      np.asarray(ys_old))
