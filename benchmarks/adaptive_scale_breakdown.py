@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--max-steps", type=int, default=16384)
     ap.add_argument("--bptt-every", type=int, default=32)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="number of samples per solve (the trainer uses 4)")
     ap.add_argument("--select-bf16", action="store_true",
                     help="pick step sizes with bf16 weight matrices (halves "
                          "the adaptive pass's HBM traffic; replay stays f32)")
@@ -49,7 +51,8 @@ def main():
     task = pt.build_task(cfg, jax.random.PRNGKey(0), columns_per_area=cpa,
                          n_inputs=4, time_steps=args.time_steps, dt=1e-3,
                          max_steps=args.max_steps)
-    stims = jnp.asarray([[15.0, 15.0, 0.0, 0.0]], jnp.float32)
+    stims = jnp.tile(jnp.asarray([[15.0, 15.0, 0.0, 0.0]], jnp.float32),
+                     (args.batch, 1))
     key = jax.random.PRNGKey(7)
 
     def timeit(fn, *a):
@@ -88,6 +91,7 @@ def main():
 
         print(json.dumps({
             "row": f"adaptive_breakdown_{engine}",
+            "batch": args.batch,
             "select_bf16": args.select_bf16,
             "columns_per_area": list(cpa),
             "state_dim": 3 * task.net.num_pops,
