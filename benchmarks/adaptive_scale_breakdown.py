@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--batch", type=int, default=1,
                     help="number of samples per solve (the trainer uses 4)")
+    ap.add_argument("--fused-pass", action="store_true",
+                    help="run the step-size-selection pass in-kernel "
+                         "(weights VMEM-resident across controller "
+                         "attempts); applies to the fused rows only")
     ap.add_argument("--select-bf16", action="store_true",
                     help="pick step sizes with bf16 weight matrices (halves "
                          "the adaptive pass's HBM traffic; replay stays f32)")
@@ -66,16 +70,20 @@ def main():
 
     for fused in (False, True):
         engine = "fused" if fused else "xla"
+        fp = bool(args.fused_pass) and fused
+        if fp:
+            engine = "fused_pass"
 
         fwd = jax.jit(lambda p, k: pt.batched_rollout(
             p, task, stims, stochastic=True, adaptive=True, use_fused=fused,
-            key=k, differentiable=False, select_bf16=args.select_bf16))
+            key=k, differentiable=False, select_bf16=args.select_bf16,
+            fused_pass=fp))
         t_pass = timeit(fwd, task.params, key)
 
         replay = jax.jit(lambda p, k: pt.batched_rollout(
             p, task, stims, stochastic=True, adaptive=True, use_fused=fused,
             key=k, differentiable=True, select_bf16=args.select_bf16,
-            adaptive_bptt_every=args.bptt_every))
+            fused_pass=fp, adaptive_bptt_every=args.bptt_every))
         t_replay = timeit(replay, task.params, key)
 
         def loss(p, k):
@@ -83,6 +91,7 @@ def main():
                                     adaptive=True, use_fused=fused, key=k,
                                     differentiable=True,
                                     select_bf16=args.select_bf16,
+                                    fused_pass=fp,
                                     adaptive_bptt_every=args.bptt_every)
             return jnp.sum(ys[:, -1, :] ** 2)
 

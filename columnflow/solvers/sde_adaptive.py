@@ -45,6 +45,7 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from columnflow.solvers import krng
 from columnflow.solvers.brownian import VirtualBrownianTree
 
 _SAFETY = 0.9
@@ -144,7 +145,45 @@ def _interval_normal(key, ta, tb, dtype):
     return jax.random.normal(k, (), dtype)
 
 
-def _half_noise(tree, i10_key, t, h, dtype, with_i10, w0=None):
+def _sde_key_words(key):
+    """(k0, k1, j0, j1): the kernel-backend tree key pair plus the
+    space-time-integral key pair (folded with the same 0x51DE tag the
+    jax-random backend uses, so the two never collide)."""
+    k0, k1 = krng.key_pair(key)
+    j0, j1 = krng.fold2(k0, k1, jnp.uint32(0x51DE), jnp.uint32(0))
+    return k0, k1, j0, j1
+
+
+def _noise_backend(key, t_start, t_end, levy_depth, dtype, brownian):
+    """(tree, i10_draw) for the chosen Brownian backend.
+
+    ``"jax"`` (default): ``VirtualBrownianTree`` + jax.random interval
+    draws — the original construction. ``"kernel"``: the krng-based
+    ``KernelBrownianTree`` + krng interval draws — the SAME algorithms
+    expressed in Mosaic-legal ops, so the step-size-selection pass can run
+    inside a Pallas kernel (``fused_pass=True``) while the XLA replay
+    queries the same path. For a given key the two backends realize
+    DIFFERENT (equally distributed) paths.
+    """
+    if brownian == "kernel":
+        k0, k1, j0, j1 = _sde_key_words(key)
+        tree = krng.KernelBrownianTree(t0=t_start, t1=t_end, k0=k0, k1=k1,
+                                       depth=levy_depth, dtype=dtype)
+
+        def i10_draw(ta, tb):
+            return krng.interval_normal(j0, j1, ta, tb,
+                                        t_start, t_end).astype(dtype)
+
+        return tree, i10_draw
+    if brownian != "jax":
+        raise ValueError(f"unknown brownian backend: {brownian!r}")
+    k_i10 = jax.random.fold_in(key, 0x51DE)
+    tree = VirtualBrownianTree(t0=t_start, t1=t_end, key=key,
+                               depth=levy_depth, dtype=dtype)
+    return tree, lambda ta, tb: _interval_normal(k_i10, ta, tb, dtype)
+
+
+def _half_noise(tree, i10_draw, t, h, dtype, with_i10, w0=None):
     """Brownian data for the two half steps of [t, t+h]: increments from the
     tree; I10 per half interval-keyed; the full-step I10 derived from the
     decomposition identity. ``w0`` optionally supplies the already-known
@@ -161,8 +200,8 @@ def _half_noise(tree, i10_key, t, h, dtype, with_i10, w0=None):
         zero = jnp.zeros((), dtype)
         return dw_a, dw_b, zero, zero, zero, w1
     hh = 0.5 * h
-    za = _interval_normal(i10_key, t, tm, dtype)
-    zb = _interval_normal(i10_key, tm, t + h, dtype)
+    za = i10_draw(t, tm)
+    zb = i10_draw(tm, t + h)
     i10_a = hh * (0.5 * dw_a + jnp.sqrt(hh / 12.0) * za)
     i10_b = hh * (0.5 * dw_b + jnp.sqrt(hh / 12.0) * zb)
     i10_full = i10_a + i10_b + hh * dw_a
@@ -189,7 +228,7 @@ class SDESolverStats(NamedTuple):
 
 
 def _make_body(stepper, err_exp, with_i10, drift, diffusion, t_end, tree,
-               i10_key, rtol, atol, dtype, args, controller="i",
+               i10_draw, rtol, atol, dtype, args, controller="i",
                doubling=None):
     """One adaptive step-doubling attempt + accept/reject bookkeeping.
 
@@ -204,7 +243,7 @@ def _make_body(stepper, err_exp, with_i10, drift, diffusion, t_end, tree,
 
     def attempt(t, y, h, w0):
         dw_a, dw_b, i10_a, i10_b, i10_f, w1 = _half_noise(
-            tree, i10_key, t, h, dtype, with_i10, w0=w0
+            tree, i10_draw, t, h, dtype, with_i10, w0=w0
         )
         if doubling is not None:
             y_full, y_half2 = doubling(drift, diffusion, t, y, h, dw_a,
@@ -270,10 +309,10 @@ def _init_carry(y0, t_start, t_end, h0, max_steps, tree):
 
 
 def _adaptive_pass(stepper, err_exp, with_i10, drift, diffusion, y0, t_start,
-                   t_end, tree, i10_key, rtol, atol, h0, max_steps, args,
+                   t_end, tree, i10_draw, rtol, atol, h0, max_steps, args,
                    controller="i", doubling=None):
     body = _make_body(stepper, err_exp, with_i10, drift, diffusion, t_end,
-                      tree, i10_key, rtol, atol, y0.dtype, args,
+                      tree, i10_draw, rtol, atol, y0.dtype, args,
                       controller=controller, doubling=doubling)
     return jax.lax.while_loop(
         lambda s: (s.t1 < t_end) & (s.naccept + s.nreject < max_steps),
@@ -282,7 +321,7 @@ def _adaptive_pass(stepper, err_exp, with_i10, drift, diffusion, y0, t_start,
 
 
 def _replay_pass(stepper, with_i10, drift, diffusion, y0, ts, step_times,
-                 naccept, max_steps, tree, i10_key, args, remat=True,
+                 naccept, max_steps, tree, i10_draw, args, remat=True,
                  bptt_every=None):
     """Differentiable re-integration over the frozen accepted-step sequence
     (two half steps per accepted interval — the local-extrapolation solution
@@ -307,7 +346,7 @@ def _replay_pass(stepper, with_i10, drift, diffusion, y0, ts, step_times,
         # W(t0) is carried from the previous step (steps are consecutive),
         # skipping one depth-levy_depth tree walk per step.
         dw_a, dw_b, i10_a, i10_b, _, w1 = _half_noise(
-            tree, i10_key, t0, h, dtype, with_i10, w0=w0
+            tree, i10_draw, t0, h, dtype, with_i10, w0=w0
         )
         y_half = stepper(drift, diffusion, t0, y, 0.5 * h, dw_a, i10_a, args)
         y1 = stepper(drift, diffusion, t0 + 0.5 * h, y_half, 0.5 * h, dw_b,
@@ -339,7 +378,7 @@ _FUSED_METHOD = {"sra1": "srk", "euler": "euler", "milstein": "milstein"}
 
 
 def _replay_pass_fused(method, with_i10, drift, diffusion, y0, ts,
-                       step_times, naccept, max_steps, tree, i10_key, args,
+                       step_times, naccept, max_steps, tree, i10_draw, args,
                        interpret=None, nondiff_args=(), prepare=None,
                        bptt_every=None):
     """The replay sweep as Pallas kernels: the frozen accepted-step
@@ -368,9 +407,7 @@ def _replay_pass_fused(method, with_i10, drift, diffusion, y0, ts,
     w = jax.vmap(tree.evaluate)(ht)
     dw = w[1:] - w[:-1]
     if with_i10:
-        za = jax.vmap(
-            lambda a, b: _interval_normal(i10_key, a, b, dtype)
-        )(ht[:-1], ht[1:])
+        za = jax.vmap(i10_draw)(ht[:-1], ht[1:]).astype(dtype)
         hh = ht[1:] - ht[:-1]
         i10 = hh * (0.5 * dw + jnp.sqrt(hh / 12.0) * za)
     else:
@@ -391,25 +428,175 @@ def _replay_pass_fused(method, with_i10, drift, diffusion, y0, ts,
     return _interp_accepted(ys_acc, y0, ts, step_times, naccept)
 
 
-def _setup(method, y0, ts, key, dt0, levy_depth):
+def _make_sde_adaptive_kernel(drift, diffusion, prep, n_args, method,
+                              t_start, t_end, rtol, atol, h0, max_steps,
+                              levy_depth, controller):
+    """The step-size-selection pass as ONE Pallas kernel body.
+
+    Mirrors ``_make_body``/``_adaptive_pass`` op for op (same step doubling,
+    same error norm, same PI/I controller, same time rounding) with the
+    Brownian tree evaluated IN-KERNEL via ``krng.KernelBrownianTree`` — the
+    weight matrices stay VMEM-resident across every controller attempt
+    instead of being re-read from HBM ~5x per attempt (the bandwidth
+    roofline RESULTS.md measures at the 104-column scale). Interpret-mode
+    bit-parity with the XLA pass (``brownian="kernel"``) is CI-pinned in
+    tests/test_sde_adaptive.py.
+
+    t_start/t_end/h0/rtol/atol are PYTHON floats baked into the kernel
+    (requires concrete ts, like ``odeint_dopri5_fused``); ``h0=None``
+    is not supported here — the caller resolves the default.
+
+    No doubling pairing: in VMEM, a second drift eval costs no extra
+    weight traffic, and Mosaic CSE already shares the f1 = f(t, y) eval
+    between the full and first-half steps.
+    """
+    stepper, err_exp, with_i10, _ = _STEPPERS[method]
+
+    def _powk(x, p):
+        # x**p for positive x via exp/log (Mosaic does not legalize powf).
+        return jnp.exp(p * jnp.log(x))
+
+    def kernel(y0_ref, key_ref, *refs):
+        arg_refs = refs[:n_args]
+        st_ref, stats_ref = refs[n_args], refs[n_args + 1]
+        args = prep(tuple(r[:] for r in arg_refs))
+        y0 = y0_ref[:]
+        dtype = y0.dtype
+        tree = krng.KernelBrownianTree(
+            t0=t_start, t1=t_end, k0=key_ref[0, 0], k1=key_ref[0, 1],
+            depth=levy_depth, dtype=dtype)
+        j0, j1 = key_ref[0, 2], key_ref[0, 3]
+
+        def i10_draw(ta, tb):
+            return krng.interval_normal(j0, j1, ta, tb,
+                                        t_start, t_end).astype(dtype)
+
+        t_end_c = jnp.asarray(t_end, dtype)
+
+        def fill(i, _):
+            st_ref[0, i] = t_end_c
+            return 0
+
+        jax.lax.fori_loop(0, max_steps + 1, fill, 0)
+        st_ref[0, 0] = jnp.asarray(t_start, dtype)
+
+        def attempt(t, y, h, w0):
+            dw_a, dw_b, i10_a, i10_b, i10_f, w1 = _half_noise(
+                tree, i10_draw, t, h, dtype, with_i10, w0=w0)
+            y_full = stepper(drift, diffusion, t, y, h, dw_a + dw_b, i10_f,
+                             args)
+            y_half = stepper(drift, diffusion, t, y, 0.5 * h, dw_a, i10_a,
+                             args)
+            y_half2 = stepper(drift, diffusion, t + 0.5 * h, y_half,
+                              0.5 * h, dw_b, i10_b, args)
+            scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_half2))
+            err = jnp.sqrt(jnp.mean(jnp.square((y_half2 - y_full) / scale)))
+            return y_half2, err, w1
+
+        def cond(s):
+            t1, y1, h, na, nr, err_prev, w_t1 = s
+            return (t1 < t_end_c) & (na + nr < max_steps)
+
+        def body(s):
+            t1, y1, h, na, nr, err_prev, w_t1 = s
+            h = jnp.minimum(h, t_end_c - t1)
+            # Representable-difference rounding, as in _make_body: the
+            # replay recomputes h from the recorded step times.
+            h = (t1 + h) - t1
+            y_new, err, w1 = attempt(t1, y1, h, w_t1)
+            accept = err <= 1.0
+            err_c = jnp.maximum(err, 1e-10)
+            fac_i = _SAFETY * _powk(err_c, -err_exp)
+            if controller == "pi":
+                fac_acc = (_SAFETY * _powk(err_c, -_PI_A * err_exp)
+                           * _powk(err_prev, _PI_B * err_exp))
+                factor = jnp.where(accept, fac_acc, fac_i)
+            else:
+                factor = fac_i
+            factor = jnp.where(err <= 0.0, _IFACTOR,
+                               jnp.clip(factor, _DFACTOR, _IFACTOR))
+            na_new = na + accept.astype(jnp.int32)
+            t_new = jnp.where(accept, t1 + h, t1)
+            # On reject this rewrites st[na] with the unchanged t1 — a
+            # no-op, so the store can be unconditional.
+            st_ref[0, na_new] = t_new
+            return (t_new,
+                    jnp.where(accept, y_new, y1),
+                    h * factor,
+                    na_new,
+                    nr + 1 - accept.astype(jnp.int32),
+                    jnp.where(accept, err_c, err_prev),
+                    jnp.where(accept, w1, w_t1))
+
+        init = (jnp.asarray(t_start, dtype), y0, jnp.asarray(h0, dtype),
+                jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+                jnp.ones((), dtype),
+                tree.evaluate(jnp.asarray(t_start, dtype)))
+        t1, _, _, na, nr, _, _ = jax.lax.while_loop(cond, body, init)
+        stats_ref[0, 0] = na
+        stats_ref[0, 1] = nr
+        stats_ref[0, 2] = (t1 >= t_end_c).astype(jnp.int32)
+
+    return kernel
+
+
+def _adaptive_pass_fused(drift, diffusion, y0, key, t_start, t_end, rtol,
+                         atol, h0, max_steps, levy_depth, controller, method,
+                         args, prepare=None, interpret=False):
+    """Run the selection pass in-kernel; returns (step_times, naccept,
+    nreject, success). ``drift``/``diffusion`` must be kernel-safe (the
+    ``sdeint_fused`` contract); args must fit VMEM — at large state pass
+    bf16 selection args (``select_drift``/``select_args``), which is also
+    what makes the (P, P) matrix fit."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from columnflow.solvers.fused import _VMEM, _flatten_for_kernel
+
+    wrapped_drift, prep, dyn, _ = _flatten_for_kernel(drift, args, (),
+                                                      prepare)
+    wrapped_diff, _, _, _ = _flatten_for_kernel(diffusion, args, (), prepare)
+    n_args = len(dyn)
+    k0, k1, j0, j1 = _sde_key_words(key)
+    keys4 = jnp.stack([k0, k1, j0, j1]).reshape(1, 4)
+
+    kernel = _make_sde_adaptive_kernel(
+        wrapped_drift, wrapped_diff, prep, n_args, method, t_start, t_end,
+        rtol, atol, h0, max_steps, levy_depth, controller)
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((1, max_steps + 1), y0.dtype),
+                   jax.ShapeDtypeStruct((1, 3), jnp.int32)),
+        in_specs=([_VMEM(), pl.BlockSpec(memory_space=pltpu.SMEM)]
+                  + [_VMEM()] * n_args),
+        out_specs=(pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        interpret=interpret,
+    )
+    st, stats = call(jax.lax.stop_gradient(y0), keys4,
+                     *jax.lax.stop_gradient(dyn))
+    st = jax.lax.stop_gradient(st)
+    stats = jax.lax.stop_gradient(stats)
+    return st[0], stats[0, 0], stats[0, 1], stats[0, 2] > 0
+
+
+def _setup(method, y0, ts, key, dt0, levy_depth, brownian="jax"):
     if method not in _STEPPERS:
         raise ValueError(f"unknown adaptive SDE method: {method!r}")
     stepper, err_exp, with_i10, doubling = _STEPPERS[method]
     ts = jnp.asarray(ts, dtype=y0.dtype)
     t_start, t_end = ts[0], ts[-1]
-    # The tree is keyed by the RAW key (so callers can reconstruct the same
-    # path with VirtualBrownianTree(key=key)); the space-time-integral
+    # The jax tree is keyed by the RAW key (so callers can reconstruct the
+    # same path with VirtualBrownianTree(key=key)); the space-time-integral
     # draws use a folded key so they never collide with bridge draws.
-    k_i10 = jax.random.fold_in(key, 0x51DE)
-    # t0/t1 may be tracers (called under jit with traced ts); the tree only
-    # uses them in jnp ops.
-    tree = VirtualBrownianTree(
-        t0=t_start, t1=t_end, key=key, depth=levy_depth, dtype=y0.dtype,
-    )
+    # t0/t1 may be tracers (called under jit with traced ts); the trees only
+    # use them in jnp ops.
+    tree, i10_draw = _noise_backend(key, t_start, t_end, levy_depth,
+                                    y0.dtype, brownian)
     h0 = jnp.asarray(dt0 if dt0 is not None
                      else (t_end - t_start) / (4.0 * ts.shape[0]), y0.dtype)
     return (stepper, err_exp, with_i10, doubling, ts, t_start, t_end, tree,
-            k_i10, h0)
+            i10_draw, h0)
 
 
 def sdeint_adaptive(
@@ -436,7 +623,10 @@ def sdeint_adaptive(
     select_drift: Callable | None = None,
     select_diffusion: Callable | None = None,
     select_args: tuple | None = None,
+    select_prepare: Callable | None = None,
     controller: str = "pi",
+    fused_pass: bool = False,
+    brownian: str | None = None,
 ):
     """Adaptive Ito SDE integration with scalar noise on [ts[0], ts[-1]].
 
@@ -488,21 +678,82 @@ def sdeint_adaptive(
     attempts at equal tolerance (~12-13% fewer total attempts,
     RESULTS.md), and torchsde's own adaptive stepping is PI-controlled,
     so this is also the semantics-matching default.
+
+    ``fused_pass=True`` runs the step-size-selection pass itself as one
+    Pallas kernel (``_make_sde_adaptive_kernel``): the selection
+    drift's weight matrices stay VMEM-resident across every controller
+    attempt, removing the ~5 HBM re-reads per attempt that make the XLA
+    pass bandwidth-bound at large state (RESULTS.md's 104-column
+    accounting). Requires: concrete ``ts``, kernel-safe selection
+    drift/diffusion (the ``sdeint_fused`` contract — at large state pass
+    bf16 ``select_drift``/``select_args``, which is also what fits the
+    matrix in VMEM; ``select_prepare`` is its optional hoisted transform),
+    and the ``brownian="kernel"`` noise backend (implied default here) so
+    the XLA replay queries the same in-kernel-evaluable Brownian path.
+
+    ``brownian`` picks the Brownian-path construction: ``"jax"``
+    (default) the jax.random ``VirtualBrownianTree``; ``"kernel"`` the
+    krng-based ``KernelBrownianTree`` (same algorithm in Mosaic-legal
+    ops — a different, equally distributed realization per key).
     """
     if bptt_every is not None and bptt_every < 1:
         raise ValueError(f"bptt_every must be >= 1, got {bptt_every}")
     if controller not in ("i", "pi"):
         raise ValueError(f"unknown step controller: {controller!r}")
-    (stepper, err_exp, with_i10, doubling, ts, t_start, t_end, tree, k_i10,
-     h0) = _setup(method, y0, ts, key, dt0, levy_depth)
+    if brownian is None:
+        brownian = "kernel" if fused_pass else "jax"
+    if fused_pass and brownian != "kernel":
+        raise ValueError("fused_pass=True requires the 'kernel' Brownian "
+                         "backend (the pass evaluates the tree in-kernel)")
+    (stepper, err_exp, with_i10, doubling, ts, t_start, t_end, tree,
+     i10_draw, h0) = _setup(method, y0, ts, key, dt0, levy_depth,
+                            brownian=brownian)
     sel_drift = drift if select_drift is None else select_drift
     sel_diffusion = diffusion if select_diffusion is None else select_diffusion
     sel_args = args if select_args is None else select_args
 
+    if fused_pass:
+        import numpy as np
+
+        ts_host = np.asarray(ts)  # fails loudly on traced ts, as intended
+        h0_f = float(dt0) if dt0 is not None else float(
+            (ts_host[-1] - ts_host[0]) / (4.0 * ts_host.shape[0]))
+        kernel_interpret = (jax.default_backend() == "cpu"
+                            if interpret is None else interpret)
+        step_times, naccept, nreject, success = _adaptive_pass_fused(
+            sel_drift, sel_diffusion, y0, key, float(ts_host[0]),
+            float(ts_host[-1]), rtol, atol, h0_f, max_steps, levy_depth,
+            controller, method, sel_args, prepare=select_prepare,
+            interpret=kernel_interpret)
+        if differentiable:
+            if fused:
+                ys = _replay_pass_fused(
+                    method, with_i10, drift, diffusion, y0, ts, step_times,
+                    naccept, max_steps, tree, i10_draw, args,
+                    interpret=interpret, nondiff_args=nondiff_args,
+                    prepare=prepare, bptt_every=bptt_every)
+            else:
+                ys = _replay_pass(stepper, with_i10, drift, diffusion, y0,
+                                  ts, step_times, naccept, max_steps, tree,
+                                  i10_draw, args, remat=remat,
+                                  bptt_every=bptt_every)
+        else:
+            # Inference: one (non-differentiable) replay sweep over the
+            # frozen grid — integrated with the SELECTION functions, like
+            # the XLA inference path.
+            ys = jax.lax.stop_gradient(_replay_pass(
+                stepper, with_i10, sel_drift, sel_diffusion,
+                jax.lax.stop_gradient(y0), ts, step_times, naccept,
+                max_steps, tree, i10_draw,
+                jax.lax.stop_gradient(sel_args), remat=False))
+        if return_stats:
+            return ys, SDESolverStats(naccept, nreject, success)
+        return ys
+
     if differentiable:
         carry = _adaptive_pass(
             stepper, err_exp, with_i10, sel_drift, sel_diffusion,
-            jax.lax.stop_gradient(y0), t_start, t_end, tree, k_i10, rtol,
+            jax.lax.stop_gradient(y0), t_start, t_end, tree, i10_draw, rtol,
             atol, h0, max_steps, jax.lax.stop_gradient(sel_args),
             controller=controller, doubling=doubling,
         )
@@ -511,12 +762,12 @@ def sdeint_adaptive(
         if fused:
             ys = _replay_pass_fused(method, with_i10, drift, diffusion, y0,
                                     ts, step_times, naccept, max_steps, tree,
-                                    k_i10, args, interpret=interpret,
+                                    i10_draw, args, interpret=interpret,
                                     nondiff_args=nondiff_args,
                                     prepare=prepare, bptt_every=bptt_every)
         else:
             ys = _replay_pass(stepper, with_i10, drift, diffusion, y0, ts,
-                              step_times, naccept, max_steps, tree, k_i10,
+                              step_times, naccept, max_steps, tree, i10_draw,
                               args, remat=remat, bptt_every=bptt_every)
         if return_stats:
             return ys, SDESolverStats(naccept, carry.nreject,
@@ -527,7 +778,7 @@ def sdeint_adaptive(
     # time and interpolate linearly between the bracketing accepted points
     # (cost proportional to the ACTUAL number of steps, not max_steps).
     body = _make_body(stepper, err_exp, with_i10, sel_drift, sel_diffusion,
-                      t_end, tree, k_i10, rtol, atol, y0.dtype, sel_args,
+                      t_end, tree, i10_draw, rtol, atol, y0.dtype, sel_args,
                       controller=controller, doubling=doubling)
 
     def advance_until(c: _Carry, t_target):
@@ -573,8 +824,11 @@ def sdeint_adaptive_batch(
     select_drift: Callable | None = None,
     select_diffusion: Callable | None = None,
     select_args: tuple | None = None,
+    select_prepare: Callable | None = None,
     controller: str = "pi",
     replay_chunk: int = 256,
+    fused_pass: bool = False,
+    brownian: str | None = None,
 ):
     """Batched differentiable adaptive SDE integration: ``y0`` (B,) + state,
     ``keys`` (B,) PRNG keys (one Brownian path per sample), returning ys
@@ -594,11 +848,21 @@ def sdeint_adaptive_batch(
     configuration in RESULTS.md: naccept ~7k of a 16384 budget). Gating on
     the batch-max accepted count is a scalar predicate, so XLA executes the
     skip branch at runtime and the padding tail costs nothing.
+
+    ``fused_pass=True`` runs each per-sample selection pass as a Pallas
+    kernel (vmapped over the batch; see ``sdeint_adaptive``) — requires
+    concrete ``ts``, kernel-safe selection drift/diffusion, and implies
+    ``brownian="kernel"``.
     """
     if controller not in ("i", "pi"):
         raise ValueError(f"unknown step controller: {controller!r}")
     if bptt_every is not None and bptt_every < 1:
         raise ValueError(f"bptt_every must be >= 1, got {bptt_every}")
+    if brownian is None:
+        brownian = "kernel" if fused_pass else "jax"
+    if fused_pass and brownian != "kernel":
+        raise ValueError("fused_pass=True requires the 'kernel' Brownian "
+                         "backend (the pass evaluates the tree in-kernel)")
     stepper, err_exp, with_i10, doubling = _STEPPERS.get(
         method, (None, None, None, None))
     if stepper is None:
@@ -609,33 +873,63 @@ def sdeint_adaptive_batch(
     B = y0.shape[0]
 
     # --- per-sample adaptive passes (selection only, under stop_gradient) --
-    def one_pass(y0_b, key_b, *ba_b):
-        (stp, ee, wi, dbl, ts_, t0_, t1_, tree, k_i10, h0) = _setup(
-            method, y0_b, ts, key_b, dt0, levy_depth)
-        sel_drift = drift if select_drift is None else select_drift
-        sel_diff = diffusion if select_diffusion is None else select_diffusion
-        base = args + ba_b
-        sel_args = base if select_args is None else (select_args + ba_b)
-        carry = _adaptive_pass(
-            stp, ee, wi, sel_drift, sel_diff, jax.lax.stop_gradient(y0_b),
-            t0_, t1_, tree, k_i10, rtol, atol, h0, max_steps,
-            jax.lax.stop_gradient(sel_args), controller=controller,
-            doubling=dbl)
-        return carry.step_times, carry.naccept, carry.nreject, carry.t1
+    if fused_pass:
+        import numpy as np
 
-    step_times, naccept, nreject, t1s = jax.vmap(one_pass)(
-        y0, keys, *batch_args)
+        ts_host = np.asarray(ts)
+        h0_f = float(dt0) if dt0 is not None else float(
+            (ts_host[-1] - ts_host[0]) / (4.0 * ts_host.shape[0]))
+        kernel_interpret = jax.default_backend() == "cpu"
+
+        def one_pass(y0_b, key_b, *ba_b):
+            sel_drift = drift if select_drift is None else select_drift
+            sel_diff = (diffusion if select_diffusion is None
+                        else select_diffusion)
+            base = args + ba_b
+            sel_args = base if select_args is None else (select_args + ba_b)
+            return _adaptive_pass_fused(
+                sel_drift, sel_diff, y0_b, key_b, float(ts_host[0]),
+                float(ts_host[-1]), rtol, atol, h0_f, max_steps, levy_depth,
+                controller, method, sel_args, prepare=select_prepare,
+                interpret=kernel_interpret)
+
+        step_times, naccept, nreject, successes = jax.vmap(one_pass)(
+            y0, keys, *batch_args)
+        stats = SDESolverStats(naccept, nreject, successes)
+    else:
+        def one_pass(y0_b, key_b, *ba_b):
+            (stp, ee, wi, dbl, ts_, t0_, t1_, tree, i10_draw, h0) = _setup(
+                method, y0_b, ts, key_b, dt0, levy_depth, brownian=brownian)
+            sel_drift = drift if select_drift is None else select_drift
+            sel_diff = (diffusion if select_diffusion is None
+                        else select_diffusion)
+            base = args + ba_b
+            sel_args = base if select_args is None else (select_args + ba_b)
+            carry = _adaptive_pass(
+                stp, ee, wi, sel_drift, sel_diff,
+                jax.lax.stop_gradient(y0_b),
+                t0_, t1_, tree, i10_draw, rtol, atol, h0, max_steps,
+                jax.lax.stop_gradient(sel_args), controller=controller,
+                doubling=dbl)
+            return carry.step_times, carry.naccept, carry.nreject, carry.t1
+
+        step_times, naccept, nreject, t1s = jax.vmap(one_pass)(
+            y0, keys, *batch_args)
+        stats = SDESolverStats(jax.lax.stop_gradient(naccept),
+                               jax.lax.stop_gradient(nreject),
+                               jax.lax.stop_gradient(t1s) >= t_end)
     step_times = jax.lax.stop_gradient(step_times)     # (B, max_steps + 1)
     naccept = jax.lax.stop_gradient(naccept)           # (B,)
-    stats = SDESolverStats(naccept, jax.lax.stop_gradient(nreject),
-                           jax.lax.stop_gradient(t1s) >= t_end)
 
     # --- batched replay over the frozen grids, chunk-gated on max(naccept) -
-    k_i10s = jax.vmap(lambda k: jax.random.fold_in(k, 0x51DE))(keys)
+    def per_sample_i10(key_b, a, b):
+        _, i10_draw = _noise_backend(key_b, t_start, t_end, levy_depth,
+                                     dtype, brownian)
+        return i10_draw(a, b)
 
     def w_at(key_b, t_b):
-        tree = VirtualBrownianTree(t0=t_start, t1=t_end, key=key_b,
-                                   depth=levy_depth, dtype=dtype)
+        tree, _ = _noise_backend(key_b, t_start, t_end, levy_depth, dtype,
+                                 brownian)
         return tree.evaluate(t_b)
 
     w_at_v = jax.vmap(w_at)
@@ -658,12 +952,8 @@ def sdeint_adaptive_batch(
         w1 = w_at_v(keys, t0 + h)
         dw_a, dw_b = wm - w0, w1 - wm
         if with_i10:
-            za = jax.vmap(
-                lambda k, a, b: _interval_normal(k, a, b, dtype)
-            )(k_i10s, t0, tm)
-            zb = jax.vmap(
-                lambda k, a, b: _interval_normal(k, a, b, dtype)
-            )(k_i10s, tm, t0 + h)
+            za = jax.vmap(per_sample_i10)(keys, t0, tm)
+            zb = jax.vmap(per_sample_i10)(keys, tm, t0 + h)
             hh = 0.5 * h
             i10_a = hh * (0.5 * dw_a + jnp.sqrt(hh / 12.0) * za)
             i10_b = hh * (0.5 * dw_b + jnp.sqrt(hh / 12.0) * zb)

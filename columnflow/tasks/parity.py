@@ -85,7 +85,8 @@ def batched_rollout(params, task: ParityTask, stims_raw, method="dopri5",
                     adaptive_atol: float = 1e-3,
                     adaptive_max_steps: int | None = None,
                     adaptive_bptt_every: int | None = None,
-                    select_bf16: bool = False):
+                    select_bf16: bool = False,
+                    fused_pass: bool = False):
     """Integrate a batch of input patterns: (B, n_inputs) -> (B, T, 3P).
 
     ``adaptive_max_steps=None`` uses ``task.max_steps`` — ONE solver step
@@ -126,6 +127,16 @@ def batched_rollout(params, task: ParityTask, stims_raw, method="dopri5",
     at large pop counts (RESULTS.md), and bf16 reads halve that traffic.
     The replay (values AND gradients) still integrates the full-precision
     drift over the frozen accepted-step grid.
+
+    ``fused_pass=True`` (with ``adaptive`` and ``use_fused``) runs the
+    step-size-selection pass itself as one Pallas kernel per sample
+    (``sdeint_adaptive(fused_pass=True)``): the selection drift's weight
+    matrices stay VMEM-resident across every controller attempt instead of
+    being re-read from HBM ~5x per attempt — the bandwidth roofline that
+    dominates the adaptive pass at the 104-column scale (RESULTS.md).
+    Composes with ``select_bf16`` (bf16 matrices in VMEM). Uses the
+    ``brownian="kernel"`` noise backend, so trajectories are a different
+    (equally distributed) realization per key than the default backend.
     """
     from columnflow.solvers import odeint
 
@@ -133,6 +144,11 @@ def batched_rollout(params, task: ParityTask, stims_raw, method="dopri5",
     state_dim = 3 * task.net.num_pops
     if adaptive_max_steps is None:
         adaptive_max_steps = task.max_steps
+    if fused_pass and not (stochastic and adaptive and use_fused):
+        raise ValueError("fused_pass requires stochastic=True, "
+                         "adaptive=True and use_fused=True (the in-kernel "
+                         "selection pass needs the kernel-safe premixed "
+                         "drift formulation)")
 
     if stochastic:
         if key is None:
@@ -252,6 +268,13 @@ def batched_rollout(params, task: ParityTask, stims_raw, method="dopri5",
                         select_drift=s_drift if select_bf16 else None,
                         select_args=(pw16, fc, kvals[:, None, :])
                         if select_bf16 else None,
+                        fused_pass=fused_pass,
+                        # In-kernel f32 selection needs the same hoisted
+                        # hi/mid/lo weight split as the replay kernels; the
+                        # bf16 selection drift takes pw16 unsplit.
+                        select_prepare=(None if select_bf16
+                                        else prepare_premixed_split)
+                        if fused_pass else None,
                     )
                     return ys[:, 0, :]
 
@@ -409,7 +432,7 @@ def _step_core(task: ParityTask, use_fused: bool = False,
                reference_rails: bool = False, loss_scale: float = 1.0,
                bptt_every: int | None = None,
                clip_grad_norm: float | None = None,
-               select_bf16: bool = False):
+               select_bf16: bool = False, fused_pass: bool = False):
     """``loss_scale`` scales the loss before backprop and unscales the
     gradients after — mathematically a no-op, but it keeps intermediate
     cotangents inside the f32 range. Needed at the 104-column adaptive
@@ -432,7 +455,8 @@ def _step_core(task: ParityTask, use_fused: bool = False,
                                  stochastic=stochastic, key=noise_key,
                                  adaptive=adaptive,
                                  adaptive_bptt_every=bptt_every,
-                                 select_bf16=select_bf16)
+                                 select_bf16=select_bf16,
+                                 fused_pass=fused_pass)
             out = readout(ys, p, task.net)
             loss = jnp.mean(jnp.abs(out - parity_targets(stims_raw)))
             return loss * loss_scale, (out, loss)
@@ -486,10 +510,10 @@ def make_train_step(task: ParityTask, use_fused: bool = False,
                     reference_rails: bool = False, loss_scale: float = 1.0,
                     bptt_every: int | None = None,
                     clip_grad_norm: float | None = None,
-                    select_bf16: bool = False):
+                    select_bf16: bool = False, fused_pass: bool = False):
     return jax.jit(_step_core(task, use_fused, stochastic, adaptive,
                               reference_rails, loss_scale, bptt_every,
-                              clip_grad_norm, select_bf16),
+                              clip_grad_norm, select_bf16, fused_pass),
                    donate_argnums=(0, 1))
 
 
@@ -500,7 +524,7 @@ def make_train_scan(task: ParityTask, use_fused: bool = False,
                     reference_rails: bool = False, loss_scale: float = 1.0,
                     bptt_every: int | None = None,
                     clip_grad_norm: float | None = None,
-                    select_bf16: bool = False):
+                    select_bf16: bool = False, fused_pass: bool = False):
     """K training iterations per dispatch: batch generation, rollout,
     loss, rails, update and best-params tracking all inside one
     jitted ``lax.scan``. On the TPU tunnel every host round-trip
@@ -514,7 +538,7 @@ def make_train_scan(task: ParityTask, use_fused: bool = False,
     """
     core = _step_core(task, use_fused, stochastic, adaptive,
                       reference_rails, loss_scale, bptt_every,
-                      clip_grad_norm, select_bf16)
+                      clip_grad_norm, select_bf16, fused_pass)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_scan(params, opt_state, best, keys):
@@ -547,7 +571,8 @@ def make_train_scan(task: ParityTask, use_fused: bool = False,
 def make_dp_train_step(task: ParityTask, mesh, use_fused: bool = False,
                        stochastic: bool = False, adaptive: bool = False,
                        bptt_every: int | None = None,
-                       select_bf16: bool = False):
+                       select_bf16: bool = False,
+                       fused_pass: bool = False):
     """Data-parallel training step: the sample batch is sharded across the
     device mesh, gradients pmean-ed over ICI (columnflow.parallel). Batch
     arg: stims_raw (B, n_inputs), B divisible by mesh size. The
@@ -568,7 +593,8 @@ def make_dp_train_step(task: ParityTask, mesh, use_fused: bool = False,
                                  use_fused=use_fused, stochastic=True,
                                  adaptive=adaptive, key=dev_keys[0],
                                  adaptive_bptt_every=bptt_every,
-                                 select_bf16=select_bf16)
+                                 select_bf16=select_bf16,
+                                 fused_pass=fused_pass)
             out = readout(ys, params, task.net)
             return jnp.mean(jnp.abs(out - parity_targets(stims_raw)))
 
@@ -611,6 +637,7 @@ def train_parity(
     bptt_every: int | None = None,
     clip_grad_norm: float | None = None,
     select_bf16: bool = False,
+    fused_pass: bool = False,
 ):
     """Reference defaults: 6400 samples / batch 4 -> 1600 iterations,
     fixed-position patterns (scripts/parity_ode.py:286-294).
@@ -640,7 +667,8 @@ def train_parity(
                               reference_rails=reference_rails,
                               loss_scale=loss_scale, bptt_every=bptt_every,
                               clip_grad_norm=clip_grad_norm,
-                              select_bf16=select_bf16)
+                              select_bf16=select_bf16,
+                              fused_pass=fused_pass)
 
     # Solver observability (SURVEY.md section 5): adaptive-step statistics
     # every stats_every iterations - naccept growth flags the approaching
@@ -675,7 +703,11 @@ def train_parity(
                                                stim),
                 y0, task.ts, jax.random.PRNGKey(99), method="sra1",
                 rtol=1e-3, atol=1e-3, max_steps=task.max_steps,
-                return_stats=True, select_drift=sel)
+                return_stats=True, select_drift=sel,
+                # fused_pass training selects steps on the kernel Brownian
+                # backend; probe the same path family so the reported step
+                # counts are the training ones.
+                brownian="kernel" if fused_pass else "jax")
             # SDESolverStats has no nfev; mirror the odeint stats shape.
             return st
         from columnflow.solvers import odeint_stats
@@ -777,6 +809,7 @@ def train_parity(
         ys = batched_rollout(p, task, eval_stims, differentiable=False,
                              use_fused=use_fused, stochastic=stochastic,
                              adaptive=adaptive, select_bf16=select_bf16,
+                             fused_pass=fused_pass,
                              key=jax.random.PRNGKey(1234)
                              if stochastic else None)
         out = readout(ys, p, task.net)
@@ -850,6 +883,14 @@ def main():
                         "the reference's [8,4,1] parity topology, "
                         "scripts/parity_ode.py:162-165); e.g. 64,32,8 for "
                         "the 104-column scaling experiments in RESULTS.md")
+    p.add_argument("--fused-pass", action="store_true",
+                   help="with --adaptive --fused: run the step-size-"
+                        "selection pass itself as one Pallas kernel per "
+                        "sample — weight matrices stay VMEM-resident "
+                        "across every controller attempt instead of ~5 HBM "
+                        "re-reads per attempt (the adaptive pass's "
+                        "bandwidth roofline at the 104-column scale, "
+                        "RESULTS.md); composes with --select-bf16")
     p.add_argument("--select-bf16", action="store_true",
                    help="with --adaptive: pick step sizes with bfloat16 "
                         "weight matrices (halves the HBM traffic of the "
@@ -898,6 +939,7 @@ def main():
                              stochastic=args.stochastic,
                              adaptive=args.adaptive,
                              select_bf16=args.select_bf16,
+                             fused_pass=args.fused_pass,
                              key=jax.random.PRNGKey(1234)
                              if args.stochastic else None)
         out = readout(ys, task.params, task.net)
@@ -923,6 +965,7 @@ def main():
             bptt_every=args.bptt_every,
             clip_grad_norm=args.clip_grad_norm,
             select_bf16=args.select_bf16,
+            fused_pass=args.fused_pass,
         )
     else:
         params, hist = train_parity(
@@ -942,6 +985,7 @@ def main():
             bptt_every=args.bptt_every,
             clip_grad_norm=args.clip_grad_norm,
             select_bf16=args.select_bf16,
+            fused_pass=args.fused_pass,
         )
     final = next(h for h in reversed(hist) if "loss" in h)
     print(f"final loss {final['loss']:.5f} | "

@@ -62,7 +62,8 @@ def batched_rollout(params, task: XORTask, conditions, method="dopri5",
                     adaptive: bool = False, adaptive_rtol: float = 1e-3,
                     adaptive_atol: float = 1e-3,
                     adaptive_max_steps: int = 2048,
-                    adaptive_bptt_every: int | None = None):
+                    adaptive_bptt_every: int | None = None,
+                    fused_pass: bool = False):
     """Integrate the four XOR conditions: (4, 2) -> (4, T, 72).
 
     ``use_fused=True``: one shared-controller Pallas fused dopri5 solve for
@@ -74,11 +75,17 @@ def batched_rollout(params, task: XORTask, conditions, method="dopri5",
     requires ``key``; SRA1 on the fixed dt grid, per-sample Brownian.
     ``adaptive=True`` (with ``stochastic``): adaptive step-doubling SRA1 on
     a virtual-Brownian-tree path with replay gradients (torchsde's
-    ``adaptive=True`` with training support).
+    ``adaptive=True`` with training support). ``fused_pass=True`` (with
+    ``adaptive`` and ``use_fused``) additionally runs the step-size-
+    selection pass in-kernel on the krng Brownian backend (see
+    tasks.parity.batched_rollout).
     """
     from columnflow.solvers import odeint
 
     time_steps = task.ts.shape[0]
+    if fused_pass and not (stochastic and adaptive and use_fused):
+        raise ValueError("fused_pass requires stochastic=True, "
+                         "adaptive=True and use_fused=True")
 
     if stochastic:
         if key is None:
@@ -134,6 +141,7 @@ def batched_rollout(params, task: XORTask, conditions, method="dopri5",
                         differentiable=differentiable, fused=True,
                         nondiff_args=(1, 2),
                         bptt_every=adaptive_bptt_every,
+                        fused_pass=fused_pass,
                     )
                     return ys[:, 0, :]
 
@@ -294,13 +302,14 @@ def xor_targets(conditions):
 
 
 def make_train_step(task: XORTask, use_fused: bool = False,
-                    stochastic: bool = False, adaptive: bool = False):
+                    stochastic: bool = False, adaptive: bool = False,
+                    fused_pass: bool = False):
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, conditions, noise_key=None):
         def loss_fn(p):
             ys = batched_rollout(p, task, conditions, use_fused=use_fused,
                                  stochastic=stochastic, key=noise_key,
-                                 adaptive=adaptive)
+                                 adaptive=adaptive, fused_pass=fused_pass)
             _, loss = readout(ys, xor_targets(conditions))
             return loss
 
@@ -341,6 +350,7 @@ def train_xor(
     use_fused: bool = False,
     stochastic: bool = False,
     adaptive: bool = False,
+    fused_pass: bool = False,
     checkpoint_every: int = 10,
     resume_from: str | None = None,
 ):
@@ -355,7 +365,8 @@ def train_xor(
     task = build_task(cfg, k_build, time_steps=time_steps, max_steps=max_steps)
 
     step_fn = make_train_step(task, use_fused=use_fused,
-                              stochastic=stochastic, adaptive=adaptive)
+                              stochastic=stochastic, adaptive=adaptive,
+                              fused_pass=fused_pass)
     eval_fn = jax.jit(
         lambda p, conds: readout(
             batched_rollout(p, task, conds, differentiable=False),
@@ -446,6 +457,10 @@ def main():
     p.add_argument("--adaptive", action="store_true",
                    help="with --stochastic: adaptive step-doubling SRA1 "
                         "with replay gradients (torchsde adaptive=True)")
+    p.add_argument("--fused-pass", action="store_true",
+                   help="with --adaptive --fused: run the step-size-"
+                        "selection pass in-kernel (VMEM-resident weights, "
+                        "krng Brownian backend)")
     p.add_argument("--resume", default=None, metavar="CKPT",
                    help="resume training from a --checkpoint-out checkpoint")
     args = p.parse_args()
@@ -455,7 +470,9 @@ def main():
                                  seed=args.seed, metrics_path=args.metrics_out,
                                  profile_dir=args.profile_dir,
                                  stochastic=args.stochastic,
-                                 adaptive=args.adaptive)
+                                 adaptive=args.adaptive,
+                                 use_fused=args.fused,
+                                 fused_pass=args.fused_pass)
     else:
         params, hist = train_xor(nr_samples=args.samples, seed=args.seed,
                                  use_fused=args.fused,
@@ -464,6 +481,7 @@ def main():
                                  checkpoint_path=args.checkpoint_out,
                                  stochastic=args.stochastic,
                                  adaptive=args.adaptive,
+                                 fused_pass=args.fused_pass,
                                  resume_from=args.resume)
     print(f"final loss {hist[-1]['loss']:.5f} | acc {hist[-1]['acc']:.2f}")
 

@@ -889,3 +889,149 @@ class TestBatchedReplay:
         ys_old = jax.vmap(one)(stims, keys)
         np.testing.assert_array_equal(np.asarray(ys_new),
                                       np.asarray(ys_old))
+
+
+class TestFusedPass:
+    """In-kernel step-size-selection pass (``fused_pass=True``) and the
+    krng Brownian backend it rides on (``brownian="kernel"``)."""
+
+    def _ou(self):
+        th, s = 1.0, 0.5
+        drift = lambda t, y, th_: -th_ * y
+        diff = lambda t, y, th_: jnp.full_like(y, s)
+        ts = jnp.linspace(0.0, 1.0, 11)
+        theta = jnp.full((1, 4), th)
+        y0 = jnp.ones((1, 4))
+        return drift, diff, y0, ts, theta
+
+    def test_kernel_backend_ou_variance(self):
+        # brownian="kernel" (XLA pass + replay, no Pallas): the krng tree
+        # must integrate as accurately as the jax tree. OU stationary
+        # variance = sig^2 / (2 th) = 0.125.
+        drift = lambda t, y: -y
+        diff = lambda t, y: jnp.full_like(y, 0.5)
+        ts = jnp.linspace(0.0, 4.0, 9)
+
+        def final(key):
+            return sdeint_adaptive(drift, diff, jnp.zeros(()), ts, key,
+                                   method="sra1", rtol=1e-3, atol=1e-3,
+                                   brownian="kernel")[-1]
+
+        keys = jax.random.split(jax.random.PRNGKey(0), 512)
+        finals = jax.vmap(final)(keys)
+        assert abs(float(jnp.var(finals)) - 0.125) < 0.02
+
+    @pytest.mark.parametrize("method", ["euler", "sra1"])
+    def test_fused_pass_matches_xla_pass(self, method):
+        # Interpret-mode kernel pass vs the XLA pass on the SAME krng
+        # Brownian path. The step grids agree until an FMA-contraction ULP
+        # difference flips a near-threshold accept (PI controllers hover at
+        # err ~ 1), after which the two valid controllers walk different
+        # grids — so the pinned property is the documented selection
+        # semantics: both replays are f32 integrations of the SAME path at
+        # the same tolerance, agreeing at tolerance level, with
+        # near-identical step economics.
+        drift, diff, y0, ts, theta = self._ou()
+        key = jax.random.PRNGKey(3)
+        kw = dict(method=method, rtol=1e-3, atol=1e-3, max_steps=512,
+                  differentiable=True, return_stats=True)
+        ys_x, st_x = sdeint_adaptive(drift, diff, y0, ts, key, theta,
+                                     brownian="kernel", **kw)
+        ys_k, st_k = sdeint_adaptive(drift, diff, y0, ts, key, theta,
+                                     fused_pass=True, **kw)
+        assert bool(st_k.success)
+        assert abs(int(st_k.naccept) - int(st_x.naccept)) <= 3
+        assert (int(st_k.naccept) + int(st_k.nreject)
+                <= int(st_x.naccept) + int(st_x.nreject) + 3)
+        # The final output time is an accepted point on BOTH grids — two
+        # valid tol-controlled integrations of the same path agree there at
+        # tolerance level. Interior output points are linear interpolations
+        # between each grid's own accepted points, where the Brownian path
+        # itself wiggles O(sqrt(h) sigma) ~ 0.15 — so only a sanity bound
+        # holds there (same property as torchsde's dense output).
+        np.testing.assert_allclose(np.asarray(ys_k[-1]),
+                                   np.asarray(ys_x[-1]), atol=0.03)
+        np.testing.assert_allclose(np.asarray(ys_k), np.asarray(ys_x),
+                                   atol=0.3)
+
+    def test_fused_pass_first_steps_identical(self):
+        # Before any near-threshold flip the kernel pass IS the XLA pass:
+        # the first accepted step times agree to FMA-contraction ULPs,
+        # pinning that the controller logic is the same computation.
+        from columnflow.solvers import sde_adaptive as sa
+
+        drift, diff, y0, ts, theta = self._ou()
+        key = jax.random.PRNGKey(3)
+        stepper, err_exp, with_i10, doubling = sa._STEPPERS["sra1"]
+        tree, i10_draw = sa._noise_backend(key, ts[0], ts[-1], 20,
+                                           jnp.float32, "kernel")
+        h0 = jnp.asarray((ts[-1] - ts[0]) / (4.0 * ts.shape[0]), jnp.float32)
+        c = sa._adaptive_pass(stepper, err_exp, with_i10, drift, diff, y0,
+                              ts[0], ts[-1], tree, i10_draw, 1e-3, 1e-3, h0,
+                              512, (theta,), controller="pi",
+                              doubling=doubling)
+        st_k, na, nr, ok = sa._adaptive_pass_fused(
+            drift, diff, y0, key, 0.0, 1.0, 1e-3, 1e-3, float(h0), 512, 20,
+            "pi", "sra1", (theta,), interpret=True)
+        np.testing.assert_allclose(np.asarray(st_k)[:4],
+                                   np.asarray(c.step_times)[:4],
+                                   rtol=0, atol=2e-7)
+        assert bool(ok)
+
+    def test_fused_pass_gradients_match_xla_pass(self):
+        # Gradients come from the replay over each pass's frozen grid; two
+        # valid grids at the same tolerance give tolerance-level-equal
+        # gradients on this smooth OU system.
+        drift, diff, y0, ts, theta = self._ou()
+        key = jax.random.PRNGKey(5)
+
+        def loss(th_, fused_pass):
+            ys = sdeint_adaptive(drift, diff, y0, ts, key, th_,
+                                 method="sra1", rtol=1e-3, atol=1e-3,
+                                 max_steps=512, differentiable=True,
+                                 fused_pass=fused_pass, brownian="kernel")
+            return jnp.sum(ys[-1] ** 2)
+
+        g_x = jax.grad(lambda th_: loss(th_, False))(theta)
+        g_k = jax.grad(lambda th_: loss(th_, True))(theta)
+        np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_x),
+                                   rtol=0.05, atol=1e-4)
+
+    def test_fused_pass_inference_and_stats(self):
+        drift, diff, y0, ts, theta = self._ou()
+        key = jax.random.PRNGKey(7)
+        ys, st = sdeint_adaptive(drift, diff, y0, ts, key, theta,
+                                 method="sra1", rtol=1e-3, atol=1e-3,
+                                 max_steps=512, fused_pass=True,
+                                 return_stats=True)
+        assert bool(st.success) and int(st.naccept) > 0
+        assert np.all(np.isfinite(np.asarray(ys)))
+        np.testing.assert_array_equal(np.asarray(ys[0]), np.asarray(y0))
+
+    def test_fused_pass_requires_kernel_backend(self):
+        drift, diff, y0, ts, theta = self._ou()
+        with pytest.raises(ValueError, match="kernel"):
+            sdeint_adaptive(drift, diff, y0, ts, jax.random.PRNGKey(0),
+                            theta, fused_pass=True, brownian="jax")
+
+    def test_batch_fused_pass_matches_vmapped(self):
+        from columnflow.solvers import sdeint_adaptive_batch
+
+        drift, diff, _, ts, theta = self._ou()
+        B = 3
+        y0 = jnp.ones((B, 1, 4)) * jnp.asarray([0.5, 1.0, 1.5]
+                                               ).reshape(B, 1, 1)
+        keys = jax.random.split(jax.random.PRNGKey(11), B)
+        kw = dict(method="sra1", rtol=1e-3, atol=1e-3, max_steps=512)
+        ys_b, st_b = sdeint_adaptive_batch(
+            drift, diff, y0, ts, keys, theta, fused_pass=True,
+            return_stats=True, **kw)
+        ys_v = jax.vmap(
+            lambda y0_b, k: sdeint_adaptive(
+                drift, diff, y0_b, ts, k, theta, differentiable=True,
+                fused_pass=True, **kw)
+        )(y0, keys)
+        np.testing.assert_allclose(np.asarray(ys_b), np.asarray(ys_v),
+                                   rtol=1e-5, atol=1e-7)
+        assert st_b.naccept.shape == (B,)
+        assert bool(jnp.all(st_b.success))

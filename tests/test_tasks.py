@@ -52,6 +52,34 @@ class TestXORTask:
         target = np.tile([0, 0, 1, 1, 0, 0, 0, 0], 2).astype(bool)
         assert np.all(w0[:, ~target] == 0.0)
 
+    def test_fused_pass_rollout_and_grads(self):
+        """--adaptive --fused --fused-pass on XOR: in-kernel selection pass
+        over the kernel-safe batched drift; finite rollout, flowing grads."""
+        from columnflow.config import ColumnConfig
+        from columnflow.tasks import xor as xt
+
+        cfg = ColumnConfig.load()
+        task = xt.build_task(cfg, jax.random.PRNGKey(0), time_steps=60,
+                             max_steps=512)
+        conds = jnp.asarray([[0.0, 1.0], [1.0, 1.0]], jnp.float32)
+        key = jax.random.PRNGKey(3)
+        kw = dict(stochastic=True, adaptive=True, use_fused=True,
+                  fused_pass=True, adaptive_max_steps=512)
+        ys = xt.batched_rollout(task.params, task, conds, key=key,
+                                differentiable=False, **kw)
+        assert ys.shape == (2, 60, 72)
+        assert bool(jnp.all(jnp.isfinite(ys)))
+
+        def loss(p):
+            ys = xt.batched_rollout(p, task, conds, key=key, **kw)
+            _, l = xt.readout(ys, xt.xor_targets(conds))
+            return l
+
+        l, g = jax.jit(jax.value_and_grad(loss))(task.params)
+        assert np.isfinite(float(l))
+        gsum = sum(float(jnp.sum(jnp.abs(v))) for v in g.values())
+        assert np.isfinite(gsum) and gsum > 0.0
+
 
 class TestParityTask:
     def test_smoke(self):
@@ -383,6 +411,56 @@ class TestParityStochastic:
         for k, v in g.items():
             assert bool(jnp.all(jnp.isfinite(v))), k
             assert float(jnp.sum(jnp.abs(v))) > 0.0, k
+
+    @pytest.mark.parametrize("select_bf16", [False, True])
+    def test_fused_pass_rollout_and_grads(self, select_bf16):
+        """--adaptive --fused --fused-pass: the step-size-selection pass
+        runs in-kernel (weights VMEM-resident; krng Brownian backend),
+        composed with f32 and bf16 selection drifts. Rollout finite;
+        gradients flow into every trainable group."""
+        from columnflow.config import ColumnConfig
+        from columnflow.data import make_parity_batch
+        from columnflow.tasks import parity as pt
+
+        cfg = ColumnConfig.load()
+        task = pt.build_task(cfg, jax.random.PRNGKey(0),
+                             columns_per_area=(2, 1), n_inputs=2,
+                             time_steps=60, max_steps=512)
+        stims = make_parity_batch(jax.random.PRNGKey(1), 2, 2)
+        key = jax.random.PRNGKey(5)
+        kw = dict(stochastic=True, adaptive=True, use_fused=True,
+                  fused_pass=True, select_bf16=select_bf16,
+                  adaptive_max_steps=512)
+        ys = pt.batched_rollout(task.params, task, stims, key=key,
+                                differentiable=False, **kw)
+        assert ys.shape == (2, 60, 3 * task.net.num_pops)
+        assert bool(jnp.all(jnp.isfinite(ys)))
+
+        def loss(p):
+            ys = pt.batched_rollout(p, task, stims, key=key, **kw)
+            out = pt.readout(ys, p, task.net)
+            return jnp.mean(jnp.abs(out - pt.parity_targets(stims)))
+
+        l, g = jax.jit(jax.value_and_grad(loss))(task.params)
+        assert np.isfinite(float(l))
+        for k, v in g.items():
+            assert bool(jnp.all(jnp.isfinite(v))), k
+            assert float(jnp.sum(jnp.abs(v))) > 0.0, k
+
+    def test_fused_pass_requires_fused_adaptive(self):
+        from columnflow.config import ColumnConfig
+        from columnflow.data import make_parity_batch
+        from columnflow.tasks import parity as pt
+
+        cfg = ColumnConfig.load()
+        task = pt.build_task(cfg, jax.random.PRNGKey(0),
+                             columns_per_area=(2, 1), n_inputs=2,
+                             time_steps=60, max_steps=512)
+        stims = make_parity_batch(jax.random.PRNGKey(1), 2, 2)
+        with pytest.raises(ValueError, match="fused_pass"):
+            pt.batched_rollout(task.params, task, stims, stochastic=True,
+                               adaptive=True, fused_pass=True,
+                               key=jax.random.PRNGKey(0))
 
     def test_stochastic_rollout_paths(self):
         """Scan and fused SDE paths both produce finite, genuinely noisy

@@ -220,6 +220,59 @@ class TestCompiledAdaptiveReplay:
                                    rtol=1e-3, atol=1e-5)
 
 
+class TestCompiledFusedSelectionPass:
+    """The in-kernel adaptive-SDE step-size-selection pass
+    (``sdeint_adaptive(..., fused_pass=True)``) compiled through Mosaic,
+    vs the XLA pass (``brownian="kernel"``) on the SAME krng Brownian path
+    on-device. Selection-semantics assertions per
+    tests/test_sde_adaptive.py::TestFusedPass (near-threshold accept flips
+    make the two valid grids diverge at ULP level, so step economics and
+    tolerance-level agreement are the pinned properties)."""
+
+    def _ou(self):
+        drift = lambda t, y, th_: -th_ * y
+        diff = lambda t, y, th_: jnp.full_like(y, 0.5)
+        ts = jnp.linspace(0.0, 1.0, 11)
+        theta = jnp.full((1, 4), 1.0)
+        y0 = jnp.ones((1, 4))
+        return drift, diff, y0, ts, theta
+
+    def test_fused_pass_on_device(self):
+        from columnflow.solvers import sdeint_adaptive
+
+        drift, diff, y0, ts, theta = self._ou()
+        key = jax.random.PRNGKey(3)
+        kw = dict(method="sra1", rtol=1e-3, atol=1e-3, max_steps=512,
+                  differentiable=True, return_stats=True)
+        ys_x, st_x = sdeint_adaptive(drift, diff, y0, ts, key, theta,
+                                     brownian="kernel", **kw)
+        ys_k, st_k = sdeint_adaptive(drift, diff, y0, ts, key, theta,
+                                     fused_pass=True, **kw)
+        assert bool(st_k.success)
+        assert abs(int(st_k.naccept) - int(st_x.naccept)) <= 3
+        np.testing.assert_allclose(np.asarray(ys_k[-1]),
+                                   np.asarray(ys_x[-1]), atol=0.03)
+
+    def test_fused_pass_grads_on_device(self):
+        from columnflow.solvers import sdeint_adaptive
+
+        drift, diff, y0, ts, theta = self._ou()
+        key = jax.random.PRNGKey(5)
+
+        def loss(th_, fused_pass):
+            ys = sdeint_adaptive(drift, diff, y0, ts, key, th_,
+                                 method="sra1", rtol=1e-3, atol=1e-3,
+                                 max_steps=512, differentiable=True,
+                                 fused_pass=fused_pass, brownian="kernel")
+            return jnp.sum(ys[-1] ** 2)
+
+        g_x = jax.grad(lambda t: loss(t, False))(theta)
+        g_k = jax.grad(lambda t: loss(t, True))(theta)
+        assert np.all(np.isfinite(np.asarray(g_k)))
+        np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_x),
+                                   rtol=0.05, atol=1e-4)
+
+
 class TestCompiledWTAKernels:
     """Compiled WTA kernels vs the XLA reference path.
 
