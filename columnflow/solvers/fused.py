@@ -699,21 +699,38 @@ def _make_sde_chunk_kernel(drift, diffusion, prep, n_args, chunk, h,
                            t_base, method, variable_h=False):
     """Forward SDE chunk: fixed-grid steps with everything VMEM-resident.
 
-    Inputs: offs (SMEM (1, 1) i32 global step offset), [st (1, chunk+1)
-    step times when ``variable_h``], y_in (S), i1/i10 chunk ((chunk,) + noise
-    shape), arg refs. Outputs: y_out (S), ys (chunk,)+S (states AFTER each
-    step). With ``variable_h`` the per-step t0/h come from the st ref
-    (h == 0 steps are exact no-ops), enabling the adaptive replay to run
-    its frozen non-uniform accepted-step sequence inside the kernel.
+    Inputs: offs (SMEM (1, 1) i32 global step offset), [n (SMEM (1, 1)
+    iteration count) + st (1, chunk+1) step times when ``variable_h`` is
+    True, or + t0s/hs ((chunk,) + TB VMEM per-lane step times/sizes) when
+    ``"lanes"``], y_in (S), i1/i10 chunk ((chunk,) + noise shape), arg
+    refs. Outputs: y_out (S), ys (chunk,)+S (states AFTER each step).
+
+    With ``variable_h`` the per-step t0/h come from the st ref (h == 0
+    steps are exact no-ops), enabling the adaptive replay to run its
+    frozen non-uniform accepted-step sequence inside the kernel. The n
+    count must be 0 (pure-padding chunk: the loop never runs, the carried
+    state passes through, the untouched ys rows are never read
+    downstream) or ``chunk``.
+
+    ``variable_h="lanes"`` is the lane-batched variant: the state S packs
+    B independent lanes on its LEADING axis, and each step reads a
+    per-lane time/size block TB = (B,) + (1,)*(S.ndim-1) that broadcasts
+    against S — B frozen accepted-step grids advance in one kernel, the
+    weight matrices read from HBM once per chunk instead of once per
+    lane per chunk.
     """
-    step = _make_sde_step(drift, diffusion, method, safe_h=variable_h)
+    step = _make_sde_step(drift, diffusion, method, safe_h=bool(variable_h))
 
     def kernel(off_ref, *in_refs):
-        if variable_h:
-            st_ref, y_ref, i1_ref, i10_ref = in_refs[:4]
-            refs = in_refs[4:]
+        st_ref = t0s_ref = hs_ref = None
+        if variable_h == "lanes":
+            n_ref, t0s_ref, hs_ref, y_ref, i1_ref, i10_ref = in_refs[:6]
+            refs = in_refs[6:]
+        elif variable_h:
+            n_ref, st_ref, y_ref, i1_ref, i10_ref = in_refs[:5]
+            refs = in_refs[5:]
         else:
-            st_ref = None
+            n_ref = None
             y_ref, i1_ref, i10_ref = in_refs[:3]
             refs = in_refs[3:]
         arg_refs = refs[:n_args]
@@ -723,7 +740,10 @@ def _make_sde_chunk_kernel(drift, diffusion, prep, n_args, chunk, h,
             t_off = off_ref[0, 0].astype(jnp.float32) * h + t_base
 
         def body(k, y):
-            if variable_h:
+            if variable_h == "lanes":
+                t0 = t0s_ref[k]
+                hk = hs_ref[k]
+            elif variable_h:
                 t0 = st_ref[0, k]
                 hk = st_ref[0, k + 1] - t0
             else:
@@ -733,7 +753,19 @@ def _make_sde_chunk_kernel(drift, diffusion, prep, n_args, chunk, h,
             ys_ref[k] = y1
             return y1
 
-        yout_ref[:] = jax.lax.fori_loop(0, chunk, body, y_ref[:])
+        n_iter = chunk if n_ref is None else n_ref[0, 0]
+        y_fin = jax.lax.fori_loop(0, n_iter, body, y_ref[:])
+        yout_ref[:] = y_fin
+        if n_ref is not None:
+            # Skipped-chunk rows (n == 0) hold the carried state — exactly
+            # the h == 0 no-op semantics — so downstream reads (the outer
+            # arg-grad sweep linearizes at these states) see finite,
+            # correct padding values instead of uninitialized memory.
+            def fill(k, _):
+                ys_ref[k] = y_fin
+                return 0
+
+            jax.lax.fori_loop(n_iter, chunk, fill, 0)
 
     return kernel, step
 
@@ -756,11 +788,15 @@ def _make_sde_bwd_chunk_kernel(step, prep, n_args, chunk, h, t_base,
     """
 
     def kernel(off_ref, *in_refs):
-        if variable_h:
-            st_ref = in_refs[0]
-            in_refs = in_refs[1:]
+        st_ref = t0s_ref = hs_ref = None
+        if variable_h == "lanes":
+            n_ref, t0s_ref, hs_ref = in_refs[:3]
+            in_refs = in_refs[3:]
+        elif variable_h:
+            n_ref, st_ref = in_refs[:2]
+            in_refs = in_refs[2:]
         else:
-            st_ref = None
+            n_ref = None
         ysprev_ref, ysbar_ref, ybar_ref, i1_ref, i10_ref = in_refs[:5]
         refs = in_refs[5:]
         arg_refs = refs[:n_args]
@@ -780,7 +816,10 @@ def _make_sde_bwd_chunk_kernel(step, prep, n_args, chunk, h, t_base,
         def body(kk, carry):
             ybar, abars = carry
             k = chunk - 1 - kk
-            if variable_h:
+            if variable_h == "lanes":
+                t0 = t0s_ref[k]
+                hk = hs_ref[k]
+            elif variable_h:
                 t0 = st_ref[0, k]
                 hk = st_ref[0, k + 1] - t0
             else:
@@ -806,7 +845,23 @@ def _make_sde_bwd_chunk_kernel(step, prep, n_args, chunk, h, t_base,
             abars = tuple(a + g for a, g in zip(abars, grads[1:]))
             return (grads[0], abars)
 
-        ybar, abars = jax.lax.fori_loop(0, chunk, body,
+        # n == 0 (pure-padding chunk, n is 0 or chunk): ybar passes
+        # through, arg accumulators stay zero, emit rows untouched (never
+        # read — the outer arg-grad sweep is linear in the seeds and the
+        # padded rows carry zero seeds). The count skips the TOP of the
+        # chunk, which is why partial counts are not supported.
+        n_iter = chunk if n_ref is None else n_ref[0, 0]
+        if emit_steps:
+            # Padded emit rows ARE read by the outer step-batched arg-grad
+            # sweep (it is gated per BLOCK, not per solver chunk, and the
+            # two grids differ) — zero-fill so skipped chunks contribute
+            # exact zeros rather than garbage.
+            def zfill(k, _):
+                ybarsteps_ref[k] = jnp.zeros_like(ybar_ref[:])
+                return 0
+
+            jax.lax.fori_loop(n_iter, chunk, zfill, 0)
+        ybar, abars = jax.lax.fori_loop(0, n_iter, body,
                                         (ybar_ref[:], abar0))
         ybarout_ref[:] = ybar
         for r, a in zip(abar_refs, abars):
@@ -832,6 +887,7 @@ def sdeint_fused(
     interpret: bool = False,
     ts_steps=None,
     bptt_every: int | None = None,
+    n_real=None,
 ):
     """Fixed-grid Ito SDE integration, every step loop a Pallas kernel.
 
@@ -859,6 +915,28 @@ def sdeint_fused(
     (per-interval i1/i10, leading axis n_steps) is required. Returns the
     state at every ts_steps point.
 
+    A 2-D ``ts_steps`` of shape (B, n_steps + 1) selects LANE-BATCHED
+    variable-step mode: ``y0``'s leading axis packs B independent lanes,
+    each advancing its OWN step grid row — one kernel sweep for the whole
+    batch, reading the weight matrices from HBM once per chunk instead of
+    once per lane per chunk (the batched adaptive replay's engine). The
+    per-step t0/h enter the step functions shaped (B,) + (1,)*(y0.ndim-1),
+    so drift/diffusion must broadcast a per-lane time against the state
+    (true of any model whose time dependence is elementwise/interpolation,
+    e.g. ``network_drift_premixed`` + ``interp_knots``). ``noise_pack``
+    i1/i10 are per-lane, shape (n_steps, B) (or broadcastable to
+    (n_steps,) + y0.shape); padded rows must carry h == 0 AND zero noise.
+    ``ys[i, b]`` is lane b's state at ITS OWN ``ts_steps[b, i]``.
+
+    ``n_real`` (variable-step modes only): traced count of leading REAL
+    steps — everything beyond it must be h == 0 padding. Solver chunks
+    past it are skipped at runtime inside the kernels (loop count 0; with
+    the default max_steps safety margin that is a third or more of the
+    sweep). Per-sample replays pass 2*naccept (per-lane under vmap);
+    the lane-batched replay passes the batch max. Skipped rows still
+    return the carried state (the h == 0 no-op semantics), so the
+    solution values are identical with or without ``n_real``.
+
     ``bptt_every=W`` truncates reverse-mode gradient chains every ~W steps
     (the solver chunk is capped at W and truncation lands on chunk
     boundaries): the state cotangent is zeroed there in the backward
@@ -881,7 +959,15 @@ def sdeint_fused(
         if noise_pack is None:
             raise ValueError("ts_steps mode requires an explicit noise_pack")
         ts_steps = jnp.asarray(ts_steps, y0.dtype)
-        n_steps = int(ts_steps.shape[0]) - 1
+        if ts_steps.ndim == 2:
+            variable_h = "lanes"
+            if int(ts_steps.shape[0]) != int(y0.shape[0]):
+                raise ValueError(
+                    f"lane-batched ts_steps rows ({ts_steps.shape[0]}) must "
+                    f"match y0's leading lane axis ({y0.shape[0]})")
+            n_steps = int(ts_steps.shape[1]) - 1
+        else:
+            n_steps = int(ts_steps.shape[0]) - 1
         h = None
         t_base = None
     else:
@@ -913,6 +999,20 @@ def sdeint_fused(
                                                 nondiff_args, prepare)
     n_args = len(dyn)
     S = y0.shape
+
+    # Lane-batched per-step times/sizes: (n_steps,) + TB where
+    # TB = (B,) + (1,)*(y0.ndim-1) broadcasts against the state inside the
+    # step functions. Per-sample variable mode keeps its scalar st track.
+    if variable_h == "lanes":
+        tb = (S[0],) + (1,) * (y0.ndim - 1)
+        t0s_all = jnp.reshape(ts_steps[:, :-1].T, (n_steps,) + tb)
+        hs_all = jnp.reshape((ts_steps[:, 1:] - ts_steps[:, :-1]).T,
+                             (n_steps,) + tb)
+    if variable_h:
+        n_real_arr = jnp.asarray(n_steps if n_real is None else n_real,
+                                 jnp.int32)
+    elif n_real is not None:
+        raise ValueError("n_real applies to variable-step modes only")
 
     if arg_grads == "auto":
         diff_bytes = sum(dyn[i].dtype.itemsize * int(np.prod(dyn[i].shape))
@@ -958,10 +1058,17 @@ def sdeint_fused(
     # st (1, chunk+1) travels in SMEM: the kernels read it only at dynamic
     # scalar indices (st_ref[0, k]), which Mosaic rejects for VMEM vectors
     # ("cannot statically prove that index ... is a multiple of 1024").
-    # offs/st are 2-D so their SMEM blocks survive vmap batching (the
+    # offs/n/st are 2-D so their SMEM blocks survive vmap batching (the
     # per-sample adaptive replay vmaps this whole solver; Mosaic requires
-    # a batched block's trailing dims to equal the array's).
-    n_extra = 1 if variable_h else 0
+    # a batched block's trailing dims to equal the array's). Lane-batched
+    # per-step t0/h blocks are VMEM (read at dynamic LEADING indices,
+    # which is fine) — SMEM would need scalar-assembled vectors.
+    if variable_h == "lanes":
+        n_smem, n_vmem_extra = 2, 2
+    elif variable_h:
+        n_smem, n_vmem_extra = 3, 0
+    else:
+        n_smem, n_vmem_extra = 1, 0
 
     def make_calls(c):
         fwd_kernel, step = _make_sde_chunk_kernel(
@@ -973,8 +1080,8 @@ def sdeint_fused(
             fwd_kernel,
             out_shape=(jax.ShapeDtypeStruct(S, y0.dtype),
                        jax.ShapeDtypeStruct((c,) + S, y0.dtype)),
-            in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)] * (1 + n_extra)
-                      + [_VMEM()] * (3 + n_args)),
+            in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)] * n_smem
+                      + [_VMEM()] * (n_vmem_extra + 3 + n_args)),
             out_specs=(_VMEM(), _VMEM()),
             interpret=interpret,
         )
@@ -985,9 +1092,8 @@ def sdeint_fused(
                                            variable_h=variable_h),
                 out_shape=(jax.ShapeDtypeStruct(S, y0.dtype),
                            jax.ShapeDtypeStruct((c,) + S, y0.dtype)),
-                in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
-                          * (1 + n_extra)
-                          + [_VMEM()] * (5 + n_args)),
+                in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)] * n_smem
+                          + [_VMEM()] * (n_vmem_extra + 5 + n_args)),
                 out_specs=(_VMEM(), _VMEM()),
                 interpret=interpret,
             )
@@ -1000,31 +1106,49 @@ def sdeint_fused(
                            + tuple(jax.ShapeDtypeStruct(dyn[i].shape,
                                                         dyn[i].dtype)
                                    for i in diff_idx)),
-                in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
-                          * (1 + n_extra)
-                          + [_VMEM()] * (5 + n_args)),
+                in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)] * n_smem
+                          + [_VMEM()] * (n_vmem_extra + 5 + n_args)),
                 out_specs=(_VMEM(),) * (1 + len(diff_idx)),
                 interpret=interpret,
             )
         return fwd, bwd
 
-    def st_slice(st, start, c):
+    def var_extras(noise, start, c):
+        """The variable-mode kernel inputs after offs: the (1, 1) SMEM
+        iteration count (0 for chunks whose first step is already past the
+        real range — pure h = 0 padding, skipped at runtime) and the
+        per-chunk step-time blocks."""
         if not variable_h:
             return ()
+        n_r = noise[-1]
+        n_c = jnp.where(jnp.asarray(start) < n_r, c, 0).astype(
+            jnp.int32).reshape(1, 1)
+        if variable_h == "lanes":
+            t0s, hs = noise[2], noise[3]
+            return (n_c,
+                    jax.lax.dynamic_slice_in_dim(t0s, start, c),
+                    jax.lax.dynamic_slice_in_dim(hs, start, c))
         # (1, c+1): 2-D so the SMEM block survives vmap batching —
         # the batched block's trailing dims must equal the array's
         # (Mosaic's last-two-dims rule; same reason offs is (1, 1)).
-        return (jax.lax.dynamic_slice(st, (start,), (c + 1,))[None, :],)
+        st = noise[2]
+        return (n_c,
+                jax.lax.dynamic_slice(st, (start,), (c + 1,))[None, :])
 
     fwd_call, bwd_call = make_calls(chunk)
     if rem:
         fwd_rem, bwd_rem = make_calls(rem)
 
-    # The noise pack (and variable-step times) travel through the
-    # custom_vjp as a formal argument, NOT a closure: a closed-over tracer
-    # in the bwd rule leaks under vmap (per-sample adaptive replays vmap
-    # this whole solver).
-    noise_res = (i1, i10, ts_steps) if variable_h else (i1, i10)
+    # The noise pack (and variable-step times + real-step count) travel
+    # through the custom_vjp as a formal argument, NOT a closure: a
+    # closed-over tracer in the bwd rule leaks under vmap (per-sample
+    # adaptive replays vmap this whole solver).
+    if variable_h == "lanes":
+        noise_res = (i1, i10, t0s_all, hs_all, n_real_arr)
+    elif variable_h:
+        noise_res = (i1, i10, ts_steps, n_real_arr)
+    else:
+        noise_res = (i1, i10)
 
     @jax.custom_vjp
     def rollout(y0, noise, *dyn):
@@ -1032,21 +1156,20 @@ def sdeint_fused(
 
     def _fwd_impl(y0, noise, *dyn):
         i1, i10 = noise[0], noise[1]
-        st = noise[2] if variable_h else None
 
         def body(y, c):
             off = (c * chunk).reshape(1, 1).astype(jnp.int32)
             i1_c = jax.lax.dynamic_slice_in_dim(i1, c * chunk, chunk)
             i10_c = jax.lax.dynamic_slice_in_dim(i10, c * chunk, chunk)
-            y1, ys_c = fwd_call(off, *st_slice(st, c * chunk, chunk), y,
-                                i1_c, i10_c, *dyn)
+            y1, ys_c = fwd_call(off, *var_extras(noise, c * chunk, chunk),
+                                y, i1_c, i10_c, *dyn)
             return y1, ys_c
 
         y_last, chunks = jax.lax.scan(body, y0, jnp.arange(n_full))
         ys = chunks.reshape((n_full * chunk,) + S)
         if rem:
             off = jnp.asarray([[n_full * chunk]], jnp.int32)
-            _, ys_r = fwd_rem(off, *st_slice(st, n_full * chunk, rem),
+            _, ys_r = fwd_rem(off, *var_extras(noise, n_full * chunk, rem),
                               y_last, i1[n_full * chunk:],
                               i10[n_full * chunk:], *dyn)
             ys = jnp.concatenate([ys, ys_r], axis=0)
@@ -1056,16 +1179,22 @@ def sdeint_fused(
         ys = _fwd_impl(y0, noise, *dyn)
         return ys, (ys, noise, dyn)
 
-    def _outer_sde_arg_grads(ys_prev, seeds, dyn_args, i1, i10, st):
+    def _outer_sde_arg_grads(ys_prev, seeds, dyn_args, i1, i10, noise):
         """Arg gradients as step-batched VJPs outside the kernels.
 
         ``seeds`` are the total per-step output cotangents emitted by the
         state-only backward kernel — the same seed the in-kernel path feeds
         its vjp, so gradients match up to fp reassociation. The vjp is
-        linear in the seed, so zero-padded steps contribute exact zeros.
+        linear in the seed, so zero-padded steps contribute exact zeros
+        (skipped-chunk rows carry kernel-zero-filled seeds), and blocks
+        fully past ``n_real`` are skipped at runtime.
         """
         step = step_fns[chunk]
-        if variable_h:
+        n_r = noise[-1] if variable_h else None
+        if variable_h == "lanes":
+            t0s, hs = noise[2], noise[3]
+        elif variable_h:
+            st = noise[2]
             t0s = st[:-1]
             hs = st[1:] - st[:-1]
         else:
@@ -1093,11 +1222,20 @@ def sdeint_fused(
                                         padz(i1), padz(i10), padz(seeds))
 
         def blk(acc, b):
-            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, b * blk_n, blk_n)
-            g = jax.vmap(one)(sl(t0p), sl(hp), sl(ysp), sl(i1p), sl(i10p),
-                              sl(sdp))
-            return jax.tree_util.tree_map(
-                lambda a, gg: a + jnp.sum(gg, 0), acc, g), None
+            def run(acc):
+                sl = lambda a: jax.lax.dynamic_slice_in_dim(a, b * blk_n,
+                                                            blk_n)
+                g = jax.vmap(one)(sl(t0p), sl(hp), sl(ysp), sl(i1p),
+                                  sl(i10p), sl(sdp))
+                return jax.tree_util.tree_map(
+                    lambda a, gg: a + jnp.sum(gg, 0), acc, g)
+
+            if n_r is None:
+                return run(acc), None
+            # Blocks fully past the real-step range carry zero seeds —
+            # skip them at runtime (scalar predicate -> real branch).
+            return jax.lax.cond(b * blk_n < n_r, run, lambda a: a,
+                                acc), None
 
         init = tuple(jnp.zeros(dyn_args[i].shape, dyn_args[i].dtype)
                      for i in diff_idx)
@@ -1107,7 +1245,6 @@ def sdeint_fused(
     def bwd(res, ys_bar):
         ys, noise, dyn = res
         i1, i10 = noise[0], noise[1]
-        st = noise[2] if variable_h else None
         noise_zeros = jax.tree_util.tree_map(jnp.zeros_like, noise)
         ys_prev = ys[:-1]  # state BEFORE each step
         ysbar_steps = ys_bar[1:]
@@ -1118,7 +1255,7 @@ def sdeint_fused(
             if rem:
                 off = jnp.asarray([[n_full * chunk]], jnp.int32)
                 ybar, seeds_rem = bwd_rem(
-                    off, *st_slice(st, n_full * chunk, rem),
+                    off, *var_extras(noise, n_full * chunk, rem),
                     ys_prev[n_full * chunk:],
                     ysbar_steps[n_full * chunk:], ybar,
                     i1[n_full * chunk:], i10[n_full * chunk:], *dyn)
@@ -1133,17 +1270,17 @@ def sdeint_fused(
                                                    chunk)
                 ysb = jax.lax.dynamic_slice_in_dim(ysbar_steps, ci * chunk,
                                                    chunk)
-                ybar_new, seeds_c = bwd_call(off, *st_slice(st, ci * chunk,
-                                                            chunk),
-                                             ysp, ysb, ybar, i1_c,
-                                             i10_c, *dyn)
+                ybar_new, seeds_c = bwd_call(
+                    off, *var_extras(noise, ci * chunk, chunk),
+                    ysp, ysb, ybar, i1_c, i10_c, *dyn)
                 return _trunc(ci, ybar_new), seeds_c
 
             ybar, seeds_rev = jax.lax.scan(body, ybar, jnp.arange(n_full))
             seeds = jnp.flip(seeds_rev, 0).reshape((n_full * chunk,) + S)
             if rem:
                 seeds = jnp.concatenate([seeds, seeds_rem], axis=0)
-            abars = _outer_sde_arg_grads(ys_prev, seeds, dyn, i1, i10, st)
+            abars = _outer_sde_arg_grads(ys_prev, seeds, dyn, i1, i10,
+                                         noise)
             ybar = ybar + ys_bar[0]
             full = [jnp.zeros(a.shape, a.dtype) for a in dyn]
             for i, g in zip(diff_idx, abars):
@@ -1153,7 +1290,7 @@ def sdeint_fused(
         abars = tuple(jnp.zeros(dyn[i].shape, dyn[i].dtype) for i in diff_idx)
         if rem:
             off = jnp.asarray([[n_full * chunk]], jnp.int32)
-            out = bwd_rem(off, *st_slice(st, n_full * chunk, rem),
+            out = bwd_rem(off, *var_extras(noise, n_full * chunk, rem),
                           ys_prev[n_full * chunk:],
                           ysbar_steps[n_full * chunk:], ybar,
                           i1[n_full * chunk:], i10[n_full * chunk:], *dyn)
@@ -1168,8 +1305,8 @@ def sdeint_fused(
             i10_c = jax.lax.dynamic_slice_in_dim(i10, ci * chunk, chunk)
             ysp = jax.lax.dynamic_slice_in_dim(ys_prev, ci * chunk, chunk)
             ysb = jax.lax.dynamic_slice_in_dim(ysbar_steps, ci * chunk, chunk)
-            out = bwd_call(off, *st_slice(st, ci * chunk, chunk), ysp, ysb,
-                           ybar, i1_c, i10_c, *dyn)
+            out = bwd_call(off, *var_extras(noise, ci * chunk, chunk), ysp,
+                           ysb, ybar, i1_c, i10_c, *dyn)
             abars = tuple(a + g for a, g in zip(abars, out[1:]))
             return (_trunc(ci, out[0]), abars), None
 

@@ -532,3 +532,138 @@ class TestFusedMilstein:
         for k in gs:
             np.testing.assert_allclose(np.asarray(gf[k]), np.asarray(gs[k]),
                                        rtol=1e-4, atol=1e-5, err_msg=k)
+
+
+class TestLaneBatchedVariableStep:
+    """2-D ``ts_steps`` (B, n+1): B independent frozen step grids advance
+    in ONE kernel sweep (the batched adaptive replay's engine). Must equal
+    the per-sample variable-step solves lane for lane — values and
+    gradients — and ``n_real`` tail skipping must not change either."""
+
+    B, n, S = 3, 12, 4
+    reals = (12, 7, 4)  # real steps per lane; rest is h == 0 padding
+
+    def _setup(self, with_i10):
+        key = jax.random.PRNGKey(0)
+        # Lane b covers [0, 1] in reals[b] equal steps, then h = 0 padding.
+        st = jnp.stack([
+            jnp.minimum(jnp.arange(self.n + 1, dtype=jnp.float32), k) / k
+            for k in self.reals
+        ])                                                    # (B, n+1)
+        mask = (st[:, 1:] > st[:, :-1]).astype(jnp.float32).T  # (n, B)
+        i1 = 0.2 * jax.random.normal(key, (self.n, self.B)) * mask
+        if with_i10:
+            hs = (st[:, 1:] - st[:, :-1]).T
+            i10 = hs * (0.5 * i1 + 0.1 * jax.random.normal(
+                jax.random.fold_in(key, 1), (self.n, self.B)) * mask)
+        else:
+            i10 = jnp.zeros_like(i1)
+        y0 = jnp.linspace(0.5, 1.5, self.B * self.S).reshape(self.B, self.S)
+        th = jnp.full((self.S,), 1.1)
+        return st, i1, i10, y0, th
+
+    # Time enters the drift so per-lane t broadcasting (B, 1) is exercised.
+    drift = staticmethod(lambda t, y, th: -th * y + 0.3 * t)
+    diff = staticmethod(lambda t, y, th: 0.5 * jnp.ones_like(y))
+
+    def _lanes(self, method, st, i1, i10, y0, th, **kw):
+        from columnflow.solvers.fused import sdeint_fused
+
+        return sdeint_fused(self.drift, self.diff, y0, None, None, th,
+                            method=method, noise_pack=(i1, i10),
+                            ts_steps=st, interpret=True, **kw)
+
+    def _per_sample(self, method, st, i1, i10, y0, th, **kw):
+        from columnflow.solvers.fused import sdeint_fused
+
+        def one(st_b, i1_b, i10_b, y0_b):
+            return sdeint_fused(self.drift, self.diff, y0_b, None, None, th,
+                                method=method, noise_pack=(i1_b, i10_b),
+                                ts_steps=st_b, interpret=True, **kw)
+
+        return jax.vmap(one, in_axes=(0, 1, 1, 0), out_axes=1)(
+            st, i1, i10, y0)
+
+    @pytest.mark.parametrize("method", ["euler", "srk"])
+    def test_matches_per_sample_solves(self, method):
+        st, i1, i10, y0, th = self._setup(with_i10=(method == "srk"))
+        ys_l = self._lanes(method, st, i1, i10, y0, th)
+        ys_p = self._per_sample(method, st, i1, i10, y0, th)
+        assert ys_l.shape == (self.n + 1, self.B, self.S)
+        np.testing.assert_allclose(np.asarray(ys_l), np.asarray(ys_p),
+                                   rtol=1e-6, atol=1e-7)
+
+    @pytest.mark.parametrize("method", ["euler", "srk"])
+    def test_gradients_match_per_sample(self, method):
+        st, i1, i10, y0, th = self._setup(with_i10=(method == "srk"))
+
+        def loss_l(y0, th):
+            return jnp.sum(self._lanes(method, st, i1, i10, y0, th) ** 2)
+
+        def loss_p(y0, th):
+            return jnp.sum(self._per_sample(method, st, i1, i10, y0,
+                                            th) ** 2)
+
+        gl = jax.grad(loss_l, argnums=(0, 1))(y0, th)
+        gp = jax.grad(loss_p, argnums=(0, 1))(y0, th)
+        for a, b in zip(gl, gp):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.parametrize("chunk", [5, None])
+    def test_n_real_skip_is_transparent(self, chunk):
+        # Chunks past n_real are skipped at runtime; values, padded-row
+        # states (carried state) and gradients are identical.
+        st, i1, i10, y0, th = self._setup(with_i10=True)
+        kw = dict(chunk=chunk)
+
+        def loss(y0, th, n_real):
+            ys = self._lanes("srk", st, i1, i10, y0, th,
+                             n_real=n_real, **kw)
+            return jnp.sum(ys ** 2), ys
+
+        (l_all, ys_all), g_all = jax.value_and_grad(
+            lambda a, b: loss(a, b, None), argnums=(0, 1),
+            has_aux=True)(y0, th)
+        (l_sk, ys_sk), g_sk = jax.value_and_grad(
+            lambda a, b: loss(a, b, jnp.int32(max(self.reals))),
+            argnums=(0, 1), has_aux=True)(y0, th)
+        np.testing.assert_allclose(np.asarray(ys_sk), np.asarray(ys_all),
+                                   rtol=1e-6, atol=1e-7)
+        assert l_all == l_sk
+        for a, b in zip(g_sk, g_all):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_n_real_per_sample_vmapped(self):
+        # Per-sample variable mode under vmap: each lane skips ITS OWN
+        # tail (n_real batches like the other scalars).
+        from columnflow.solvers.fused import sdeint_fused
+
+        st, i1, i10, y0, th = self._setup(with_i10=False)
+
+        def one(st_b, i1_b, i10_b, y0_b, n_b):
+            return sdeint_fused(self.drift, self.diff, y0_b, None, None,
+                                th, method="euler",
+                                noise_pack=(i1_b, i10_b), ts_steps=st_b,
+                                interpret=True, chunk=4, n_real=n_b)
+
+        n_bs = jnp.asarray(self.reals, jnp.int32)
+        ys_sk = jax.vmap(one, in_axes=(0, 1, 1, 0, 0), out_axes=1)(
+            st, i1, i10, y0, n_bs)
+        ys_all = self._per_sample("euler", st, i1, i10, y0, th)
+        np.testing.assert_allclose(np.asarray(ys_sk), np.asarray(ys_all),
+                                   rtol=1e-6, atol=1e-7)
+
+    def test_shape_validation(self):
+        from columnflow.solvers.fused import sdeint_fused
+
+        st, i1, i10, y0, th = self._setup(with_i10=False)
+        with pytest.raises(ValueError, match="lane"):
+            sdeint_fused(self.drift, self.diff, y0[:2], None, None, th,
+                         method="euler", noise_pack=(i1, i10), ts_steps=st,
+                         interpret=True)
+        with pytest.raises(ValueError, match="n_real"):
+            sdeint_fused(self.drift, self.diff, y0, jnp.linspace(0, 1, 5),
+                         jax.random.PRNGKey(0), th, method="euler",
+                         n_real=4, interpret=True)
