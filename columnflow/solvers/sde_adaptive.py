@@ -423,9 +423,77 @@ def _replay_pass_fused(method, with_i10, drift, diffusion, y0, ts,
         method=_FUSED_METHOD[method], noise_pack=(dw, i10), ts_steps=ht,
         interpret=interpret, nondiff_args=nondiff_args, prepare=prepare,
         bptt_every=None if bptt_every is None else 2 * bptt_every,
+        # Solver chunks past the accepted range are h == 0 padding — the
+        # kernels skip them at runtime (per sample under vmap: each lane
+        # skips its OWN tail, beyond what batch-max gating could do).
+        n_real=2 * naccept,
     )                                             # (2*max_steps + 1,) + S
     ys_acc = ys_h[::2]                            # states at accepted points
     return _interp_accepted(ys_acc, y0, ts, step_times, naccept)
+
+
+def _replay_pass_fused_batch(method, with_i10, drift, diffusion, y0, ts,
+                             step_times, naccept, max_steps, keys, args,
+                             brownian, levy_depth, t_start, t_end,
+                             interpret=None, nondiff_args=(), prepare=None,
+                             bptt_every=None):
+    """Batched replay: B frozen accepted-step grids advance in ONE
+    lane-batched kernel sweep (``sdeint_fused`` 2-D ``ts_steps`` mode) —
+    the weight matrices are read from HBM once per chunk for the whole
+    batch, where a vmapped per-sample replay runs the kernels once per
+    lane. ``drift``/``diffusion`` are the LANE-MERGED kernel-safe
+    formulation: state (B,) + lane state, per-step t entering as (B, 1)
+    (broadcast against the state — true of the premixed column drifts,
+    whose only time dependence is ``interp_knots``). Noise per lane comes
+    from each lane's own Brownian tree at its own half-step grid, exactly
+    the per-sample fused replay's draws, so trajectories match
+    ``vmap(sdeint_adaptive(fused=True))`` to fp reassociation.
+
+    Shared-tail skip: chunks past 2*max(naccept) are h == 0 padding for
+    EVERY lane and are skipped at runtime (``n_real``); per-lane padding
+    inside that range is exact-no-op h == 0 steps.
+    """
+    from columnflow.solvers.fused import sdeint_fused
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    dtype = y0.dtype
+    st = step_times                                   # (B, max_steps + 1)
+    hs_b = st[:, 1:] - st[:, :-1]
+    mids = st[:, :-1] + 0.5 * hs_b
+    ht = jnp.concatenate(
+        [jnp.stack([st[:, :-1], mids], axis=2).reshape(st.shape[0], -1),
+         st[:, -1:]], axis=1)                         # (B, 2*max_steps + 1)
+
+    def per_lane(key_b, ht_b):
+        tree, i10_draw = _noise_backend(key_b, t_start, t_end, levy_depth,
+                                        dtype, brownian)
+        w = jax.vmap(tree.evaluate)(ht_b)
+        dw = w[1:] - w[:-1]
+        if with_i10:
+            za = jax.vmap(i10_draw)(ht_b[:-1], ht_b[1:]).astype(dtype)
+            hh = ht_b[1:] - ht_b[:-1]
+            i10 = hh * (0.5 * dw + jnp.sqrt(hh / 12.0) * za)
+        else:
+            i10 = jnp.zeros_like(dw)
+        return dw, i10
+
+    dw, i10 = jax.vmap(per_lane)(keys, ht)            # (B, 2*max_steps)
+    dw = jax.lax.stop_gradient(dw).T                  # (2*max_steps, B)
+    i10 = jax.lax.stop_gradient(i10).T
+
+    ys_h = sdeint_fused(
+        drift, diffusion, y0, None, None, *args,
+        method=_FUSED_METHOD[method], noise_pack=(dw, i10), ts_steps=ht,
+        interpret=interpret, nondiff_args=nondiff_args, prepare=prepare,
+        bptt_every=None if bptt_every is None else 2 * bptt_every,
+        n_real=2 * jnp.max(naccept),
+    )                                    # (2*max_steps + 1, B) + lane state
+    ys_acc = ys_h[::2]
+    return jax.vmap(
+        lambda ya, y0_b, st_b, na: _interp_accepted(ya, y0_b, ts, st_b, na),
+        in_axes=(1, 0, 0, 0),
+    )(ys_acc, y0, st, naccept)                        # (B, len(ts)) + state
 
 
 def _make_sde_adaptive_kernel(drift, diffusion, prep, n_args, method,
@@ -829,6 +897,14 @@ def sdeint_adaptive_batch(
     replay_chunk: int = 256,
     fused_pass: bool = False,
     brownian: str | None = None,
+    fused: bool = False,
+    fused_drift: Callable | None = None,
+    fused_diffusion: Callable | None = None,
+    fused_args: tuple | None = None,
+    fused_y0: jax.Array | None = None,
+    nondiff_args: tuple = (),
+    prepare: Callable | None = None,
+    interpret: bool | None = None,
 ):
     """Batched differentiable adaptive SDE integration: ``y0`` (B,) + state,
     ``keys`` (B,) PRNG keys (one Brownian path per sample), returning ys
@@ -853,6 +929,20 @@ def sdeint_adaptive_batch(
     kernel (vmapped over the batch; see ``sdeint_adaptive``) — requires
     concrete ``ts``, kernel-safe selection drift/diffusion, and implies
     ``brownian="kernel"``.
+
+    ``fused=True`` runs the REPLAY as one lane-batched kernel sweep
+    (``_replay_pass_fused_batch``): every lane's frozen grid advances in
+    the same Pallas kernels, reading the weight matrices from HBM once per
+    chunk for the whole batch — where ``vmap(sdeint_adaptive(fused=True))``
+    runs the kernels once per lane. The replay integrates the LANE-MERGED
+    kernel-safe formulation ``fused_drift``/``fused_diffusion`` over state
+    ``fused_y0`` ((B,) + merged lane state, default ``y0``), with per-step
+    times entering as (B, 1) broadcasts; ``fused_args`` (default ``args``)
+    must carry any per-lane data lane-stacked (e.g. a (K, B, n) knot
+    table). Defaults suit elementwise drifts, which broadcast both ways.
+    Selection (and its stats) is unchanged. Noise draws equal the
+    per-sample fused replay's, so trajectories match
+    ``vmap(sdeint_adaptive(fused=True))`` to fp reassociation.
     """
     if controller not in ("i", "pi"):
         raise ValueError(f"unknown step controller: {controller!r}")
@@ -920,6 +1010,22 @@ def sdeint_adaptive_batch(
                                jax.lax.stop_gradient(t1s) >= t_end)
     step_times = jax.lax.stop_gradient(step_times)     # (B, max_steps + 1)
     naccept = jax.lax.stop_gradient(naccept)           # (B,)
+
+    # --- lane-batched kernel replay (one sweep for all frozen grids) ------
+    if fused:
+        ys = _replay_pass_fused_batch(
+            method, with_i10,
+            drift if fused_drift is None else fused_drift,
+            diffusion if fused_diffusion is None else fused_diffusion,
+            y0 if fused_y0 is None else fused_y0,
+            ts, step_times, naccept, max_steps, keys,
+            args if fused_args is None else fused_args,
+            brownian, levy_depth, t_start, t_end, interpret=interpret,
+            nondiff_args=nondiff_args, prepare=prepare,
+            bptt_every=bptt_every)
+        if return_stats:
+            return ys, stats
+        return ys
 
     # --- batched replay over the frozen grids, chunk-gated on max(naccept) -
     def per_sample_i10(key_b, a, b):

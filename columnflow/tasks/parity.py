@@ -250,35 +250,42 @@ def batched_rollout(params, task: ParityTask, stims_raw, method="dopri5",
                                 interp_knots(t_, kts, v),
                         )
 
-                def one_adaptive_fused(stim_raw, k):
-                    _, kvals = step_table_knots(time_steps, dt,
-                                                jnp.zeros_like(stim_raw),
-                                                stim_raw)
-                    # The premixed drift is batched (kernel-safe 2-D dots);
-                    # each per-sample adaptive solve carries a singleton
-                    # batch axis.
-                    ys = sdeint_adaptive(
-                        a_drift, a_diff, jnp.zeros((1, state_dim)), task.ts,
-                        k, pw, fc, kvals[:, None, :],
-                        method="sra1", rtol=adaptive_rtol,
-                        atol=adaptive_atol, max_steps=adaptive_max_steps,
-                        differentiable=differentiable, fused=True,
-                        nondiff_args=(1, 2), prepare=prepare_premixed_split,
-                        bptt_every=adaptive_bptt_every,
-                        select_drift=s_drift if select_bf16 else None,
-                        select_args=(pw16, fc, kvals[:, None, :])
-                        if select_bf16 else None,
-                        fused_pass=fused_pass,
-                        # In-kernel f32 selection needs the same hoisted
-                        # hi/mid/lo weight split as the replay kernels; the
-                        # bf16 selection drift takes pw16 unsplit.
-                        select_prepare=(None if select_bf16
-                                        else prepare_premixed_split)
-                        if fused_pass else None,
-                    )
-                    return ys[:, 0, :]
+                from columnflow.solvers import sdeint_adaptive_batch
 
-                return jax.vmap(one_adaptive_fused)(stims_raw, keys)
+                # Per-lane selection (each sample its own controller on a
+                # (1, P) singleton-batch state) + ONE lane-batched kernel
+                # replay over all frozen grids: the weight matrices are
+                # read from HBM once per chunk for the whole batch, where
+                # the earlier vmap-of-per-sample form ran the replay
+                # kernels once per lane (equality with that form is
+                # CI-pinned at the solver level,
+                # tests/test_sde_adaptive.py::TestBatchedFusedReplay).
+                kvals_all = jax.vmap(
+                    lambda s: step_table_knots(time_steps, dt,
+                                               jnp.zeros_like(s), s)[1]
+                )(stims_raw)                            # (B, 4, n_in)
+                ys = sdeint_adaptive_batch(
+                    a_drift, a_diff, jnp.zeros((B, 1, state_dim)), task.ts,
+                    keys, pw, fc,
+                    batch_args=(kvals_all[:, :, None, :],),
+                    method="sra1", rtol=adaptive_rtol, atol=adaptive_atol,
+                    max_steps=adaptive_max_steps,
+                    bptt_every=adaptive_bptt_every,
+                    select_drift=s_drift if select_bf16 else None,
+                    select_args=(pw16, fc) if select_bf16 else None,
+                    # In-kernel f32 selection needs the same hoisted
+                    # hi/mid/lo weight split as the replay kernels; the
+                    # bf16 selection drift takes pw16 unsplit.
+                    select_prepare=(None if select_bf16
+                                    else prepare_premixed_split)
+                    if fused_pass else None,
+                    fused_pass=fused_pass,
+                    fused=True, fused_drift=a_drift, fused_diffusion=a_diff,
+                    fused_args=(pw, fc, jnp.moveaxis(kvals_all, 0, 1)),
+                    fused_y0=jnp.zeros((B, state_dim)),
+                    nondiff_args=(1, 2), prepare=prepare_premixed_split,
+                )                                       # (B, T, 3P)
+                return ys if differentiable else jax.lax.stop_gradient(ys)
 
             if select_bf16:
                 from columnflow.models.network import (

@@ -128,24 +128,36 @@ def batched_rollout(params, task: XORTask, conditions, method="dopri5",
                     return jnp.where(idx < 24, XOR_NOISE_STD, 0.0
                                      ).astype(y.dtype)
 
-                def one_adaptive_fused(cond, k):
+                from columnflow.solvers import sdeint_adaptive_batch
+
+                # Per-lane selection + ONE lane-batched kernel replay over
+                # all frozen grids (see tasks.parity.batched_rollout;
+                # equality with the vmapped per-sample form is CI-pinned,
+                # tests/test_sde_adaptive.py::TestBatchedFusedReplay).
+                def lane_knots(cond):
                     table = prep_xor_stim(cond, time_steps)
                     on_vals = table[-1].reshape(1, 32)
-                    _, kvals = step_table_knots(
-                        time_steps, dt, jnp.zeros_like(on_vals), on_vals)
-                    ys = sdeint_adaptive(
-                        a_drift, a_diff, jnp.zeros((1, XOR_STATE_DIM)),
-                        task.ts, k, pf, fc, kvals,
-                        method="sra1", rtol=adaptive_rtol,
-                        atol=adaptive_atol, max_steps=adaptive_max_steps,
-                        differentiable=differentiable, fused=True,
-                        nondiff_args=(1, 2),
-                        bptt_every=adaptive_bptt_every,
-                        fused_pass=fused_pass,
-                    )
-                    return ys[:, 0, :]
+                    return step_table_knots(time_steps, dt,
+                                            jnp.zeros_like(on_vals),
+                                            on_vals)[1]   # (4, 1, 32)
 
-                return jax.vmap(one_adaptive_fused)(conditions, keys)
+                kvals_all = jax.vmap(lane_knots)(conditions)  # (B, 4, 1, 32)
+                B = conditions.shape[0]
+                ys = sdeint_adaptive_batch(
+                    a_drift, a_diff, jnp.zeros((B, 1, XOR_STATE_DIM)),
+                    task.ts, keys, pf, fc,
+                    batch_args=(kvals_all,),
+                    method="sra1", rtol=adaptive_rtol, atol=adaptive_atol,
+                    max_steps=adaptive_max_steps,
+                    bptt_every=adaptive_bptt_every,
+                    fused_pass=fused_pass,
+                    fused=True, fused_drift=a_drift, fused_diffusion=a_diff,
+                    fused_args=(pf, fc,
+                                jnp.moveaxis(kvals_all[:, :, 0, :], 0, 1)),
+                    fused_y0=jnp.zeros((B, XOR_STATE_DIM)),
+                    nondiff_args=(1, 2),
+                )                                         # (B, T, 72)
+                return ys if differentiable else jax.lax.stop_gradient(ys)
 
             if differentiable:
                 # Batched replay with the padding-tail chunk skip (see

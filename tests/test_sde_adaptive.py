@@ -1035,3 +1035,109 @@ class TestFusedPass:
                                    rtol=1e-5, atol=1e-7)
         assert st_b.naccept.shape == (B,)
         assert bool(jnp.all(st_b.success))
+
+
+class TestBatchedFusedReplay:
+    """``sdeint_adaptive_batch(fused=True)``: one lane-batched kernel sweep
+    replays every sample's frozen grid. Must match
+    ``vmap(sdeint_adaptive(fused=True))`` — same selection grids, same
+    per-lane tree/I10 draws — to fp reassociation, values and gradients."""
+
+    drift = staticmethod(lambda t, y, th: -th * y + 0.2 * t)
+    diff = staticmethod(lambda t, y, th: 0.5 * jnp.ones_like(y))
+    ts = jnp.linspace(0.0, 1.0, 9)
+
+    def _batch(self):
+        B = 3
+        y0 = jnp.ones((B, 4)) * jnp.asarray([0.5, 1.0, 1.5]).reshape(B, 1)
+        keys = jax.random.split(jax.random.PRNGKey(11), B)
+        th = jnp.full((4,), 1.1)
+        return y0, keys, th
+
+    @pytest.mark.parametrize("method", ["euler", "sra1"])
+    def test_matches_vmapped_per_sample_fused(self, method):
+        from columnflow.solvers import sdeint_adaptive_batch
+
+        y0, keys, th = self._batch()
+        kw = dict(method=method, rtol=1e-3, atol=1e-3, max_steps=256)
+        ys_b, st_b = sdeint_adaptive_batch(
+            self.drift, self.diff, y0, self.ts, keys, th, fused=True,
+            return_stats=True, **kw)
+        ys_v = jax.vmap(
+            lambda y0_b, k: sdeint_adaptive(
+                self.drift, self.diff, y0_b, self.ts, k, th,
+                differentiable=True, fused=True, **kw)
+        )(y0, keys)
+        np.testing.assert_allclose(np.asarray(ys_b), np.asarray(ys_v),
+                                   rtol=1e-5, atol=1e-6)
+        assert bool(jnp.all(st_b.success))
+
+    def test_gradients_match_vmapped(self):
+        from columnflow.solvers import sdeint_adaptive_batch
+
+        y0, keys, th = self._batch()
+        kw = dict(method="sra1", rtol=1e-3, atol=1e-3, max_steps=256)
+
+        def loss_b(th):
+            ys = sdeint_adaptive_batch(self.drift, self.diff, y0, self.ts,
+                                       keys, th, fused=True, **kw)
+            return jnp.sum(ys[:, -1] ** 2)
+
+        def loss_v(th):
+            ys = jax.vmap(
+                lambda y0_b, k: sdeint_adaptive(
+                    self.drift, self.diff, y0_b, self.ts, k, th,
+                    differentiable=True, fused=True, **kw)
+            )(y0, keys)
+            return jnp.sum(ys[:, -1] ** 2)
+
+        gb = jax.grad(loss_b)(th)
+        gv = jax.grad(loss_v)(th)
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(gv),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_bptt_window_matches_vmapped(self):
+        from columnflow.solvers import sdeint_adaptive_batch
+
+        y0, keys, th = self._batch()
+        kw = dict(method="sra1", rtol=1e-3, atol=1e-3, max_steps=256,
+                  bptt_every=4)
+
+        def loss_b(th):
+            ys = sdeint_adaptive_batch(self.drift, self.diff, y0, self.ts,
+                                       keys, th, fused=True, **kw)
+            return jnp.sum(ys[:, -1] ** 2)
+
+        def loss_v(th):
+            ys = jax.vmap(
+                lambda y0_b, k: sdeint_adaptive(
+                    self.drift, self.diff, y0_b, self.ts, k, th,
+                    differentiable=True, fused=True, **kw)
+            )(y0, keys)
+            return jnp.sum(ys[:, -1] ** 2)
+
+        (vb, gb) = jax.value_and_grad(loss_b)(th)
+        (vv, gv) = jax.value_and_grad(loss_v)(th)
+        np.testing.assert_allclose(float(vb), float(vv), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(gv),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_composes_with_fused_pass_selection(self):
+        # In-kernel per-lane selection + one lane-batched replay sweep.
+        from columnflow.solvers import sdeint_adaptive_batch
+
+        y0, keys, th = self._batch()
+        y0 = y0[:, None, :]                    # (B, 1, 4) kernel lane shape
+        kw = dict(method="sra1", rtol=1e-3, atol=1e-3, max_steps=256)
+        ys_b, st_b = sdeint_adaptive_batch(
+            self.drift, self.diff, y0, self.ts, keys, th, fused=True,
+            fused_pass=True, fused_y0=y0[:, 0, :], return_stats=True, **kw)
+        ys_v = jax.vmap(
+            lambda y0_b, k: sdeint_adaptive(
+                self.drift, self.diff, y0_b, self.ts, k, th,
+                differentiable=True, fused=True, fused_pass=True, **kw)
+        )(y0, keys)
+        np.testing.assert_allclose(np.asarray(ys_b),
+                                   np.asarray(ys_v[:, :, 0, :]),
+                                   rtol=1e-5, atol=1e-6)
+        assert bool(jnp.all(st_b.success))

@@ -373,3 +373,42 @@ class TestCompiledWTAKernels:
                                         tables, ts, i1, i10, chunk=32)
         want = wta_rollout_reference(params, area, tables, ts, i1, i10)
         assert _scale_rel(got, want) < 3e-2
+
+
+class TestCompiledBatchedFusedReplay:
+    """The lane-batched fused replay (sdeint_fused 2-D ts_steps mode)
+    compiled through Mosaic: one kernel sweep over all frozen grids, vs
+    the vmapped per-sample fused replay on-device."""
+
+    def test_batch_matches_vmapped_values_and_grads(self):
+        from columnflow.solvers import sdeint_adaptive, sdeint_adaptive_batch
+
+        drift = lambda t, y, th: -th * y + 0.2 * t
+        diff = lambda t, y, th: 0.5 * jnp.ones_like(y)
+        ts = jnp.linspace(0.0, 1.0, 9)
+        B = 3
+        y0 = jnp.ones((B, 4)) * jnp.asarray([0.5, 1.0, 1.5]).reshape(B, 1)
+        keys = jax.random.split(jax.random.PRNGKey(11), B)
+        kw = dict(method="sra1", rtol=1e-3, atol=1e-3, max_steps=256)
+
+        def loss_b(th):
+            ys = sdeint_adaptive_batch(drift, diff, y0, ts, keys, th,
+                                       fused=True, **kw)
+            return jnp.sum(ys[:, -1] ** 2), ys
+
+        def loss_v(th):
+            # The vmapped per-sample kernels need the (1, S) lane layout
+            # (a vmapped ref must be >= 2-D unbatched — CLAUDE.md rules).
+            ys = jax.vmap(
+                lambda y0_b, k: sdeint_adaptive(
+                    drift, diff, y0_b[None], ts, k, th, differentiable=True,
+                    fused=True, **kw)[:, 0, :])(y0, keys)
+            return jnp.sum(ys[:, -1] ** 2), ys
+
+        th0 = jnp.full((4,), 1.1)
+        (lb, ys_b), gb = jax.value_and_grad(loss_b, has_aux=True)(th0)
+        (lv, ys_v), gv = jax.value_and_grad(loss_v, has_aux=True)(th0)
+        np.testing.assert_allclose(np.asarray(ys_b), np.asarray(ys_v),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(gv),
+                                   rtol=1e-3, atol=1e-5)
