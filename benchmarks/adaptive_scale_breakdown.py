@@ -16,9 +16,12 @@ Reference points (RESULTS.md, real v5e chip). f32 selection, round-2
 baseline: XLA 3.2/7.5/12.3 s, fused 3.3/3.6/4.0 s — the fused backward is
 0.41 s as kernels vs 4.8 s as an XLA scan, while the shared adaptive pass
 (~3.2 s) sits at ~75% of the HBM bandwidth roofline for its algorithm.
-With --select-bf16: B=1 XLA 1.50/3.17/5.02 vs --fused-pass 0.64/0.28/0.70
-(in-kernel selection, 7.1x end-to-end); B=4 XLA 0.30/0.61/1.48 vs
---fused-pass 0.76/1.02/3.21 (batched XLA matmuls win the trainer case).
+With --select-bf16 and the lane-batched kernel replay (the fused rows'
+engine): B=1 XLA 1.50/3.17/5.02 vs --fused-pass 0.22/0.22/0.50 (10x);
+B=4 XLA 0.30/0.61/1.48-1.63 vs fused 0.34/0.34/1.09 (XLA selection +
+lane-batched replay, the trainer default) vs --fused-pass
+0.59/0.59/1.33 (per-lane selection kernels lose to the batched XLA
+pass at B=4).
 """
 
 from __future__ import annotations
