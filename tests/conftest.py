@@ -50,6 +50,22 @@ def pytest_configure(config):
         config.option.markexpr = "tpu"
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled-executable state after each test module.
+
+    A full-suite run performs thousands of XLA CPU compilations in one
+    process; with all executables retained, the compiler eventually
+    segfaults deep into the run (observed at ~75% in
+    jax compiler.backend_compile_and_load — process-history-dependent:
+    every module passes in isolation). Dropping the in-memory caches at
+    module teardown keeps the compiler healthy; cross-module cache hits
+    are rare, so the runtime cost is noise.
+    """
+    yield
+    jax.clear_caches()
+
+
 def pytest_collection_modifyitems(config, items):
     if TPU_TIER and jax.default_backend() != "cpu":
         return

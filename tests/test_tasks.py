@@ -186,12 +186,18 @@ class TestParityTask:
 
         calls = []
         real = solvers.sdeint_adaptive
+        real_b = solvers.sdeint_adaptive_batch
 
         def spy(*a, **kw):
             calls.append(1)
             return real(*a, **kw)
 
+        def spy_b(*a, **kw):
+            calls.append(1)
+            return real_b(*a, **kw)
+
         monkeypatch.setattr(solvers, "sdeint_adaptive", spy)
+        monkeypatch.setattr(solvers, "sdeint_adaptive_batch", spy_b)
         cfg = ColumnConfig.load()
         task = pt.build_task(cfg, jax.random.PRNGKey(0),
                              columns_per_area=(2, 1), n_inputs=2,
