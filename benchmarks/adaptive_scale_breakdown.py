@@ -45,6 +45,9 @@ def main():
                     help="run the step-size-selection pass in-kernel "
                          "(weights VMEM-resident across controller "
                          "attempts); applies to the fused rows only")
+    ap.add_argument("--grad-bf16", action="store_true",
+                    help="bf16-matmul weight-gradient VJPs in the outer "
+                         "sweep (fused rows only; values stay f32)")
     ap.add_argument("--select-bf16", action="store_true",
                     help="pick step sizes with bf16 weight matrices (halves "
                          "the adaptive pass's HBM traffic; replay stays f32)")
@@ -83,13 +86,14 @@ def main():
         fwd = jax.jit(lambda p, k: pt.batched_rollout(
             p, task, stims, stochastic=True, adaptive=True, use_fused=fused,
             key=k, differentiable=False, select_bf16=args.select_bf16,
-            fused_pass=fp))
+            fused_pass=fp, grad_bf16=args.grad_bf16 and fused))
         t_pass = timeit(fwd, task.params, key)
 
         replay = jax.jit(lambda p, k: pt.batched_rollout(
             p, task, stims, stochastic=True, adaptive=True, use_fused=fused,
             key=k, differentiable=True, select_bf16=args.select_bf16,
-            fused_pass=fp, adaptive_bptt_every=args.bptt_every))
+            fused_pass=fp, grad_bf16=args.grad_bf16 and fused,
+            adaptive_bptt_every=args.bptt_every))
         t_replay = timeit(replay, task.params, key)
 
         def loss(p, k):
@@ -98,6 +102,7 @@ def main():
                                     differentiable=True,
                                     select_bf16=args.select_bf16,
                                     fused_pass=fp,
+                                    grad_bf16=args.grad_bf16 and fused,
                                     adaptive_bptt_every=args.bptt_every)
             return jnp.sum(ys[:, -1, :] ** 2)
 
@@ -108,6 +113,7 @@ def main():
             "row": f"adaptive_breakdown_{engine}",
             "batch": args.batch,
             "select_bf16": args.select_bf16,
+            "grad_bf16": args.grad_bf16,
             "columns_per_area": list(cpa),
             "state_dim": 3 * task.net.num_pops,
             "pass_s": round(t_pass, 4),

@@ -451,6 +451,40 @@ def prepare_premixed_split(pw, fc, *rest):
              "iwT": pw["iwT"]}, fc) + rest
 
 
+def network_drift_premixed_gradbf16(t, y, pw, fc: dict, stim: Stimulus,
+                                    interp_fn=interp_at):
+    """``network_drift_premixed`` with the weight matmuls cast to bf16
+    IN-FUNCTION (f32 accumulation, single native MXU pass) — the
+    ``vjp_drift`` substitute for the fused solvers' outer arg-gradient
+    sweep. Gradients flow to the ORIGINAL f32 ``pw`` leaves through the
+    casts, so the weight-gradient GEMMs run at bf16 matmul precision
+    (standard mixed-precision training practice) instead of the
+    f32-emulating 6-pass split — the dominant term of the 104-column
+    backward (RESULTS.md). Values/state-cotangents elsewhere stay exact.
+    """
+    P = fc["bg"].shape[0]
+    v, a, r = y[:, :P], y[:, P : 2 * P], y[:, 2 * P :]
+    fr = compute_firing_rate(v - a)
+
+    ext = interp_fn(t, stim.t0, stim.dt, stim.table)  # (B, n_inputs)
+
+    f32 = jnp.float32
+    current = (
+        jnp.matmul(fr.astype(jnp.bfloat16), pw["wT"].astype(jnp.bfloat16),
+                   preferred_element_type=f32)
+        + jnp.matmul(ext.astype(jnp.bfloat16),
+                     pw["iwT"].astype(jnp.bfloat16),
+                     preferred_element_type=f32)
+        + fc["bg"][None, :]
+    )
+    total = current * fc["tau_syn"]
+
+    dv = (-v + total * fc["resistance"]) / fc["tau_mem"]
+    da = (-a + fc["adapt"][None, :] * fr) / fc["tau_adapt"]
+    dr = (-r + fr) / fc["tau_syn"]
+    return jnp.concatenate([dv, da, dr], axis=1)
+
+
 def network_drift_premixed(t, y, pw, fc: dict, stim: Stimulus,
                            interp_fn=interp_at):
     """``network_drift_batched`` with pre-mixed weights: y (B, 3P),

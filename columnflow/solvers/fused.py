@@ -888,6 +888,9 @@ def sdeint_fused(
     ts_steps=None,
     bptt_every: int | None = None,
     n_real=None,
+    vjp_drift: Callable | None = None,
+    vjp_diffusion: Callable | None = None,
+    vjp_prepare: Callable | None = None,
 ):
     """Fixed-grid Ito SDE integration, every step loop a Pallas kernel.
 
@@ -936,6 +939,17 @@ def sdeint_fused(
     the lane-batched replay passes the batch max. Skipped rows still
     return the carried state (the h == 0 no-op semantics), so the
     solution values are identical with or without ``n_real``.
+
+    ``vjp_drift``/``vjp_diffusion`` (+ optional ``vjp_prepare``), with
+    ``arg_grads="outer"``: a cheaper drift formulation used ONLY inside
+    the outer step-batched ARG-gradient VJPs. Values, the in-kernel
+    state-cotangent sweep, and the seeds all stay on the exact drift;
+    only the (d step / d args)^T contraction evaluates the substitute —
+    e.g. a bf16-matmul variant whose weight-gradient GEMMs run in one
+    native MXU pass instead of the f32-emulating 6-pass split (the
+    dominant term of the 104-column backward, RESULTS.md). Must consume
+    the SAME ``args`` (gradients flow to the original leaves, chaining
+    through any in-function casts).
 
     ``bptt_every=W`` truncates reverse-mode gradient chains every ~W steps
     (the solver chunk is capped at W and truncation lands on chunk
@@ -997,6 +1011,20 @@ def sdeint_fused(
         drift, args, nondiff_args, prepare)
     wrapped_diff, _, _, _ = _flatten_for_kernel(diffusion, args,
                                                 nondiff_args, prepare)
+    vjp_step = vjp_prep = None
+    if vjp_drift is not None:
+        if vjp_diffusion is None:
+            # The step evaluates drift and diffusion on ONE prepared-args
+            # tuple; a fallback to the exact diffusion would hand it
+            # vjp_prepare'd args. Require the pair.
+            raise ValueError("vjp_drift requires vjp_diffusion (both "
+                             "consume the vjp_prepare'd args)")
+        v_drift, vjp_prep, _, _ = _flatten_for_kernel(
+            vjp_drift, args, nondiff_args, vjp_prepare)
+        v_diff, _, _, _ = _flatten_for_kernel(
+            vjp_diffusion, args, nondiff_args, vjp_prepare)
+        vjp_step = _make_sde_step(v_drift, v_diff, method,
+                                  safe_h=bool(variable_h))
     n_args = len(dyn)
     S = y0.shape
 
@@ -1021,12 +1049,17 @@ def sdeint_fused(
         # cotangent output batches to a (B, n) block under vmap, which
         # fails Mosaic's trailing-dims rule — the outer path emits only
         # >=2-D step cotangents, so vmapped compiled solves keep working.
+        # A vjp substitute also forces "outer" (it is where it applies).
         arg_grads = ("outer"
                      if (diff_bytes > (1 << 20)
+                         or vjp_drift is not None
                          or any(dyn[i].ndim < 2 for i in diff_idx))
                      else "kernel")
     if not diff_idx:
         arg_grads = "kernel"
+    if vjp_drift is not None and arg_grads != "outer":
+        raise ValueError("vjp_drift applies to the outer arg-gradient "
+                         f"sweep only (arg_grads resolved to {arg_grads!r})")
 
     if bptt_every is not None and bptt_every < 1:
         raise ValueError(f"bptt_every must be >= 1, got {bptt_every}")
@@ -1187,9 +1220,12 @@ def sdeint_fused(
         its vjp, so gradients match up to fp reassociation. The vjp is
         linear in the seed, so zero-padded steps contribute exact zeros
         (skipped-chunk rows carry kernel-zero-filled seeds), and blocks
-        fully past ``n_real`` are skipped at runtime.
+        fully past ``n_real`` are skipped at runtime. With ``vjp_drift``
+        set, the contraction evaluates the substitute formulation (the
+        seeds and states are still the exact solve's).
         """
-        step = step_fns[chunk]
+        step = step_fns[chunk] if vjp_step is None else vjp_step
+        prep_a = prep if vjp_prep is None else vjp_prep
         n_r = noise[-1] if variable_h else None
         if variable_h == "lanes":
             t0s, hs = noise[2], noise[3]
@@ -1206,7 +1242,7 @@ def sdeint_fused(
                 full = list(dyn_args)
                 for i, v in zip(diff_idx, diff_vals):
                     full[i] = v
-                return step(t0k, hk, yk, i1k, i10k, prep(tuple(full)))
+                return step(t0k, hk, yk, i1k, i10k, prep_a(tuple(full)))
 
             _, vjp = jax.vjp(stepfn, *(dyn_args[i] for i in diff_idx))
             return vjp(seedk)

@@ -380,7 +380,8 @@ _FUSED_METHOD = {"sra1": "srk", "euler": "euler", "milstein": "milstein"}
 def _replay_pass_fused(method, with_i10, drift, diffusion, y0, ts,
                        step_times, naccept, max_steps, tree, i10_draw, args,
                        interpret=None, nondiff_args=(), prepare=None,
-                       bptt_every=None):
+                       bptt_every=None, vjp_drift=None, vjp_diffusion=None,
+                       vjp_prepare=None):
     """The replay sweep as Pallas kernels: the frozen accepted-step
     sequence's 2*max_steps half steps are one non-uniform fixed grid, run
     through ``sdeint_fused(ts_steps=...)`` (per-step t0/h read inside the
@@ -427,6 +428,8 @@ def _replay_pass_fused(method, with_i10, drift, diffusion, y0, ts,
         # kernels skip them at runtime (per sample under vmap: each lane
         # skips its OWN tail, beyond what batch-max gating could do).
         n_real=2 * naccept,
+        vjp_drift=vjp_drift, vjp_diffusion=vjp_diffusion,
+        vjp_prepare=vjp_prepare,
     )                                             # (2*max_steps + 1,) + S
     ys_acc = ys_h[::2]                            # states at accepted points
     return _interp_accepted(ys_acc, y0, ts, step_times, naccept)
@@ -436,7 +439,8 @@ def _replay_pass_fused_batch(method, with_i10, drift, diffusion, y0, ts,
                              step_times, naccept, max_steps, keys, args,
                              brownian, levy_depth, t_start, t_end,
                              interpret=None, nondiff_args=(), prepare=None,
-                             bptt_every=None):
+                             bptt_every=None, vjp_drift=None,
+                             vjp_diffusion=None, vjp_prepare=None):
     """Batched replay: B frozen accepted-step grids advance in ONE
     lane-batched kernel sweep (``sdeint_fused`` 2-D ``ts_steps`` mode) —
     the weight matrices are read from HBM once per chunk for the whole
@@ -488,6 +492,8 @@ def _replay_pass_fused_batch(method, with_i10, drift, diffusion, y0, ts,
         interpret=interpret, nondiff_args=nondiff_args, prepare=prepare,
         bptt_every=None if bptt_every is None else 2 * bptt_every,
         n_real=2 * jnp.max(naccept),
+        vjp_drift=vjp_drift, vjp_diffusion=vjp_diffusion,
+        vjp_prepare=vjp_prepare,
     )                                    # (2*max_steps + 1, B) + lane state
     ys_acc = ys_h[::2]
     return jax.vmap(
@@ -695,6 +701,9 @@ def sdeint_adaptive(
     controller: str = "pi",
     fused_pass: bool = False,
     brownian: str | None = None,
+    vjp_drift: Callable | None = None,
+    vjp_diffusion: Callable | None = None,
+    vjp_prepare: Callable | None = None,
 ):
     """Adaptive Ito SDE integration with scalar noise on [ts[0], ts[-1]].
 
@@ -763,6 +772,11 @@ def sdeint_adaptive(
     (default) the jax.random ``VirtualBrownianTree``; ``"kernel"`` the
     krng-based ``KernelBrownianTree`` (same algorithm in Mosaic-legal
     ops — a different, equally distributed realization per key).
+
+    ``vjp_drift``/``vjp_diffusion`` (+ ``vjp_prepare``), with ``fused``:
+    a cheaper formulation used ONLY for the replay's outer step-batched
+    ARG-gradient VJPs (``sdeint_fused`` docs) — e.g. bf16-matmul weight
+    gradients at large scale; values and state cotangents stay exact.
     """
     if bptt_every is not None and bptt_every < 1:
         raise ValueError(f"bptt_every must be >= 1, got {bptt_every}")
@@ -799,7 +813,9 @@ def sdeint_adaptive(
                     method, with_i10, drift, diffusion, y0, ts, step_times,
                     naccept, max_steps, tree, i10_draw, args,
                     interpret=interpret, nondiff_args=nondiff_args,
-                    prepare=prepare, bptt_every=bptt_every)
+                    prepare=prepare, bptt_every=bptt_every,
+                    vjp_drift=vjp_drift, vjp_diffusion=vjp_diffusion,
+                    vjp_prepare=vjp_prepare)
             else:
                 ys = _replay_pass(stepper, with_i10, drift, diffusion, y0,
                                   ts, step_times, naccept, max_steps, tree,
@@ -832,7 +848,10 @@ def sdeint_adaptive(
                                     ts, step_times, naccept, max_steps, tree,
                                     i10_draw, args, interpret=interpret,
                                     nondiff_args=nondiff_args,
-                                    prepare=prepare, bptt_every=bptt_every)
+                                    prepare=prepare, bptt_every=bptt_every,
+                                    vjp_drift=vjp_drift,
+                                    vjp_diffusion=vjp_diffusion,
+                                    vjp_prepare=vjp_prepare)
         else:
             ys = _replay_pass(stepper, with_i10, drift, diffusion, y0, ts,
                               step_times, naccept, max_steps, tree, i10_draw,
@@ -905,6 +924,9 @@ def sdeint_adaptive_batch(
     nondiff_args: tuple = (),
     prepare: Callable | None = None,
     interpret: bool | None = None,
+    vjp_drift: Callable | None = None,
+    vjp_diffusion: Callable | None = None,
+    vjp_prepare: Callable | None = None,
 ):
     """Batched differentiable adaptive SDE integration: ``y0`` (B,) + state,
     ``keys`` (B,) PRNG keys (one Brownian path per sample), returning ys
@@ -1022,7 +1044,8 @@ def sdeint_adaptive_batch(
             args if fused_args is None else fused_args,
             brownian, levy_depth, t_start, t_end, interpret=interpret,
             nondiff_args=nondiff_args, prepare=prepare,
-            bptt_every=bptt_every)
+            bptt_every=bptt_every, vjp_drift=vjp_drift,
+            vjp_diffusion=vjp_diffusion, vjp_prepare=vjp_prepare)
         if return_stats:
             return ys, stats
         return ys

@@ -86,7 +86,8 @@ def batched_rollout(params, task: ParityTask, stims_raw, method="dopri5",
                     adaptive_max_steps: int | None = None,
                     adaptive_bptt_every: int | None = None,
                     select_bf16: bool = False,
-                    fused_pass: bool = False):
+                    fused_pass: bool = False,
+                    grad_bf16: bool = False):
     """Integrate a batch of input patterns: (B, n_inputs) -> (B, T, 3P).
 
     ``adaptive_max_steps=None`` uses ``task.max_steps`` — ONE solver step
@@ -128,6 +129,14 @@ def batched_rollout(params, task: ParityTask, stims_raw, method="dopri5",
     The replay (values AND gradients) still integrates the full-precision
     drift over the frozen accepted-step grid.
 
+    ``grad_bf16=True`` (with ``adaptive`` and ``use_fused``) computes the
+    replay's WEIGHT-gradient VJPs through a bf16-matmul drift (f32
+    accumulation, one native MXU pass instead of the f32-emulating 6-pass
+    split) — the dominant term of the 104-column backward (RESULTS.md).
+    Values, the step grids, and the state-cotangent sweep stay exact f32;
+    only d loss/d weights is at bf16 matmul precision (standard
+    mixed-precision practice). Composes with ``select_bf16``/``fused_pass``.
+
     ``fused_pass=True`` (with ``adaptive`` and ``use_fused``) runs the
     step-size-selection pass itself as one Pallas kernel per sample
     (``sdeint_adaptive(fused_pass=True)``): the selection drift's weight
@@ -149,6 +158,10 @@ def batched_rollout(params, task: ParityTask, stims_raw, method="dopri5",
                          "adaptive=True and use_fused=True (the in-kernel "
                          "selection pass needs the kernel-safe premixed "
                          "drift formulation)")
+    if grad_bf16 and not (stochastic and adaptive and use_fused):
+        raise ValueError("grad_bf16 requires stochastic=True, adaptive=True "
+                         "and use_fused=True (it substitutes the outer "
+                         "arg-gradient sweep of the fused replay)")
 
     if stochastic:
         if key is None:
@@ -264,6 +277,18 @@ def batched_rollout(params, task: ParityTask, stims_raw, method="dopri5",
                     lambda s: step_table_knots(time_steps, dt,
                                                jnp.zeros_like(s), s)[1]
                 )(stims_raw)                            # (B, 4, n_in)
+                if grad_bf16:
+                    from columnflow.models.network import (
+                        network_drift_premixed_gradbf16,
+                    )
+
+                    def g_drift(t, y, pw, fc, kv):
+                        return network_drift_premixed_gradbf16(
+                            t, y, pw, fc, Stimulus(0.0, dt, kv),
+                            interp_fn=lambda t_, t0_, dt_, v:
+                                interp_knots(t_, kts, v),
+                        )
+
                 ys = sdeint_adaptive_batch(
                     a_drift, a_diff, jnp.zeros((B, 1, state_dim)), task.ts,
                     keys, pw, fc,
@@ -284,6 +309,8 @@ def batched_rollout(params, task: ParityTask, stims_raw, method="dopri5",
                     fused_args=(pw, fc, jnp.moveaxis(kvals_all, 0, 1)),
                     fused_y0=jnp.zeros((B, state_dim)),
                     nondiff_args=(1, 2), prepare=prepare_premixed_split,
+                    vjp_drift=g_drift if grad_bf16 else None,
+                    vjp_diffusion=a_diff if grad_bf16 else None,
                 )                                       # (B, T, 3P)
                 return ys if differentiable else jax.lax.stop_gradient(ys)
 
@@ -439,7 +466,8 @@ def _step_core(task: ParityTask, use_fused: bool = False,
                reference_rails: bool = False, loss_scale: float = 1.0,
                bptt_every: int | None = None,
                clip_grad_norm: float | None = None,
-               select_bf16: bool = False, fused_pass: bool = False):
+               select_bf16: bool = False, fused_pass: bool = False,
+               grad_bf16: bool = False):
     """``loss_scale`` scales the loss before backprop and unscales the
     gradients after — mathematically a no-op, but it keeps intermediate
     cotangents inside the f32 range. Needed at the 104-column adaptive
@@ -463,7 +491,8 @@ def _step_core(task: ParityTask, use_fused: bool = False,
                                  adaptive=adaptive,
                                  adaptive_bptt_every=bptt_every,
                                  select_bf16=select_bf16,
-                                 fused_pass=fused_pass)
+                                 fused_pass=fused_pass,
+                                 grad_bf16=grad_bf16)
             out = readout(ys, p, task.net)
             loss = jnp.mean(jnp.abs(out - parity_targets(stims_raw)))
             return loss * loss_scale, (out, loss)
@@ -517,10 +546,12 @@ def make_train_step(task: ParityTask, use_fused: bool = False,
                     reference_rails: bool = False, loss_scale: float = 1.0,
                     bptt_every: int | None = None,
                     clip_grad_norm: float | None = None,
-                    select_bf16: bool = False, fused_pass: bool = False):
+                    select_bf16: bool = False, fused_pass: bool = False,
+                    grad_bf16: bool = False):
     return jax.jit(_step_core(task, use_fused, stochastic, adaptive,
                               reference_rails, loss_scale, bptt_every,
-                              clip_grad_norm, select_bf16, fused_pass),
+                              clip_grad_norm, select_bf16, fused_pass,
+                              grad_bf16),
                    donate_argnums=(0, 1))
 
 
@@ -531,7 +562,8 @@ def make_train_scan(task: ParityTask, use_fused: bool = False,
                     reference_rails: bool = False, loss_scale: float = 1.0,
                     bptt_every: int | None = None,
                     clip_grad_norm: float | None = None,
-                    select_bf16: bool = False, fused_pass: bool = False):
+                    select_bf16: bool = False, fused_pass: bool = False,
+                    grad_bf16: bool = False):
     """K training iterations per dispatch: batch generation, rollout,
     loss, rails, update and best-params tracking all inside one
     jitted ``lax.scan``. On the TPU tunnel every host round-trip
@@ -545,7 +577,7 @@ def make_train_scan(task: ParityTask, use_fused: bool = False,
     """
     core = _step_core(task, use_fused, stochastic, adaptive,
                       reference_rails, loss_scale, bptt_every,
-                      clip_grad_norm, select_bf16, fused_pass)
+                      clip_grad_norm, select_bf16, fused_pass, grad_bf16)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_scan(params, opt_state, best, keys):
@@ -579,7 +611,8 @@ def make_dp_train_step(task: ParityTask, mesh, use_fused: bool = False,
                        stochastic: bool = False, adaptive: bool = False,
                        bptt_every: int | None = None,
                        select_bf16: bool = False,
-                       fused_pass: bool = False):
+                       fused_pass: bool = False,
+                       grad_bf16: bool = False):
     """Data-parallel training step: the sample batch is sharded across the
     device mesh, gradients pmean-ed over ICI (columnflow.parallel). Batch
     arg: stims_raw (B, n_inputs), B divisible by mesh size. The
@@ -601,7 +634,8 @@ def make_dp_train_step(task: ParityTask, mesh, use_fused: bool = False,
                                  adaptive=adaptive, key=dev_keys[0],
                                  adaptive_bptt_every=bptt_every,
                                  select_bf16=select_bf16,
-                                 fused_pass=fused_pass)
+                                 fused_pass=fused_pass,
+                                 grad_bf16=grad_bf16)
             out = readout(ys, params, task.net)
             return jnp.mean(jnp.abs(out - parity_targets(stims_raw)))
 
@@ -645,6 +679,7 @@ def train_parity(
     clip_grad_norm: float | None = None,
     select_bf16: bool = False,
     fused_pass: bool = False,
+    grad_bf16: bool = False,
 ):
     """Reference defaults: 6400 samples / batch 4 -> 1600 iterations,
     fixed-position patterns (scripts/parity_ode.py:286-294).
@@ -675,7 +710,8 @@ def train_parity(
                               loss_scale=loss_scale, bptt_every=bptt_every,
                               clip_grad_norm=clip_grad_norm,
                               select_bf16=select_bf16,
-                              fused_pass=fused_pass)
+                              fused_pass=fused_pass,
+                              grad_bf16=grad_bf16)
 
     # Solver observability (SURVEY.md section 5): adaptive-step statistics
     # every stats_every iterations - naccept growth flags the approaching
@@ -898,6 +934,13 @@ def main():
                         "re-reads per attempt (the adaptive pass's "
                         "bandwidth roofline at the 104-column scale, "
                         "RESULTS.md); composes with --select-bf16")
+    p.add_argument("--grad-bf16", action="store_true",
+                   help="with --adaptive --fused: compute the replay's "
+                        "weight-gradient VJPs through a bf16-matmul drift "
+                        "(one native MXU pass instead of the f32-emulating "
+                        "6-pass split -- the dominant term of the "
+                        "104-column backward, RESULTS.md); values and "
+                        "state cotangents stay exact f32")
     p.add_argument("--select-bf16", action="store_true",
                    help="with --adaptive: pick step sizes with bfloat16 "
                         "weight matrices (halves the HBM traffic of the "
@@ -973,6 +1016,7 @@ def main():
             clip_grad_norm=args.clip_grad_norm,
             select_bf16=args.select_bf16,
             fused_pass=args.fused_pass,
+            grad_bf16=args.grad_bf16,
         )
     else:
         params, hist = train_parity(
@@ -993,6 +1037,7 @@ def main():
             clip_grad_norm=args.clip_grad_norm,
             select_bf16=args.select_bf16,
             fused_pass=args.fused_pass,
+            grad_bf16=args.grad_bf16,
         )
     final = next(h for h in reversed(hist) if "loss" in h)
     print(f"final loss {final['loss']:.5f} | "

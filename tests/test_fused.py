@@ -667,3 +667,77 @@ class TestLaneBatchedVariableStep:
             sdeint_fused(self.drift, self.diff, y0, jnp.linspace(0, 1, 5),
                          jax.random.PRNGKey(0), th, method="euler",
                          n_real=4, interpret=True)
+
+
+class TestVjpDriftSubstitute:
+    """``vjp_drift``/``vjp_diffusion``: a substitute formulation used ONLY
+    for the outer step-batched arg-gradient VJPs. Values must be bitwise
+    the exact drift's; with an identical substitute the gradients match
+    exactly; with a bf16-cast substitute they match at bf16 tolerance."""
+
+    def _setup(self):
+        n, B, S = 16, 2, 8
+        st = jnp.stack([jnp.linspace(0.0, 1.0, n + 1)] * B)
+        key = jax.random.PRNGKey(0)
+        i1 = 0.1 * jax.random.normal(key, (n, B))
+        i10 = jnp.zeros((n, B))
+        y0 = jnp.ones((B, S))
+        w = 0.1 * jax.random.normal(jax.random.fold_in(key, 1), (S, S))
+        return st, i1, i10, y0, w
+
+    @staticmethod
+    def drift(t, y, w):
+        return jnp.matmul(y, w, precision=jax.lax.Precision.HIGHEST) - y
+
+    @staticmethod
+    def drift16(t, y, w):
+        return jnp.matmul(y.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32) - y
+
+    diff = staticmethod(lambda t, y, w: 0.3 * jnp.ones_like(y))
+
+    def _run(self, vjp_drift, big_arg=True):
+        from columnflow.solvers.fused import sdeint_fused
+
+        st, i1, i10, y0, w = self._setup()
+        # Force arg_grads="outer" (vjp_drift applies to the outer sweep).
+        def loss(w):
+            ys = sdeint_fused(self.drift, self.diff, y0, None, None, w,
+                              method="euler", noise_pack=(i1, i10),
+                              ts_steps=st, interpret=True,
+                              arg_grads="outer",
+                              vjp_drift=vjp_drift,
+                              vjp_diffusion=self.diff
+                              if vjp_drift is not None else None)
+            return jnp.sum(ys ** 2), ys
+
+        (l, ys), g = jax.value_and_grad(loss, has_aux=True)(w)
+        return np.asarray(ys), np.asarray(g)
+
+    def test_identical_substitute_matches_exactly(self):
+        ys0, g0 = self._run(None)
+        ys1, g1 = self._run(self.drift)
+        np.testing.assert_array_equal(ys1, ys0)
+        np.testing.assert_array_equal(g1, g0)
+
+    def test_bf16_substitute_values_exact_grads_close(self):
+        ys0, g0 = self._run(None)
+        ys1, g1 = self._run(self.drift16)
+        np.testing.assert_array_equal(ys1, ys0)   # values untouched
+        assert not np.array_equal(g1, g0)          # gradients DO change
+        np.testing.assert_allclose(g1, g0, rtol=0.05, atol=1e-4)
+
+    def test_requires_outer_and_diffusion(self):
+        from columnflow.solvers.fused import sdeint_fused
+
+        st, i1, i10, y0, w = self._setup()
+        with pytest.raises(ValueError, match="vjp_diffusion"):
+            sdeint_fused(self.drift, self.diff, y0, None, None, w,
+                         method="euler", noise_pack=(i1, i10), ts_steps=st,
+                         interpret=True, arg_grads="outer",
+                         vjp_drift=self.drift16)
+        with pytest.raises(ValueError, match="outer"):
+            sdeint_fused(self.drift, self.diff, y0, None, None, w,
+                         method="euler", noise_pack=(i1, i10), ts_steps=st,
+                         interpret=True, arg_grads="kernel",
+                         vjp_drift=self.drift16, vjp_diffusion=self.diff)

@@ -606,3 +606,58 @@ class TestXORResume:
         params, hist = train_xor(nr_samples=16, resume_from=ck, **common)
         assert len(hist) == 2
         assert _finite(hist)
+
+
+class TestParityGradBf16:
+    def test_values_exact_grads_close(self):
+        """--grad-bf16: rollout values bitwise unchanged; gradients at
+        bf16-matmul tolerance of the exact ones, flowing everywhere."""
+        from columnflow.config import ColumnConfig
+        from columnflow.data import make_parity_batch
+        from columnflow.tasks import parity as pt
+
+        cfg = ColumnConfig.load()
+        task = pt.build_task(cfg, jax.random.PRNGKey(0),
+                             columns_per_area=(2, 1), n_inputs=2,
+                             time_steps=60, max_steps=512)
+        stims = make_parity_batch(jax.random.PRNGKey(1), 2, 2)
+        key = jax.random.PRNGKey(5)
+
+        def loss(p, gb):
+            ys = pt.batched_rollout(p, task, stims, stochastic=True,
+                                    adaptive=True, use_fused=True,
+                                    adaptive_max_steps=512, key=key,
+                                    grad_bf16=gb)
+            out = pt.readout(ys, p, task.net)
+            return jnp.mean(jnp.abs(out - pt.parity_targets(stims))), ys
+
+        (l0, ys0), g0 = jax.jit(jax.value_and_grad(
+            lambda p: loss(p, False), has_aux=True))(task.params)
+        (l1, ys1), g1 = jax.jit(jax.value_and_grad(
+            lambda p: loss(p, True), has_aux=True))(task.params)
+        np.testing.assert_array_equal(np.asarray(ys1), np.asarray(ys0))
+        assert float(l0) == float(l1)
+        changed = False
+        for k in g0:
+            a, b = np.asarray(g0[k]), np.asarray(g1[k])
+            assert np.all(np.isfinite(b)), k
+            scale = max(1e-6, float(np.abs(a).max()))
+            np.testing.assert_allclose(b, a, rtol=0.1, atol=0.02 * scale,
+                                       err_msg=k)
+            changed = changed or not np.array_equal(a, b)
+        assert changed  # the substitute really was used
+
+    def test_requires_fused_adaptive(self):
+        from columnflow.config import ColumnConfig
+        from columnflow.data import make_parity_batch
+        from columnflow.tasks import parity as pt
+
+        cfg = ColumnConfig.load()
+        task = pt.build_task(cfg, jax.random.PRNGKey(0),
+                             columns_per_area=(2, 1), n_inputs=2,
+                             time_steps=60, max_steps=512)
+        stims = make_parity_batch(jax.random.PRNGKey(1), 2, 2)
+        with pytest.raises(ValueError, match="grad_bf16"):
+            pt.batched_rollout(task.params, task, stims, stochastic=True,
+                               adaptive=True, grad_bf16=True,
+                               key=jax.random.PRNGKey(0))
