@@ -12,13 +12,20 @@ scripts/parity_ode.py:10-11, scripts/bifurcation_ode.py:12):
   matching the reference's backprop-through-solver), continuous adjoint
   ("backsolve", O(1) memory) as ``jax.custom_vjp``.
 - ``sdeint``: Euler-Maruyama, Milstein, and strong order 1.5 stochastic
-  Runge-Kutta (SRA1 additive / SRIW1 general) for Ito SDEs with scalar or
-  diagonal noise, counter-based Brownian increments from ``jax.random``, and a
-  virtual Brownian tree for adaptive stepping.
+  Runge-Kutta (SRA1 additive / SRIW1 general) for Ito SDEs, plus the
+  Stratonovich method surface (euler_heun/heun/midpoint/milstein) behind
+  ``sde_type="stratonovich"``, with scalar or diagonal noise, counter-based
+  Brownian increments from ``jax.random``, and a virtual Brownian tree for
+  adaptive stepping.
+- ``sdeint_adjoint``: stochastic-adjoint gradients (torchsde's flagship
+  capability, Li et al. 2020) — the backward pass re-integrates state +
+  adjoint in reverse on the SAME Brownian path, regenerated from the
+  counter-based key instead of torchsde's C++ Brownian-interval cache.
 """
 
 from columnflow.solvers.api import odeint
 from columnflow.solvers.sde import sdeint
+from columnflow.solvers.sde_adjoint import sdeint_adjoint
 from columnflow.solvers.sde_adaptive import (sdeint_adaptive,
                                              sdeint_adaptive_batch)
 from columnflow.solvers.brownian import VirtualBrownianTree
@@ -29,6 +36,7 @@ __all__ = [
     "odeint",
     "odeint_dopri5_fused",
     "sdeint",
+    "sdeint_adjoint",
     "sdeint_fused",
     "sdeint_adaptive",
     "sdeint_adaptive_batch",

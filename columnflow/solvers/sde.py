@@ -1,17 +1,24 @@
-"""Stochastic differential equation solvers (Ito), jit-native.
+"""Stochastic differential equation solvers (Ito and Stratonovich), jit-native.
 
 Replaces torchsde's ``sdeint`` (reference call sites: scripts/wta_ode.py:174,
 200, scripts/plotting_results.py:391,506,594). The reference uses Ito SDEs
 with ``noise_type="scalar"`` (ONE shared Brownian motion per trajectory,
 reference: src/coupled_columns.py:155-156) and ``method='srk'``.
 
-Methods:
+Ito methods (``sde_type="ito"``, the default):
     "euler"     Euler-Maruyama (strong 0.5 general / 1.0 additive)
     "milstein"  derivative-corrected (strong 1.0, scalar/diagonal), dg/dy
                 taken by ``jax.jvp`` -- no hand-written derivatives
     "srk"       stochastic Runge-Kutta, strong 1.5: Rossler SRA1 when the
                 diffusion is declared additive (the reference's models all
                 have constant diffusion), Rossler SRIW1 otherwise
+
+Stratonovich methods (``sde_type="stratonovich"`` — torchsde's second SDE
+type; its method surface euler_heun/heun/midpoint/milstein):
+    "euler_heun"  Euler drift + Heun (trapezoidal) diffusion
+    "heun"        full predictor-corrector (trapezoidal drift AND diffusion)
+    "midpoint"    stochastic midpoint rule
+    "milstein"    Stratonovich Milstein (no -h Ito correction term)
 
 Integration is fixed-step on the output grid ``ts`` (one step per interval)
 over ``lax.scan`` — reverse-differentiable with per-step rematerialisation,
@@ -126,6 +133,41 @@ def _milstein_step(drift, diffusion, t, y, h, i1, args):
     return y + h * drift(t, y, *args) + g * i1 + 0.5 * dg_g * (i1 * i1 - h)
 
 
+# --- Stratonovich steppers (torchsde's stratonovich method surface) ---------
+
+
+def _milstein_strat_step(drift, diffusion, t, y, h, i1, args):
+    """Stratonovich Milstein: the Ito scheme without the -h correction."""
+    g, dg_g = jax.jvp(
+        lambda y_: diffusion(t, y_, *args), (y,), (diffusion(t, y, *args),)
+    )
+    return y + h * drift(t, y, *args) + g * i1 + 0.5 * dg_g * (i1 * i1)
+
+
+def _euler_heun_step(drift, diffusion, t, y, h, i1, args):
+    """Euler drift + Heun (trapezoidal) diffusion — strong 0.5 Stratonovich."""
+    g0 = diffusion(t, y, *args)
+    g1 = diffusion(t + h, y + g0 * i1, *args)
+    return y + h * drift(t, y, *args) + 0.5 * (g0 + g1) * i1
+
+
+def _heun_step(drift, diffusion, t, y, h, i1, args):
+    """Full stochastic Heun: trapezoidal drift AND diffusion (Stratonovich)."""
+    f0 = drift(t, y, *args)
+    g0 = diffusion(t, y, *args)
+    y_pred = y + h * f0 + g0 * i1
+    f1 = drift(t + h, y_pred, *args)
+    g1 = diffusion(t + h, y_pred, *args)
+    return y + 0.5 * h * (f0 + f1) + 0.5 * (g0 + g1) * i1
+
+
+def _midpoint_step(drift, diffusion, t, y, h, i1, args):
+    """Stochastic midpoint rule (Stratonovich)."""
+    y_mid = y + 0.5 * h * drift(t, y, *args) + 0.5 * diffusion(t, y, *args) * i1
+    t_mid = t + 0.5 * h
+    return y + h * drift(t_mid, y_mid, *args) + diffusion(t_mid, y_mid, *args) * i1
+
+
 def sdeint(
     drift: Callable,
     diffusion: Callable,
@@ -136,10 +178,11 @@ def sdeint(
     method: str = "srk",
     noise: str = "scalar",
     additive: bool = False,
+    sde_type: str = "ito",
     remat: bool = True,
     noise_pack=None,
 ):
-    """Integrate the Ito SDE dy = drift dt + diffusion dW on the grid ``ts``.
+    """Integrate the SDE dy = drift dt + diffusion dW on the grid ``ts``.
 
     Args:
         drift, diffusion: ``f(t, y, *args)`` pure functions; diffusion returns
@@ -148,9 +191,13 @@ def sdeint(
         y0: initial state (any array shape).
         ts: (T,) increasing times; one solver step per interval.
         key: PRNG key — the trajectory is a pure function of it.
-        method: "euler" | "milstein" | "srk".
+        method: sde_type="ito": "euler" | "milstein" | "srk";
+            sde_type="stratonovich": "euler_heun" | "heun" | "midpoint" |
+            "milstein".
         noise: "scalar" | "diagonal".
         additive: declare the diffusion state-independent (selects SRA1).
+        sde_type: "ito" (default, the reference's setting) or "stratonovich"
+            (torchsde's second calculus; for additive noise the two coincide).
         noise_pack: optional precomputed stochastic integrals
             (i1, i10, i11, i111), each with leading axis T-1 — used to pin
             a Brownian path externally (tests, coupling across resolutions).
@@ -173,7 +220,7 @@ def sdeint(
 
         ys = sdeint(flat_fn(drift), flat_fn(diffusion), flat_y0, ts, key,
                     *args, method=method, noise=noise, additive=additive,
-                    remat=remat, noise_pack=noise_pack)
+                    sde_type=sde_type, remat=remat, noise_pack=noise_pack)
         return jax.vmap(unravel)(ys)
 
     y0 = jnp.asarray(y0)
@@ -194,7 +241,28 @@ def sdeint(
         i1, i10, i11, i111 = noise_pack
     t0s = ts[:-1]
 
-    if method == "srk" and additive:
+    if sde_type not in ("ito", "stratonovich"):
+        raise ValueError(f"unknown sde_type: {sde_type!r}")
+    if sde_type == "stratonovich":
+        strat_steps = {
+            "euler_heun": _euler_heun_step,
+            "heun": _heun_step,
+            "midpoint": _midpoint_step,
+            "milstein": _milstein_strat_step,
+        }
+        if method not in strat_steps:
+            raise ValueError(
+                f"unknown stratonovich method: {method!r} "
+                f"(choose from {sorted(strat_steps)})"
+            )
+        stepper = strat_steps[method]
+
+        def step(y, xs):
+            t, h, w1 = xs
+            y1 = stepper(drift, diffusion, t, y, h, w1, args)
+            return y1, y1
+        xs = (t0s, hs, i1)
+    elif method == "srk" and additive:
         def step(y, xs):
             t, h, w1, w10 = xs
             y1 = _sra1_step(drift, diffusion, t, y, h, w1, w10, args)

@@ -1,0 +1,221 @@
+"""Stratonovich SDE methods and the stochastic adjoint (sdeint_adjoint).
+
+Completes the torchsde engine surface (SURVEY §2.2): torchsde supports both
+calculi (sde_type="ito"/"stratonovich") and ships adjoint-based gradients as
+its central capability (Li et al. 2020); the reference imports the package at
+scripts/wta_ode.py:10. Oracles here are closed-form pathwise solutions:
+
+- Stratonovich GBM dy = a y dt + b y ∘ dW has y(t) = y0 exp(a t + b W(t)) —
+  an EXACT function of the sampled increments, so both trajectories and
+  pathwise gradients (d log y_T / da = T, d/db = W_T, d/dy0 = 1/y0) are
+  checkable without any reference integrator.
+- Additive noise: Ito and Stratonovich coincide; linear OU gradients are
+  pathwise-exact (dy_T/dy0 = e^{-θT}).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from columnflow.solvers import sdeint, sdeint_adjoint
+from columnflow.solvers.sde import _brownian_pack
+
+STRAT_METHODS = ("euler_heun", "heun", "midpoint", "milstein")
+
+
+def _gbm_setup(n_steps=1000, seed=0, dim=3):
+    key = jax.random.PRNGKey(seed)
+    ts = jnp.linspace(0.0, 1.0, n_steps + 1)
+    y0 = jnp.ones(dim)
+    a, b = 0.3, 0.4
+    drift = lambda t, y, a_, b_: a_ * y
+    diff = lambda t, y, a_, b_: b_ * y
+    _, i1, *_ = _brownian_pack(key, ts, (), jnp.float32)
+    w = jnp.concatenate([jnp.zeros(1), jnp.cumsum(i1)])
+    return key, ts, y0, a, b, drift, diff, w
+
+
+class TestStratonovichMethods:
+    @pytest.mark.parametrize("method", STRAT_METHODS)
+    def test_gbm_pathwise_exact(self, method):
+        """Each method converges to the STRATONOVICH solution of GBM."""
+        key, ts, y0, a, b, drift, diff, w = _gbm_setup()
+        exact_strat = y0[None] * jnp.exp(a * ts + b * w)[:, None]
+        exact_ito = y0[None] * jnp.exp((a - 0.5 * b * b) * ts + b * w)[:, None]
+        ys = sdeint(drift, diff, y0, ts, key, a, b,
+                    method=method, sde_type="stratonovich")
+        err = float(jnp.max(jnp.abs(ys - exact_strat) / exact_strat))
+        err_ito = float(jnp.max(jnp.abs(ys - exact_ito) / exact_ito))
+        assert err < 2e-3, f"{method}: {err}"
+        # The Ito solution differs by the exp(-b^2 t / 2) factor (~8%):
+        # the convention is load-bearing, not a tolerance artifact.
+        assert err_ito > 0.05
+
+    def test_strong_convergence(self):
+        """Halving h reduces the pathwise error (strong order >= ~1 for
+        scalar — i.e. commutative — noise)."""
+        errs = {}
+        for n in (250, 1000):
+            key, ts, y0, a, b, drift, diff, w = _gbm_setup(n_steps=n)
+            exact = y0[None] * jnp.exp(a * ts + b * w)[:, None]
+            ys = sdeint(drift, diff, y0, ts, key, a, b,
+                        method="heun", sde_type="stratonovich")
+            errs[n] = float(jnp.max(jnp.abs(ys - exact)))
+        assert errs[1000] < errs[250] / 2.5
+
+    def test_additive_calculi_coincide(self):
+        """Constant diffusion: Stratonovich heun and Ito euler integrate the
+        SAME equation; matched increments give matching paths to O(h)."""
+        key = jax.random.PRNGKey(3)
+        ts = jnp.linspace(0.0, 1.0, 1001)
+        y0 = jnp.zeros(4)
+        drift = lambda t, y: -1.5 * y
+        diff = lambda t, y: 0.5 * jnp.ones_like(y)
+        pack = _brownian_pack(key, ts, (), jnp.float32)[1:]
+        ys_s = sdeint(drift, diff, y0, ts, key, method="heun",
+                      sde_type="stratonovich", noise_pack=pack)
+        ys_i = sdeint(drift, diff, y0, ts, key, method="euler",
+                      noise_pack=pack)
+        assert float(jnp.max(jnp.abs(ys_s - ys_i))) < 5e-3
+
+    def test_bad_strat_method_raises(self):
+        key, ts, y0, a, b, drift, diff, _ = _gbm_setup(n_steps=4)
+        with pytest.raises(ValueError, match="stratonovich method"):
+            sdeint(drift, diff, y0, ts, key, a, b,
+                   method="srk", sde_type="stratonovich")
+        with pytest.raises(ValueError, match="sde_type"):
+            sdeint(drift, diff, y0, ts, key, a, b, sde_type="backward_ito")
+
+
+class TestStochasticAdjoint:
+    def test_gbm_pathwise_gradients_exact(self):
+        """log y_T = log y0 + a T + b W_T, so the pathwise gradients are
+        exactly (T, W_T, 1/y0) — the adjoint must reproduce them including
+        its ∂g/∂y and ∂g/∂θ noise-VJP terms (g = b y is state-dependent)."""
+        key, ts, y0, a, b, drift, diff, w = _gbm_setup()
+        dim = y0.shape[0]
+
+        def loss(params, y0_):
+            a_, b_ = params
+            ys = sdeint_adjoint(drift, diff, y0_, ts, key, a_, b_,
+                                method="milstein", sde_type="stratonovich")
+            return jnp.log(ys[-1]).sum()
+
+        (ga, gb), gy0 = jax.jit(jax.grad(loss, argnums=(0, 1)))((a, b), y0)
+        np.testing.assert_allclose(float(ga), dim * 1.0, rtol=1e-3)
+        np.testing.assert_allclose(float(gb), dim * float(w[-1]), rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(gy0), 1.0 / np.asarray(y0),
+                                   rtol=1e-3)
+
+    def test_adjoint_matches_replay_additive(self):
+        """Ito + additive (the reference's model class, via SRA1): adjoint
+        gradients converge to the replay (discrete-backprop) gradients."""
+        key = jax.random.PRNGKey(1)
+        y0 = jnp.asarray([1.0, -0.5])
+
+        def make_loss(integrator, n):
+            ts = jnp.linspace(0.0, 1.0, n + 1)
+
+            def loss(theta, sigma, y0_):
+                drift = lambda t, y, th, sg: -th * y
+                diff = lambda t, y, th, sg: sg * jnp.ones_like(y)
+                ys = integrator(drift, diff, y0_, ts, key, theta, sigma,
+                                method="srk", additive=True)
+                return jnp.sum(ys[-1] ** 2) + 0.1 * jnp.sum(ys**2) / n
+            return loss
+
+        def rel_gap(n):
+            g_rep = jax.grad(make_loss(sdeint, n), argnums=(0, 1, 2))(
+                1.2, 0.3, y0)
+            g_adj = jax.grad(make_loss(sdeint_adjoint, n), argnums=(0, 1, 2))(
+                1.2, 0.3, y0)
+            num = sum(float(jnp.max(jnp.abs(r - a)))
+                      for r, a in zip(jax.tree_util.tree_leaves(g_rep),
+                                      jax.tree_util.tree_leaves(g_adj)))
+            den = sum(float(jnp.max(jnp.abs(r)))
+                      for r in jax.tree_util.tree_leaves(g_rep))
+            return num / den
+
+        gap_coarse, gap_fine = rel_gap(200), rel_gap(800)
+        assert gap_fine < 2e-2
+        assert gap_fine < gap_coarse / 2.0  # O(h): shrinks with the grid
+
+    def test_linear_dy0_exact(self):
+        """dy = -θ y dt + σ dW: dy_T/dy0 = e^{-θT} pathwise-exactly."""
+        key = jax.random.PRNGKey(5)
+        ts = jnp.linspace(0.0, 2.0, 2001)
+        theta = 0.8
+
+        def loss(y0_):
+            drift = lambda t, y: -theta * y
+            diff = lambda t, y: 0.4 * jnp.ones_like(y)
+            ys = sdeint_adjoint(drift, diff, y0_, ts, key,
+                                method="srk", additive=True)
+            return ys[-1].sum()
+
+        g = jax.grad(loss)(jnp.ones(3))
+        np.testing.assert_allclose(np.asarray(g), np.exp(-theta * 2.0),
+                                   rtol=2e-3)
+
+    def test_trajectory_cotangents(self):
+        """Cotangents at every output time (trajectory losses) are seeded
+        interval-by-interval, not just at the endpoint."""
+        key = jax.random.PRNGKey(2)
+        ts = jnp.linspace(0.0, 1.0, 401)
+        y0 = jnp.asarray([0.7])
+
+        def make(integrator):
+            def loss(th):
+                drift = lambda t, y, th_: -th_ * y
+                diff = lambda t, y, th_: 0.2 * jnp.ones_like(y)
+                ys = integrator(drift, diff, y0, ts, key, th,
+                                method="euler", additive=True)
+                return jnp.mean(ys**2)
+            return loss
+
+        g_rep = jax.grad(make(sdeint))(1.0)
+        g_adj = jax.grad(make(sdeint_adjoint))(1.0)
+        np.testing.assert_allclose(float(g_adj), float(g_rep), rtol=2e-2)
+
+    def test_ito_multiplicative_rejected(self):
+        key, ts, y0, a, b, drift, diff, _ = _gbm_setup(n_steps=4)
+        with pytest.raises(ValueError, match="additive"):
+            sdeint_adjoint(drift, diff, y0, ts, key, a, b,
+                           method="milstein", sde_type="ito")
+
+    def test_vmap_jit_compose(self):
+        ts = jnp.linspace(0.0, 1.0, 201)
+        y0 = jnp.ones(2)
+
+        @jax.jit
+        @jax.vmap
+        def g(key):
+            def loss(th):
+                drift = lambda t, y, th_: -th_ * y
+                diff = lambda t, y, th_: 0.3 * jnp.ones_like(y)
+                return sdeint_adjoint(drift, diff, y0, ts, key, th,
+                                      method="srk", additive=True)[-1].sum()
+            return jax.grad(loss)(1.0)
+
+        gs = g(jax.random.split(jax.random.PRNGKey(0), 4))
+        assert gs.shape == (4,)
+        assert bool(jnp.all(jnp.isfinite(gs)))
+        assert float(jnp.std(gs)) > 0  # per-key paths differ
+
+    def test_pytree_state(self):
+        key = jax.random.PRNGKey(9)
+        ts = jnp.linspace(0.0, 0.5, 101)
+        y0 = {"u": jnp.ones(2), "v": jnp.zeros(3)}
+
+        def loss(th):
+            drift = lambda t, y, th_: jax.tree_util.tree_map(
+                lambda x: -th_ * x, y)
+            diff = lambda t, y, th_: jax.tree_util.tree_map(
+                lambda x: 0.1 * jnp.ones_like(x), y)
+            ys = sdeint_adjoint(drift, diff, y0, ts, key, th,
+                                method="euler", additive=True)
+            return jnp.sum(ys["u"][-1]) + jnp.sum(ys["v"][-1] ** 2)
+
+        g = jax.grad(loss)(1.0)
+        assert bool(jnp.isfinite(g))
