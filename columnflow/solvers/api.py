@@ -8,9 +8,16 @@ everything is traceable and differentiable).
 
 Methods:
     "dopri5" (default)      adaptive, torchdiffeq-default tolerances
+    "bosh3"/"adaptive_heun"/"fehlberg2"
+                            adaptive lower-order pairs (torchdiffeq's)
+    "dop853"                adaptive 8th-order (Hairer 8(5,3) pair with the
+                            combined error estimator) for tight tolerances
     "euler"/"midpoint"/"heun"/"rk4"
                             fixed-grid, one step per ts interval
     "dopri5_fixed"          dopri5 tableau on the fixed grid
+    "explicit_adams"        fixed-grid Adams-Bashforth 4 (RK4 startup)
+    "implicit_adams"/"fixed_adams"
+                            fixed-grid PECE Adams-Bashforth-Moulton 4
 
 Gradient modes for "dopri5" (``adjoint=``):
     "replay" (default)      discrete backprop through the frozen accepted-step
@@ -38,7 +45,10 @@ from columnflow.solvers.adjoint import odeint_backsolve
 from columnflow.solvers.dopri import odeint_adaptive
 
 _FIXED = ("euler", "midpoint", "heun", "rk4", "dopri5_fixed")
-_ADAPTIVE = tuple(rk.ADAPTIVE_TABLEAUS)  # dopri5, bosh3, adaptive_heun
+_ADAPTIVE = tuple(rk.ADAPTIVE_TABLEAUS)  # dopri5, bosh3, adaptive_heun, fehlberg2, dop853
+# torchdiffeq's fixed multistep solvers (implicit_adams == fixed_adams there
+# too: both name the PECE Adams-Bashforth-Moulton sweep).
+_ADAMS = ("explicit_adams", "implicit_adams", "fixed_adams")
 
 
 def odeint(
@@ -95,6 +105,12 @@ def odeint(
 
     if method in _FIXED:
         ys = rk.odeint_fixed(f, flat_y0, ts, *args, tableau=rk.FIXED_TABLEAUS[method])
+    elif method in _ADAMS:
+        from columnflow.solvers.adams import odeint_adams
+
+        ys = odeint_adams(f, flat_y0, ts, *args,
+                          corrector=(method != "explicit_adams"),
+                          remat=remat)
     elif method in _ADAPTIVE:
         if adjoint == "backsolve":
             if method != "dopri5":

@@ -57,6 +57,32 @@ def _error_ratio(err, rtol, atol, y0, y1):
     return _rms_norm(err / scale)
 
 
+def _step_error_ratio(tab, h, ks, rtol, atol, y0, y1):
+    """Error ratio of one attempted step (accept iff <= 1).
+
+    Plain embedded pairs: RMS of h * (b_err @ ks) / scale — torchdiffeq's
+    norm. Pairs with ``b_err2`` (dop853): Hairer's combined 5th/3rd-order
+    estimator |h| * ||e5||^2 / sqrt((||e5||^2 + 0.01 ||e3||^2) * n), which
+    damps the 5th-order estimate when the 3rd-order one is comparatively
+    large (scipy's DOP853 uses the identical formula).
+    """
+    e = jnp.asarray(tab.b_err, dtype=y1.dtype)
+    scale = atol + rtol * jnp.maximum(jnp.abs(y0), jnp.abs(y1))
+    if tab.b_err2 is None:
+        return _rms_norm(h * jnp.tensordot(e, ks, axes=1) / scale)
+    e2 = jnp.asarray(tab.b_err2, dtype=y1.dtype)
+    err5 = jnp.tensordot(e, ks, axes=1) / scale
+    err3 = jnp.tensordot(e2, ks, axes=1) / scale
+    n5 = jnp.sum(jnp.square(err5))
+    n3 = jnp.sum(jnp.square(err3))
+    denom = n5 + 0.01 * n3
+    return jnp.where(
+        denom > 0.0,
+        jnp.abs(h) * n5 / jnp.sqrt(jnp.maximum(denom, 1e-38) * err5.size),
+        jnp.zeros_like(n5),
+    )
+
+
 def _next_step_size(h, error_ratio, order: int = _ORDER):
     # I-controller, torchdiffeq-style: grow/shrink clamped to [dfactor, ifactor].
     factor = jnp.where(
@@ -169,9 +195,7 @@ def _adaptive_pass(func, y0, t_start, t_end, rtol, atol, dt0, max_steps,
         h = jnp.minimum(s.h, t_end - s.t1)
         y1, f_last, ks = rk_step(func, tab, s.t1, s.y1, h, s.f1, *args)
         f1 = f_last if fsal else func(s.t1 + h, y1, *args)
-        e = jnp.asarray(tab.b_err, dtype=y1.dtype)
-        err = h * jnp.tensordot(e, ks, axes=1)
-        ratio = _error_ratio(err, rtol, atol, s.y1, y1)
+        ratio = _step_error_ratio(tab, h, ks, rtol, atol, s.y1, y1)
         accept = ratio <= 1.0
 
         t_new = jnp.where(accept, s.t1 + h, s.t1)

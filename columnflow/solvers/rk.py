@@ -22,9 +22,15 @@ class ButcherTableau(NamedTuple):
     b: np.ndarray  # (s,) solution weights
     b_err: np.ndarray | None  # (s,) error-estimate weights (b - b_hat), or None
     order: int
+    # Optional secondary (lower-order) error weights: when present the
+    # controller uses the Hairer DOP853 combined estimator
+    # |h| * ||e1||^2 / sqrt(||e1||^2 + 0.01 ||e2||^2) instead of the plain
+    # RMS of h * b_err @ ks (guards against order reduction overestimating
+    # the error on smooth problems).
+    b_err2: np.ndarray | None = None
 
 
-def _tab(c, a, b, b_err, order) -> ButcherTableau:
+def _tab(c, a, b, b_err, order, b_err2=None) -> ButcherTableau:
     s = len(c)
     a_full = np.zeros((s, s))
     for i, row in enumerate(a):
@@ -35,6 +41,7 @@ def _tab(c, a, b, b_err, order) -> ButcherTableau:
         b=np.asarray(b, dtype=np.float64),
         b_err=None if b_err is None else np.asarray(b_err, dtype=np.float64),
         order=order,
+        b_err2=None if b_err2 is None else np.asarray(b_err2, dtype=np.float64),
     )
 
 
@@ -111,6 +118,46 @@ ADAPTIVE_HEUN = _tab(
     order=2,
 )
 
+# Fehlberg 1(2) — torchdiffeq's "fehlberg2". Advances with the 2nd-order
+# solution [1/256, 255/256, 0] (which makes the tableau FSAL: the third
+# stage sits at c=1 with the solution weights); the embedded comparison
+# solution is [1/512, 255/256, 1/512].
+_FE_B = np.array([1 / 256, 255 / 256, 0.0])
+_FE_BHAT = np.array([1 / 512, 255 / 256, 1 / 512])
+FEHLBERG2 = _tab(
+    c=[0.0, 1 / 2, 1.0],
+    a=[[], [1 / 2], [1 / 256, 255 / 256]],
+    b=_FE_B,
+    b_err=_FE_B - _FE_BHAT,
+    order=2,
+)
+
+
+def _dop853() -> ButcherTableau | None:
+    """Hairer's DOP853 8(5,3) pair in 13-stage FSAL form.
+
+    The published coefficients (Hairer, Norsett & Wanner, Solving ODEs I,
+    dop853.f) are taken from scipy's float64 tables rather than transcribed
+    by hand. The 12-stage method plus the FSAL evaluation at (t1, y1) form a
+    13-stage tableau whose final row is the solution weights; the two error
+    weight vectors (5th- and 3rd-order) drive the combined DOP853 error
+    estimator (``b_err2`` semantics above). scipy is only touched at import
+    time — solver execution is pure JAX.
+    """
+    try:
+        from scipy.integrate._ivp import dop853_coefficients as _d
+    except Exception:  # pragma: no cover - scipy always present in CI
+        return None
+    n = _d.N_STAGES  # 12
+    c = np.concatenate([_d.C[:n], [1.0]])
+    a = [list(_d.A[i, :i]) for i in range(n)] + [list(_d.B)]
+    b = np.concatenate([_d.B, [0.0]])
+    return _tab(c=c, a=a, b=b, b_err=np.asarray(_d.E5), order=8,
+                b_err2=np.asarray(_d.E3))
+
+
+DOP853 = _dop853()
+
 
 def is_fsal(tab: ButcherTableau) -> bool:
     """First-same-as-last: the final stage derivative is f(t1, y1)."""
@@ -131,7 +178,10 @@ ADAPTIVE_TABLEAUS = {
     "dopri5": DOPRI5,
     "bosh3": BOSH3,
     "adaptive_heun": ADAPTIVE_HEUN,
+    "fehlberg2": FEHLBERG2,
 }
+if DOP853 is not None:
+    ADAPTIVE_TABLEAUS["dop853"] = DOP853
 
 
 def rk_step(func: Callable, tab: ButcherTableau, t, y, h, f0=None, *args):

@@ -199,30 +199,36 @@ class TestGradients:
 
 
 class TestOtherAdaptiveMethods:
-    """bosh3 (FSAL 3(2)) and adaptive_heun (non-FSAL 2(1)) — torchdiffeq's
-    other adaptive solvers, sharing the generalized embedded-RK core with
-    cubic-Hermite dense output."""
+    """bosh3 (FSAL 3(2)), adaptive_heun (non-FSAL 2(1)) and fehlberg2
+    (FSAL 1(2)) — torchdiffeq's other adaptive solvers, sharing the
+    generalized embedded-RK core with cubic-Hermite dense output."""
 
-    @pytest.mark.parametrize("method", ["bosh3", "adaptive_heun"])
-    def test_exp_decay_accuracy(self, method):
+    @pytest.mark.parametrize("method,rtol_assert", [
+        ("bosh3", 2e-5), ("adaptive_heun", 2e-5),
+        # order-2 advancing solution: global error ~ tol * nsteps
+        ("fehlberg2", 5e-4),
+    ])
+    def test_exp_decay_accuracy(self, method, rtol_assert):
         ts = jnp.linspace(0.0, 5.0, 50)
         ys = odeint(exp_decay, jnp.ones(4), ts, method=method,
                     rtol=1e-6, atol=1e-8, max_steps=8192, adjoint="none")
         exact = np.exp(-np.asarray(ts))[:, None] * np.ones(4)
-        np.testing.assert_allclose(np.asarray(ys), exact, rtol=2e-5,
+        np.testing.assert_allclose(np.asarray(ys), exact, rtol=rtol_assert,
                                    atol=1e-6)
 
-    @pytest.mark.parametrize("method", ["bosh3", "adaptive_heun"])
-    def test_harmonic_matches_dopri5(self, method):
+    @pytest.mark.parametrize("method,atol_assert", [
+        ("bosh3", 5e-5), ("adaptive_heun", 5e-5), ("fehlberg2", 1e-3),
+    ])
+    def test_harmonic_matches_dopri5(self, method, atol_assert):
         ts = jnp.linspace(0.0, 6.0, 61)
         y0 = jnp.asarray([1.0, 0.0])
         ref = odeint(harmonic, y0, ts, method="dopri5", adjoint="none")
         ys = odeint(harmonic, y0, ts, method=method, rtol=1e-6, atol=1e-8,
                     max_steps=8192, adjoint="none")
         np.testing.assert_allclose(np.asarray(ys), np.asarray(ref),
-                                   atol=5e-5)
+                                   atol=atol_assert)
 
-    @pytest.mark.parametrize("method", ["bosh3", "adaptive_heun"])
+    @pytest.mark.parametrize("method", ["bosh3", "adaptive_heun", "fehlberg2"])
     def test_gradient_matches_analytic(self, method):
         T = 2.0
         ts = jnp.linspace(0.0, T, 20)
@@ -255,6 +261,172 @@ class TestOtherAdaptiveMethods:
         with pytest.raises(ValueError, match="backsolve"):
             odeint(exp_decay, jnp.ones(2), ts, method="bosh3",
                    adjoint="backsolve")
+
+
+class TestDop853:
+    """Hairer 8(5,3) — beyond torchdiffeq (scipy-DOP853 semantics: 13-stage
+    FSAL tableau, combined 5th/3rd-order error estimator, -1/8 controller
+    exponent). Dense output is the generic cubic Hermite interpolant, so
+    intermediate-time accuracy is interpolation-limited; step-endpoint
+    accuracy reflects the 8th-order method."""
+
+    def test_endpoint_accuracy(self):
+        ts = jnp.asarray([0.0, 5.0])
+        ys = odeint(exp_decay, jnp.ones(4), ts, method="dop853",
+                    rtol=1e-7, atol=1e-9, max_steps=4096, adjoint="none")
+        np.testing.assert_allclose(
+            np.asarray(ys[-1]), np.exp(-5.0) * np.ones(4), rtol=1e-5,
+            atol=1e-7)
+
+    def test_fewer_steps_than_dopri5(self):
+        ts = jnp.linspace(0.0, 6.0, 7)
+        y0 = jnp.asarray([1.0, 0.0])
+        st8 = odeint_stats(harmonic, y0, ts, rtol=1e-7, atol=1e-9,
+                           max_steps=4096, method="dop853")
+        st5 = odeint_stats(harmonic, y0, ts, rtol=1e-7, atol=1e-9,
+                           max_steps=4096)
+        assert bool(st8.success) and bool(st5.success)
+        assert int(st8.naccept) < int(st5.naccept)
+        # FSAL accounting: 12 new derivative evals per attempted step + 2 init.
+        assert int(st8.nfev) == 2 + 12 * (int(st8.naccept) + int(st8.nreject))
+
+    def test_gradient_matches_analytic(self):
+        T = 2.0
+        ts = jnp.linspace(0.0, T, 20)
+
+        def loss(k):
+            ys = odeint(lambda t, y, k: -k * y, jnp.ones(3), ts, k,
+                        method="dop853", rtol=1e-7, atol=1e-9,
+                        max_steps=4096)
+            return jnp.sum(ys[-1])
+
+        g = jax.grad(loss)(jnp.float32(0.7))
+        expected = -3.0 * T * np.exp(-0.7 * T)
+        np.testing.assert_allclose(float(g), expected, rtol=1e-3)
+
+    def test_combined_error_estimator_matches_scipy_formula(self):
+        """_step_error_ratio with b_err2 == scipy DOP853._estimate_error_norm."""
+        from columnflow.solvers.dopri import _step_error_ratio
+        from columnflow.solvers.rk import ADAPTIVE_TABLEAUS
+
+        tab = ADAPTIVE_TABLEAUS["dop853"]
+        rng = np.random.default_rng(0)
+        n = 6
+        ks = rng.normal(size=(tab.c.shape[0], n)).astype(np.float32)
+        y0 = rng.normal(size=n).astype(np.float32)
+        y1 = rng.normal(size=n).astype(np.float32)
+        h, rtol, atol = 0.37, 1e-6, 1e-8
+
+        got = float(_step_error_ratio(tab, jnp.float32(h), jnp.asarray(ks),
+                                      rtol, atol, jnp.asarray(y0),
+                                      jnp.asarray(y1)))
+
+        scale = atol + rtol * np.maximum(np.abs(y0), np.abs(y1))
+        err5 = (tab.b_err @ ks.astype(np.float64)) / scale
+        err3 = (tab.b_err2 @ ks.astype(np.float64)) / scale
+        n5 = np.sum(err5 ** 2)
+        n3 = np.sum(err3 ** 2)
+        want = abs(h) * n5 / np.sqrt((n5 + 0.01 * n3) * n)
+        np.testing.assert_allclose(got, want, rtol=1e-3)
+
+    def test_vs_scipy_dop853(self):
+        """Stiff-ish Van der Pol (mu=2) against float64 scipy DOP853."""
+        scipy_int = pytest.importorskip("scipy.integrate")
+        mu = 2.0
+
+        def vdp(t, y):
+            return jnp.stack([y[1], mu * (1 - y[0] ** 2) * y[1] - y[0]])
+
+        ts = np.linspace(0.0, 8.0, 5)
+        y0 = np.array([2.0, 0.0])
+        ys = odeint(vdp, jnp.asarray(y0, dtype=jnp.float32),
+                    jnp.asarray(ts, dtype=jnp.float32),
+                    method="dop853", rtol=1e-6, atol=1e-8, max_steps=8192,
+                    adjoint="none")
+        sol = scipy_int.solve_ivp(
+            lambda t, y: [y[1], mu * (1 - y[0] ** 2) * y[1] - y[0]],
+            (0.0, 8.0), y0, method="DOP853", t_eval=ts,
+            rtol=1e-10, atol=1e-12)
+        # Hermite interpolation of the large 8th-order steps bounds the
+        # intermediate-time error, not the integration error.
+        np.testing.assert_allclose(np.asarray(ys), sol.y.T, atol=5e-3)
+
+
+class TestAdamsMethods:
+    """Fixed-grid multistep solvers — torchdiffeq's 'explicit_adams'
+    (Adams-Bashforth 4) and 'implicit_adams'/'fixed_adams' (PECE ABM4),
+    with an RK4 startup ramp."""
+
+    @pytest.mark.parametrize("method", ["explicit_adams", "fixed_adams"])
+    def test_fourth_order_convergence(self, method):
+        errs = []
+        for n in (8, 16):
+            ts = jnp.linspace(0.0, 4.0, n + 1)
+            ys = odeint(exp_decay, jnp.ones(2), ts, method=method,
+                        adjoint="none")
+            exact = np.exp(-np.asarray(ts))[:, None] * np.ones(2)
+            errs.append(float(np.max(np.abs(np.asarray(ys) - exact))))
+        # halving h should shrink the error ~16x; allow slack for fp32
+        assert errs[1] < errs[0] / 8.0, errs
+
+    def test_corrector_improves_on_predictor(self):
+        ts = jnp.linspace(0.0, 6.0, 121)
+        y0 = jnp.asarray([1.0, 0.0])
+        exact = np.stack([np.cos(np.asarray(ts)), -np.sin(np.asarray(ts))],
+                         axis=-1)
+        e_ab = np.max(np.abs(np.asarray(
+            odeint(harmonic, y0, ts, method="explicit_adams",
+                   adjoint="none")) - exact))
+        e_abm = np.max(np.abs(np.asarray(
+            odeint(harmonic, y0, ts, method="fixed_adams",
+                   adjoint="none")) - exact))
+        assert e_abm < e_ab
+        assert e_abm < 5e-4
+
+    def test_implicit_is_fixed_adams(self):
+        ts = jnp.linspace(0.0, 3.0, 31)
+        a = odeint(exp_decay, jnp.ones(3), ts, method="implicit_adams",
+                   adjoint="none")
+        b = odeint(exp_decay, jnp.ones(3), ts, method="fixed_adams",
+                   adjoint="none")
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    @pytest.mark.parametrize("method", ["explicit_adams", "fixed_adams"])
+    def test_gradient_matches_analytic(self, method):
+        T = 2.0
+        ts = jnp.linspace(0.0, T, 41)
+
+        def loss(k):
+            ys = odeint(lambda t, y, k: -k * y, jnp.ones(3), ts, k,
+                        method=method)
+            return jnp.sum(ys[-1])
+
+        g = jax.grad(loss)(jnp.float32(0.7))
+        expected = -3.0 * T * np.exp(-0.7 * T)
+        np.testing.assert_allclose(float(g), expected, rtol=1e-3)
+
+    def test_short_grid_is_pure_startup(self):
+        # len(ts)-1 <= order-1: every interval is an RK4 startup step.
+        ts = jnp.linspace(0.0, 0.3, 4)
+        adams = odeint(exp_decay, jnp.ones(2), ts, method="fixed_adams",
+                       adjoint="none")
+        rk4 = odeint(exp_decay, jnp.ones(2), ts, method="rk4",
+                     adjoint="none")
+        np.testing.assert_allclose(np.asarray(adams), np.asarray(rk4),
+                                   rtol=1e-6)
+
+    def test_vmap(self):
+        ts = jnp.linspace(0.0, 1.0, 21)
+        y0s = jnp.stack([jnp.ones(2), 2.0 * jnp.ones(2)])
+        ys = jax.vmap(
+            lambda y0: odeint(exp_decay, y0, ts, method="fixed_adams",
+                              adjoint="none")
+        )(y0s)
+        exact = (np.exp(-np.asarray(ts))[None, :, None]
+                 * np.array([1.0, 2.0])[:, None, None]
+                 * np.ones((1, 1, 2)))
+        np.testing.assert_allclose(np.asarray(ys), exact, rtol=1e-5,
+                                   atol=1e-6)
 
 
 class TestEdgeCases:
