@@ -24,6 +24,7 @@ scripts/parity_ode.py:10-11, scripts/bifurcation_ode.py:12):
 """
 
 from columnflow.solvers.api import odeint
+from columnflow.solvers.event import odeint_event
 from columnflow.solvers.sde import sdeint
 from columnflow.solvers.sde_adjoint import sdeint_adjoint
 from columnflow.solvers.sde_adaptive import (sdeint_adaptive,
@@ -34,6 +35,7 @@ from columnflow.solvers.fused import odeint_dopri5_fused, sdeint_fused
 
 __all__ = [
     "odeint",
+    "odeint_event",
     "odeint_dopri5_fused",
     "sdeint",
     "sdeint_adjoint",

@@ -160,13 +160,18 @@ class _StepCarry(NamedTuple):
 
 
 def _adaptive_pass(func, y0, t_start, t_end, rtol, atol, dt0, max_steps,
-                   *args, tab=DOPRI5, dense_d=DOPRI5_DENSE_D):
+                   *args, tab=DOPRI5, dense_d=DOPRI5_DENSE_D, stop_fn=None):
     """Integrate from t_start to t_end, recording the accepted step sequence.
 
     Returns the final carry; ``step_times``/``naccept`` describe the step
     sequence for replay, and the final ``coeffs`` cover the last interval.
     Works for any embedded tableau; non-FSAL tableaus pay one extra drift
     eval per attempted step to keep the carried end-derivative exact.
+
+    ``stop_fn(carry) -> bool`` optionally extends the loop condition:
+    stepping continues only while it returns True (event detection,
+    event.py) — the final carry's ``coeffs``/``t0``/``t1`` then bracket
+    the stopping condition. ``t_end`` may be +inf in that case.
     """
     fsal = is_fsal(tab)
     f0 = func(t_start, y0, *args)
@@ -189,7 +194,11 @@ def _adaptive_pass(func, y0, t_start, t_end, rtol, atol, dt0, max_steps,
     )
 
     def cond(s: _StepCarry):
-        return (s.t1 < t_end) & (s.naccept < max_steps) & (s.nreject < 4 * max_steps + 64)
+        keep = ((s.t1 < t_end) & (s.naccept < max_steps)
+                & (s.nreject < 4 * max_steps + 64))
+        if stop_fn is not None:
+            keep = keep & stop_fn(s)
+        return keep
 
     def body(s: _StepCarry):
         h = jnp.minimum(s.h, t_end - s.t1)

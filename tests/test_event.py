@@ -1,0 +1,168 @@
+"""odeint_event — event-terminated integration (torchdiffeq's odeint_event).
+
+Closed-form events: exponential decay hitting a threshold (t* = ln(y0/c)/k,
+with analytic dt*/dk and dt*/dy0) and the harmonic oscillator's first zero
+crossing (t* = pi/2). Gradients go through the implicit-function-theorem
+rerouting, so they are checked against the analytic derivatives, not just
+finite differences.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from columnflow.solvers import odeint_event
+
+
+def decay(t, y, k):
+    return -k * y
+
+
+class TestEventDetection:
+    def test_threshold_crossing_time(self):
+        # y(t) = exp(-t); event y0 - 0.5 -> t* = ln 2
+        t_star, ys = odeint_event(
+            lambda t, y: -y, jnp.ones(1), 0.0,
+            event_fn=lambda t, y: y[0] - 0.5)
+        np.testing.assert_allclose(float(t_star), np.log(2.0), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(ys[-1]), [0.5], rtol=1e-5)
+        assert ys.shape == (2, 1)
+        np.testing.assert_allclose(np.asarray(ys[0]), [1.0])
+
+    def test_harmonic_zero_crossing(self):
+        def harmonic(t, y):
+            return jnp.stack([y[1], -y[0]])
+
+        t_star, ys = odeint_event(
+            harmonic, jnp.asarray([1.0, 0.0]), 0.0,
+            event_fn=lambda t, y: y[0])
+        np.testing.assert_allclose(float(t_star), np.pi / 2, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(ys[-1]), [0.0, -1.0],
+                                   atol=1e-4)
+
+    def test_time_event(self):
+        # event depends on t only: crossing at t = 1.7
+        t_star, _ = odeint_event(
+            lambda t, y: -y, jnp.ones(2), 0.0,
+            event_fn=lambda t, y: 1.7 - t, t_max=10.0)
+        np.testing.assert_allclose(float(t_star), 1.7, rtol=1e-5)
+
+    def test_no_event_reports_not_found(self):
+        # y stays positive; event never fires -> stops at t_max, found=False
+        t_star, _, found = odeint_event(
+            lambda t, y: -y, jnp.ones(1), 0.0,
+            event_fn=lambda t, y: y[0] + 1.0, t_max=3.0, return_found=True)
+        assert not bool(found)
+        np.testing.assert_allclose(float(t_star), 3.0, rtol=1e-5)
+
+    def test_found_flag_true(self):
+        _, _, found = odeint_event(
+            lambda t, y: -y, jnp.ones(1), 0.0,
+            event_fn=lambda t, y: y[0] - 0.5, return_found=True)
+        assert bool(found)
+
+    def test_reverse_time(self):
+        # integrate backwards from t0=0: y' = -y so y(t) = exp(-t) grows
+        # into the past; event y - 2 fires at t = -ln 2.
+        t_star, ys = odeint_event(
+            lambda t, y: -y, jnp.ones(1), 0.0,
+            event_fn=lambda t, y: y[0] - 2.0, reverse_time=True)
+        np.testing.assert_allclose(float(t_star), -np.log(2.0), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(ys[-1]), [2.0], rtol=1e-4)
+
+    def test_jit_and_other_method(self):
+        t_star, ys = jax.jit(
+            lambda y0: odeint_event(
+                lambda t, y: -y, y0, 0.0,
+                event_fn=lambda t, y: y[0] - 0.5, method="bosh3",
+                rtol=1e-6, atol=1e-8)
+        )(jnp.ones(1))
+        np.testing.assert_allclose(float(t_star), np.log(2.0), rtol=1e-4)
+
+    def test_fixed_method_rejected(self):
+        with pytest.raises(ValueError, match="adaptive"):
+            odeint_event(lambda t, y: -y, jnp.ones(1), 0.0,
+                         event_fn=lambda t, y: y[0] - 0.5, method="euler")
+
+    def test_pytree_state(self):
+        def f(t, y):
+            return {"a": -y["a"], "b": -2.0 * y["b"]}
+
+        t_star, ys = odeint_event(
+            f, {"a": jnp.ones(2), "b": jnp.ones(1)}, 0.0,
+            event_fn=lambda t, y: y["b"][0] - 0.5)
+        np.testing.assert_allclose(float(t_star), np.log(2.0) / 2.0,
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(ys["a"][-1]),
+                                   np.exp(-float(t_star)) * np.ones(2),
+                                   rtol=1e-4)
+
+
+class TestEventGradients:
+    """y' = -k y from y0, event y - c = 0 -> t* = ln(y0/c)/k.
+
+    Analytic: dt*/dk = -t*/k, dt*/dy0 = 1/(k y0).
+    Endpoint y* == c exactly on the event manifold, so its total
+    derivative w.r.t. k is 0.
+    """
+
+    def test_event_time_grad_wrt_param(self):
+        c = 0.4
+
+        def t_of_k(k):
+            t_star, _ = odeint_event(
+                decay, jnp.ones(1), 0.0, k,
+                event_fn=lambda t, y: y[0] - c)
+            return t_star
+
+        k0 = jnp.float32(0.8)
+        g = jax.grad(t_of_k)(k0)
+        t_star = float(t_of_k(k0))
+        np.testing.assert_allclose(t_star, np.log(1.0 / c) / 0.8, rtol=1e-5)
+        np.testing.assert_allclose(float(g), -t_star / 0.8, rtol=1e-3)
+
+    def test_event_time_grad_wrt_y0(self):
+        c = 0.4
+        k = 0.8
+
+        def t_of_y0(y0):
+            t_star, _ = odeint_event(
+                decay, y0, 0.0, jnp.float32(k),
+                event_fn=lambda t, y: y[0] - c)
+            return t_star
+
+        y0 = jnp.ones(1)
+        g = jax.grad(t_of_y0)(y0)
+        np.testing.assert_allclose(np.asarray(g), [1.0 / (k * 1.0)],
+                                   rtol=1e-3)
+
+    def test_endpoint_total_derivative_on_manifold(self):
+        # y*(k) == c for every k: total derivative through t*(k) must
+        # cancel the partial at fixed t*.
+        c = 0.4
+
+        def y_star_of_k(k):
+            _, ys = odeint_event(
+                decay, jnp.ones(1), 0.0, k,
+                event_fn=lambda t, y: y[0] - c)
+            return ys[-1][0]
+
+        g = jax.grad(y_star_of_k)(jnp.float32(0.8))
+        np.testing.assert_allclose(float(g), 0.0, atol=1e-4)
+
+    def test_endpoint_grad_off_manifold_component(self):
+        # harmonic oscillator, event fires on y[0]: the OTHER component
+        # y1*(a) for y0 = [a, 0] is -a... t* = pi/2 independent of a, and
+        # y1(t*) = -a -> dy1*/da = -1.
+        def harmonic(t, y):
+            return jnp.stack([y[1], -y[0]])
+
+        def y1_star(a):
+            _, ys = odeint_event(
+                harmonic, jnp.stack([a, jnp.float32(0.0)]), 0.0,
+                event_fn=lambda t, y: y[0])
+            return ys[-1][1]
+
+        g = jax.grad(y1_star)(jnp.float32(1.0))
+        np.testing.assert_allclose(float(g), -1.0, rtol=1e-3)
