@@ -27,6 +27,7 @@ from columnflow.solvers.api import odeint
 from columnflow.solvers.event import odeint_event
 from columnflow.solvers.sde import sdeint
 from columnflow.solvers.sde_adjoint import sdeint_adjoint
+from columnflow.solvers.sde_reversible import sdeint_reversible
 from columnflow.solvers.sde_adaptive import (sdeint_adaptive,
                                              sdeint_adaptive_batch)
 from columnflow.solvers.brownian import VirtualBrownianTree
@@ -39,6 +40,7 @@ __all__ = [
     "odeint_dopri5_fused",
     "sdeint",
     "sdeint_adjoint",
+    "sdeint_reversible",
     "sdeint_fused",
     "sdeint_adaptive",
     "sdeint_adaptive_batch",

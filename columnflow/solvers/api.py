@@ -12,7 +12,7 @@ Methods:
                             adaptive lower-order pairs (torchdiffeq's)
     "dop853"                adaptive 8th-order (Hairer 8(5,3) pair with the
                             combined error estimator) for tight tolerances
-    "euler"/"midpoint"/"heun"/"rk4"
+    "euler"/"midpoint"/"heun"/"heun3"/"rk4"
                             fixed-grid, one step per ts interval
     "dopri5_fixed"          dopri5 tableau on the fixed grid
     "explicit_adams"        fixed-grid Adams-Bashforth 4 (RK4 startup)
@@ -44,7 +44,7 @@ from columnflow.solvers import rk
 from columnflow.solvers.adjoint import odeint_backsolve
 from columnflow.solvers.dopri import odeint_adaptive
 
-_FIXED = ("euler", "midpoint", "heun", "rk4", "dopri5_fixed")
+_FIXED = ("euler", "midpoint", "heun", "heun3", "rk4", "dopri5_fixed")
 _ADAPTIVE = tuple(rk.ADAPTIVE_TABLEAUS)  # dopri5, bosh3, adaptive_heun, fehlberg2, dop853
 # torchdiffeq's fixed multistep solvers (implicit_adams == fixed_adams there
 # too: both name the PECE Adams-Bashforth-Moulton sweep).

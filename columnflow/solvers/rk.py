@@ -51,6 +51,15 @@ MIDPOINT = _tab(c=[0.0, 0.5], a=[[], [0.5]], b=[0.0, 1.0], b_err=None, order=2)
 
 HEUN = _tab(c=[0.0, 1.0], a=[[], [1.0]], b=[0.5, 0.5], b_err=None, order=2)
 
+# Heun's third-order method — torchdiffeq's "heun3".
+HEUN3 = _tab(
+    c=[0.0, 1 / 3, 2 / 3],
+    a=[[], [1 / 3], [0.0, 2 / 3]],
+    b=[1 / 4, 0.0, 3 / 4],
+    b_err=None,
+    order=3,
+)
+
 RK4 = _tab(
     c=[0.0, 0.5, 0.5, 1.0],
     a=[[], [0.5], [0.0, 0.5], [0.0, 0.0, 1.0]],
@@ -170,6 +179,7 @@ FIXED_TABLEAUS = {
     "euler": EULER,
     "midpoint": MIDPOINT,
     "heun": HEUN,
+    "heun3": HEUN3,
     "rk4": RK4,
     "dopri5_fixed": DOPRI5,
 }

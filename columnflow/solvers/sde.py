@@ -168,6 +168,24 @@ def _midpoint_step(drift, diffusion, t, y, h, i1, args):
     return y + h * drift(t_mid, y_mid, *args) + diffusion(t_mid, y_mid, *args) * i1
 
 
+def reversible_heun_step(drift, diffusion, t, t1, y, z, f, g, h, i1, args):
+    """One reversible Heun step (Kidger et al. 2021) on the extended state.
+
+    (y, z) with z the auxiliary stage state (z_0 = y_0); f = drift(t, z),
+    g = diffusion(t, z) carried so each step costs ONE drift + ONE diffusion
+    eval. Algebraically reversible: applying the same map from
+    (y1, z1, f1, g1) with (-h, -i1) recovers (y, z) exactly in exact
+    arithmetic — the basis for the exact O(1)-state-memory adjoint in
+    sde_reversible.py. Converges to the Stratonovich solution (torchsde's
+    'reversible_heun').
+    """
+    z1 = 2.0 * y - z + h * f + g * i1
+    f1 = drift(t1, z1, *args)
+    g1 = diffusion(t1, z1, *args)
+    y1 = y + 0.5 * h * (f + f1) + 0.5 * (g + g1) * i1
+    return y1, z1, f1, g1
+
+
 def sdeint(
     drift: Callable,
     diffusion: Callable,
@@ -193,7 +211,9 @@ def sdeint(
         key: PRNG key — the trajectory is a pure function of it.
         method: sde_type="ito": "euler" | "milstein" | "srk";
             sde_type="stratonovich": "euler_heun" | "heun" | "midpoint" |
-            "milstein".
+            "milstein" | "reversible_heun" (algebraically reversible
+            extended-state scheme; exact O(1)-state-memory gradients via
+            ``sdeint_reversible``).
         noise: "scalar" | "diagonal".
         additive: declare the diffusion state-independent (selects SRA1).
         sde_type: "ito" (default, the reference's setting) or "stratonovich"
@@ -250,10 +270,24 @@ def sdeint(
             "midpoint": _midpoint_step,
             "milstein": _milstein_strat_step,
         }
+        if method == "reversible_heun":
+            def step(carry, xs):
+                y, z, f, g = carry
+                t, h, w1 = xs
+                y1, z1, f1, g1 = reversible_heun_step(
+                    drift, diffusion, t, t + h, y, z, f, g, h, w1, args)
+                return (y1, z1, f1, g1), y1
+
+            if remat:
+                step = jax.checkpoint(step)
+            init = (y0, y0, drift(ts[0], y0, *args),
+                    diffusion(ts[0], y0, *args))
+            _, ys = jax.lax.scan(step, init, (t0s, hs, i1))
+            return jnp.concatenate([y0[None], ys], axis=0)
         if method not in strat_steps:
             raise ValueError(
                 f"unknown stratonovich method: {method!r} "
-                f"(choose from {sorted(strat_steps)})"
+                f"(choose from {sorted([*strat_steps, 'reversible_heun'])})"
             )
         stepper = strat_steps[method]
 

@@ -25,7 +25,8 @@ def harmonic(t, y):
 
 class TestFixedStep:
     @pytest.mark.parametrize("method,tol", [
-        ("euler", 5e-3), ("midpoint", 2e-5), ("heun", 2e-5), ("rk4", 5e-6),
+        ("euler", 5e-3), ("midpoint", 2e-5), ("heun", 2e-5),
+        ("heun3", 5e-6), ("rk4", 5e-6),
     ])
     def test_exp_decay(self, method, tol):
         ts = jnp.linspace(0.0, 2.0, 1001)
