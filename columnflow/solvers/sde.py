@@ -30,6 +30,11 @@ grad, and sharding.
 Noise kinds:
     "scalar"    diffusion returns g with y's shape; dy += g * dW, dW scalar
     "diagonal"  diffusion returns g with y's shape; dy += g * dW, dW elementwise
+    "general"   diffusion returns a (d, m) matrix against m independent
+                Brownian channels; dy += g @ dW. Methods without Levy-area
+                requirements only: Ito "euler"; Stratonovich "euler_heun",
+                "heun", "midpoint", "reversible_heun" (torchsde's own
+                noise_type="general" restriction).
 """
 
 from __future__ import annotations
@@ -122,8 +127,18 @@ def _sra1_step(drift, diffusion, t, y, h, i1, i10, args):
     )
 
 
-def _euler_step(drift, diffusion, t, y, h, i1, args):
-    return y + h * drift(t, y, *args) + diffusion(t, y, *args) * i1
+def _mul_elem(g, w):
+    # scalar/diagonal noise: g has y's shape, w is () or y-shaped
+    return g * w
+
+
+def _mul_general(g, w):
+    # general noise: g is (d, m), w is (m,) -> contraction over channels
+    return g @ w
+
+
+def _euler_step(drift, diffusion, t, y, h, i1, args, mul=_mul_elem):
+    return y + h * drift(t, y, *args) + mul(diffusion(t, y, *args), i1)
 
 
 def _milstein_step(drift, diffusion, t, y, h, i1, args):
@@ -136,39 +151,46 @@ def _milstein_step(drift, diffusion, t, y, h, i1, args):
 # --- Stratonovich steppers (torchsde's stratonovich method surface) ---------
 
 
-def _milstein_strat_step(drift, diffusion, t, y, h, i1, args):
-    """Stratonovich Milstein: the Ito scheme without the -h correction."""
+def _milstein_strat_step(drift, diffusion, t, y, h, i1, args, mul=_mul_elem):
+    """Stratonovich Milstein: the Ito scheme without the -h correction.
+
+    ``mul`` is accepted for stepper-signature uniformity but must be the
+    elementwise kind — general noise is rejected upstream (needs Levy areas).
+    """
     g, dg_g = jax.jvp(
         lambda y_: diffusion(t, y_, *args), (y,), (diffusion(t, y, *args),)
     )
     return y + h * drift(t, y, *args) + g * i1 + 0.5 * dg_g * (i1 * i1)
 
 
-def _euler_heun_step(drift, diffusion, t, y, h, i1, args):
+def _euler_heun_step(drift, diffusion, t, y, h, i1, args, mul=_mul_elem):
     """Euler drift + Heun (trapezoidal) diffusion — strong 0.5 Stratonovich."""
     g0 = diffusion(t, y, *args)
-    g1 = diffusion(t + h, y + g0 * i1, *args)
-    return y + h * drift(t, y, *args) + 0.5 * (g0 + g1) * i1
+    g1 = diffusion(t + h, y + mul(g0, i1), *args)
+    return y + h * drift(t, y, *args) + 0.5 * mul(g0 + g1, i1)
 
 
-def _heun_step(drift, diffusion, t, y, h, i1, args):
+def _heun_step(drift, diffusion, t, y, h, i1, args, mul=_mul_elem):
     """Full stochastic Heun: trapezoidal drift AND diffusion (Stratonovich)."""
     f0 = drift(t, y, *args)
     g0 = diffusion(t, y, *args)
-    y_pred = y + h * f0 + g0 * i1
+    y_pred = y + h * f0 + mul(g0, i1)
     f1 = drift(t + h, y_pred, *args)
     g1 = diffusion(t + h, y_pred, *args)
-    return y + 0.5 * h * (f0 + f1) + 0.5 * (g0 + g1) * i1
+    return y + 0.5 * h * (f0 + f1) + 0.5 * mul(g0 + g1, i1)
 
 
-def _midpoint_step(drift, diffusion, t, y, h, i1, args):
+def _midpoint_step(drift, diffusion, t, y, h, i1, args, mul=_mul_elem):
     """Stochastic midpoint rule (Stratonovich)."""
-    y_mid = y + 0.5 * h * drift(t, y, *args) + 0.5 * diffusion(t, y, *args) * i1
+    y_mid = (y + 0.5 * h * drift(t, y, *args)
+             + 0.5 * mul(diffusion(t, y, *args), i1))
     t_mid = t + 0.5 * h
-    return y + h * drift(t_mid, y_mid, *args) + diffusion(t_mid, y_mid, *args) * i1
+    return (y + h * drift(t_mid, y_mid, *args)
+            + mul(diffusion(t_mid, y_mid, *args), i1))
 
 
-def reversible_heun_step(drift, diffusion, t, t1, y, z, f, g, h, i1, args):
+def reversible_heun_step(drift, diffusion, t, t1, y, z, f, g, h, i1, args,
+                         mul=_mul_elem):
     """One reversible Heun step (Kidger et al. 2021) on the extended state.
 
     (y, z) with z the auxiliary stage state (z_0 = y_0); f = drift(t, z),
@@ -179,10 +201,10 @@ def reversible_heun_step(drift, diffusion, t, t1, y, z, f, g, h, i1, args):
     sde_reversible.py. Converges to the Stratonovich solution (torchsde's
     'reversible_heun').
     """
-    z1 = 2.0 * y - z + h * f + g * i1
+    z1 = 2.0 * y - z + h * f + mul(g, i1)
     f1 = drift(t1, z1, *args)
     g1 = diffusion(t1, z1, *args)
-    y1 = y + 0.5 * h * (f + f1) + 0.5 * (g + g1) * i1
+    y1 = y + 0.5 * h * (f + f1) + 0.5 * mul(g + g1, i1)
     return y1, z1, f1, g1
 
 
@@ -214,7 +236,7 @@ def sdeint(
             "milstein" | "reversible_heun" (algebraically reversible
             extended-state scheme; exact O(1)-state-memory gradients via
             ``sdeint_reversible``).
-        noise: "scalar" | "diagonal".
+        noise: "scalar" | "diagonal" | "general" (see module docstring).
         additive: declare the diffusion state-independent (selects SRA1).
         sde_type: "ito" (default, the reference's setting) or "stratonovich"
             (torchsde's second calculus; for additive noise the two coincide).
@@ -229,6 +251,10 @@ def sdeint(
     """
     leaves = jax.tree_util.tree_leaves(y0)
     if not (len(leaves) == 1 and y0 is leaves[0]):
+        if noise == "general":
+            raise ValueError(
+                "noise='general' requires a flat 1-D array state "
+                "(the diffusion returns a (d, m) matrix)")
         from jax.flatten_util import ravel_pytree
 
         flat_y0, unravel = ravel_pytree(y0)
@@ -251,8 +277,19 @@ def sdeint(
         noise_shape: tuple = ()
     elif noise == "diagonal":
         noise_shape = y0.shape
+    elif noise == "general":
+        if y0.ndim != 1:
+            raise ValueError("noise='general' requires a 1-D state")
+        g_shape = jax.eval_shape(
+            lambda y_: diffusion(ts[0], y_, *args), y0).shape
+        if len(g_shape) != 2 or g_shape[0] != y0.shape[0]:
+            raise ValueError(
+                f"noise='general' diffusion must return (d, m) = "
+                f"({y0.shape[0]}, m); got {g_shape}")
+        noise_shape = (g_shape[1],)
     else:
         raise ValueError(f"unknown noise kind: {noise!r}")
+    mul = _mul_general if noise == "general" else _mul_elem
 
     if noise_pack is None:
         hs, i1, i10, i11, i111 = _brownian_pack(key, ts, noise_shape, y0.dtype)
@@ -263,6 +300,10 @@ def sdeint(
 
     if sde_type not in ("ito", "stratonovich"):
         raise ValueError(f"unknown sde_type: {sde_type!r}")
+    if noise == "general" and sde_type == "ito" and method != "euler":
+        raise ValueError(
+            "noise='general' with sde_type='ito' supports method='euler' "
+            "only (milstein/srk need Levy areas — torchsde's restriction)")
     if sde_type == "stratonovich":
         strat_steps = {
             "euler_heun": _euler_heun_step,
@@ -275,7 +316,8 @@ def sdeint(
                 y, z, f, g = carry
                 t, h, w1 = xs
                 y1, z1, f1, g1 = reversible_heun_step(
-                    drift, diffusion, t, t + h, y, z, f, g, h, w1, args)
+                    drift, diffusion, t, t + h, y, z, f, g, h, w1, args,
+                    mul=mul)
                 return (y1, z1, f1, g1), y1
 
             if remat:
@@ -289,11 +331,15 @@ def sdeint(
                 f"unknown stratonovich method: {method!r} "
                 f"(choose from {sorted([*strat_steps, 'reversible_heun'])})"
             )
+        if noise == "general" and method == "milstein":
+            raise ValueError(
+                "noise='general' milstein needs Levy areas; use euler_heun, "
+                "heun, midpoint or reversible_heun (torchsde's restriction)")
         stepper = strat_steps[method]
 
         def step(y, xs):
             t, h, w1 = xs
-            y1 = stepper(drift, diffusion, t, y, h, w1, args)
+            y1 = stepper(drift, diffusion, t, y, h, w1, args, mul=mul)
             return y1, y1
         xs = (t0s, hs, i1)
     elif method == "srk" and additive:
@@ -317,7 +363,7 @@ def sdeint(
     elif method == "euler":
         def step(y, xs):
             t, h, w1 = xs
-            y1 = _euler_step(drift, diffusion, t, y, h, w1, args)
+            y1 = _euler_step(drift, diffusion, t, y, h, w1, args, mul=mul)
             return y1, y1
         xs = (t0s, hs, i1)
     else:

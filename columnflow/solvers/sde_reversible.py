@@ -29,15 +29,16 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from columnflow.solvers.sde import _brownian_pack, reversible_heun_step
+from columnflow.solvers.sde import (_brownian_pack, _mul_elem,
+                                    _mul_general, reversible_heun_step)
 
 
-def _run(drift, diffusion, y0, t0s, hs, i1, args):
+def _run(drift, diffusion, mul, y0, t0s, hs, i1, args):
     def step(carry, xs):
         y, z, f, g = carry
         t, h, w1 = xs
         y1, z1, f1, g1 = reversible_heun_step(
-            drift, diffusion, t, t + h, y, z, f, g, h, w1, args)
+            drift, diffusion, t, t + h, y, z, f, g, h, w1, args, mul=mul)
         return (y1, z1, f1, g1), y1
 
     init = (y0, y0, drift(t0s[0], y0, *args), diffusion(t0s[0], y0, *args))
@@ -45,18 +46,18 @@ def _run(drift, diffusion, y0, t0s, hs, i1, args):
     return jnp.concatenate([y0[None], ys], axis=0), (yN, zN)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _solve(drift, diffusion, y0, t0s, hs, i1, args):
-    return _run(drift, diffusion, y0, t0s, hs, i1, args)[0]
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _solve(drift, diffusion, mul, y0, t0s, hs, i1, args):
+    return _run(drift, diffusion, mul, y0, t0s, hs, i1, args)[0]
 
 
-def _solve_fwd(drift, diffusion, y0, t0s, hs, i1, args):
-    ys, (yN, zN) = _run(drift, diffusion, y0, t0s, hs, i1, args)
+def _solve_fwd(drift, diffusion, mul, y0, t0s, hs, i1, args):
+    ys, (yN, zN) = _run(drift, diffusion, mul, y0, t0s, hs, i1, args)
     # Only the FINAL extended state is saved — O(1) in trajectory length.
     return ys, (yN, zN, t0s, hs, i1, args)
 
 
-def _solve_bwd(drift, diffusion, res, ct_ys):
+def _solve_bwd(drift, diffusion, mul, res, ct_ys):
     yN, zN, t0s, hs, i1, args = res
 
     def step_map(t, h, w1, y, z, args_):
@@ -66,7 +67,7 @@ def _solve_bwd(drift, diffusion, res, ct_ys):
         f = drift(t, z, *args_)
         g = diffusion(t, z, *args_)
         y1, z1, _, _ = reversible_heun_step(
-            drift, diffusion, t, t + h, y, z, f, g, h, w1, args_)
+            drift, diffusion, t, t + h, y, z, f, g, h, w1, args_, mul=mul)
         return y1, z1
 
     zero_args = jax.tree_util.tree_map(jnp.zeros_like, args)
@@ -78,10 +79,10 @@ def _solve_bwd(drift, diffusion, res, ct_ys):
         # algebraic inversion: the same scheme applied with (-h, -w1)
         f1 = drift(t + h, z1, *args)
         g1 = diffusion(t + h, z1, *args)
-        z0 = 2.0 * y1 - z1 - h * f1 - g1 * w1
+        z0 = 2.0 * y1 - z1 - h * f1 - mul(g1, w1)
         f0 = drift(t, z0, *args)
         g0 = diffusion(t, z0, *args)
-        y0_ = y1 - 0.5 * h * (f0 + f1) - 0.5 * (g0 + g1) * w1
+        y0_ = y1 - 0.5 * h * (f0 + f1) - 0.5 * mul(g0 + g1, w1)
         # pull the cotangents through the local step
         _, vjp_fn = jax.vjp(
             lambda y_, z_, a_: step_map(t, h, w1, y_, z_, a_), y0_, z0, args)
@@ -122,6 +123,9 @@ def sdeint_reversible(
     """
     leaves = jax.tree_util.tree_leaves(y0)
     if not (len(leaves) == 1 and y0 is leaves[0]):
+        if noise == "general":
+            raise ValueError(
+                "noise='general' requires a flat 1-D array state")
         from jax.flatten_util import ravel_pytree
 
         flat_y0, unravel = ravel_pytree(y0)
@@ -144,8 +148,19 @@ def sdeint_reversible(
         noise_shape: tuple = ()
     elif noise == "diagonal":
         noise_shape = y0.shape
+    elif noise == "general":
+        if y0.ndim != 1:
+            raise ValueError("noise='general' requires a 1-D state")
+        g_shape = jax.eval_shape(
+            lambda y_: diffusion(ts[0], y_, *args), y0).shape
+        if len(g_shape) != 2 or g_shape[0] != y0.shape[0]:
+            raise ValueError(
+                f"noise='general' diffusion must return (d, m) = "
+                f"({y0.shape[0]}, m); got {g_shape}")
+        noise_shape = (g_shape[1],)
     else:
         raise ValueError(f"unknown noise kind: {noise!r}")
+    mul = _mul_general if noise == "general" else _mul_elem
 
     if noise_pack is None:
         hs, i1, _, _, _ = _brownian_pack(key, ts, noise_shape, y0.dtype)
@@ -153,5 +168,5 @@ def sdeint_reversible(
         hs = (ts[1:] - ts[:-1]).astype(y0.dtype)
         i1 = noise_pack[0]
     t0s = ts[:-1]
-    return _solve(drift, diffusion, y0, t0s,
+    return _solve(drift, diffusion, mul, y0, t0s,
                   jax.lax.stop_gradient(hs), jax.lax.stop_gradient(i1), args)
