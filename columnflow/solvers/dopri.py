@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from columnflow.solvers.rk import (ADAPTIVE_TABLEAUS, DOPRI5,
+from columnflow.solvers.rk import (ADAPTIVE_TABLEAUS, DOP853_DENSE, DOPRI5,
                                    DOPRI5_DENSE_D, is_fsal, rk_step)
 
 _SAFETY = 0.9
@@ -147,6 +147,44 @@ def dense_eval(coeffs, theta):
     return r1 + s * (r2 + s1 * (r3 + s * (r4 + s1 * r5)))
 
 
+def dop853_dense_coeffs(func, t0, h, y0, y1, ks, *args):
+    """Hairer's 7th-order DOP853 interpolant for one accepted step.
+
+    Computes the three extra stages (scipy's A_EXTRA/C_EXTRA rows against
+    the 13 integration stages) and the seven interpolation vectors F (via
+    scipy's D matrix), exactly scipy Dop853._dense_output_impl. Costs three
+    extra drift evals per step — paid only in the replay pass, where output
+    times are interpolated. Returns an (8,) + y.shape stack
+    [y0, F0..F6]; evaluate with ``dop853_dense_eval``.
+    """
+    a_extra, c_extra, d = DOP853_DENSE
+    dtype = y0.dtype
+    ks_list = [ks[i] for i in range(ks.shape[0])]  # 13 stages
+    for s in range(3):
+        a_row = jnp.asarray(a_extra[s][: len(ks_list)], dtype=dtype)
+        dy = h * jnp.tensordot(a_row, jnp.stack(ks_list), axes=1)
+        ks_list.append(func(t0 + c_extra[s] * h, y0 + dy, *args))
+    k_ext = jnp.stack(ks_list)  # (16,) + y.shape
+    dmat = jnp.asarray(d, dtype=dtype)
+    delta = y1 - y0
+    f_old, f_new = ks[0], ks[12]
+    f0 = delta
+    f1 = h * f_old - delta
+    f2 = 2.0 * delta - h * (f_new + f_old)
+    f3456 = h * jnp.tensordot(dmat, k_ext, axes=1)  # (4,) + y.shape
+    return jnp.concatenate([jnp.stack([y0, f0, f1, f2]), f3456])
+
+
+def dop853_dense_eval(coeffs, x):
+    """Evaluate the 7th-order interpolant at normalized x in [0, 1]."""
+    y_old = coeffs[0]
+    fs = [coeffs[i] for i in range(1, 8)]
+    y = jnp.zeros_like(y_old)
+    for i, f in enumerate(reversed(fs)):
+        y = (y + f) * (x if i % 2 == 0 else 1.0 - x)
+    return y + y_old
+
+
 class _StepCarry(NamedTuple):
     t1: jax.Array  # end of last accepted step
     y1: jax.Array
@@ -228,7 +266,8 @@ def _adaptive_pass(func, y0, t_start, t_end, rtol, atol, dt0, max_steps,
 
 
 def _replay_pass(func, y0, ts, step_times, naccept, max_steps, *args,
-                 remat=True, tab=DOPRI5, dense_d=DOPRI5_DENSE_D):
+                 remat=True, tab=DOPRI5, dense_d=DOPRI5_DENSE_D,
+                 dop853_dense=False):
     """Differentiable re-integration over a fixed accepted-step sequence.
 
     Steps through ``step_times`` with plain dopri5 stages under ``lax.scan``
@@ -251,7 +290,10 @@ def _replay_pass(func, y0, ts, step_times, naccept, max_steps, *args,
         h = t1 - t0
         y1, f_last, ks = rk_step(func, tab, t0, y, h, f, *args)
         f1 = f_last if fsal else func(t1, y1, *args)
-        coeffs = dense_coeffs(y, y1, h, ks, dense_d, f1=f1)
+        if dop853_dense:
+            coeffs = dop853_dense_coeffs(func, t0, h, y, y1, ks, *args)
+        else:
+            coeffs = dense_coeffs(y, y1, h, ks, dense_d, f1=f1)
         return (y1, f1), coeffs
 
     if remat:
@@ -268,9 +310,10 @@ def _replay_pass(func, y0, ts, step_times, naccept, max_steps, *args,
     t1s = step_times[idx + 1]
     hs = t1s - t0s
     theta = jnp.where(hs > 0, (ts - t0s) / jnp.where(hs > 0, hs, 1.0), 0.0)
-    coeffs = all_coeffs[idx]  # (T, 5) + y.shape
+    coeffs = all_coeffs[idx]  # (T, 5 or 8) + y.shape
     theta_b = theta.reshape(theta.shape + (1,) * y0.ndim)
-    ys = dense_eval(jnp.moveaxis(coeffs, 1, 0), theta_b)
+    evaluator = dop853_dense_eval if dop853_dense else dense_eval
+    ys = evaluator(jnp.moveaxis(coeffs, 1, 0), theta_b)
     # By definition y(ts[0]) == y0 exactly (keeps gradients to y0 direct).
     return ys.at[0].set(y0)
 
@@ -304,6 +347,10 @@ def odeint_adaptive(
     """
     tab = ADAPTIVE_TABLEAUS[method]
     dense_d = DOPRI5_DENSE_D if method == "dopri5" else None
+    # dop853 replay interpolates with Hairer's 7th-order interpolant (three
+    # extra drift evals per accepted step, matching the 8th-order solution);
+    # the adaptive pass itself needs no interpolant.
+    dop853_dense = method == "dop853" and DOP853_DENSE is not None
     ts = jnp.asarray(ts, dtype=y0.dtype)
     if differentiable:
         carry = _adaptive_pass(
@@ -314,12 +361,13 @@ def odeint_adaptive(
         step_times = jax.lax.stop_gradient(carry.step_times)
         naccept = jax.lax.stop_gradient(carry.naccept)
         return _replay_pass(func, y0, ts, step_times, naccept, max_steps,
-                            *args, remat=remat, tab=tab, dense_d=dense_d)
+                            *args, remat=remat, tab=tab, dense_d=dense_d,
+                            dop853_dense=dop853_dense)
     carry = _adaptive_pass(func, y0, ts[0], ts[-1], rtol, atol, dt0,
                            max_steps, *args, tab=tab, dense_d=dense_d)
     return _replay_pass(func, y0, ts, carry.step_times, carry.naccept,
                         max_steps, *args, remat=remat, tab=tab,
-                        dense_d=dense_d)
+                        dense_d=dense_d, dop853_dense=dop853_dense)
 
 
 def odeint_dopri5(func, y0, ts, *args, **kw):

@@ -168,6 +168,27 @@ def _dop853() -> ButcherTableau | None:
 DOP853 = _dop853()
 
 
+def _dop853_dense():
+    """Extra-stage table for Hairer's 7th-order DOP853 interpolant.
+
+    scipy's tables: three additional stages (rows 13..15 of the extended
+    (16, 16) A against the 13 integration stages + previously computed
+    extras) and the (4, 16) D matrix producing interpolation vectors
+    F[3..6]. Returns (a_extra, c_extra, d) as float64 numpy arrays, or None
+    when scipy is unavailable (then dop853 falls back to cubic Hermite).
+    """
+    try:
+        from scipy.integrate._ivp import dop853_coefficients as _d
+    except Exception:  # pragma: no cover - scipy always present in CI
+        return None
+    n = _d.N_STAGES_EXTENDED  # 16
+    return (np.asarray(_d.A[13:n, :n]), np.asarray(_d.C[13:n]),
+            np.asarray(_d.D))
+
+
+DOP853_DENSE = _dop853_dense()
+
+
 def is_fsal(tab: ButcherTableau) -> bool:
     """First-same-as-last: the final stage derivative is f(t1, y1)."""
     return bool(

@@ -267,9 +267,18 @@ class TestOtherAdaptiveMethods:
 class TestDop853:
     """Hairer 8(5,3) — beyond torchdiffeq (scipy-DOP853 semantics: 13-stage
     FSAL tableau, combined 5th/3rd-order error estimator, -1/8 controller
-    exponent). Dense output is the generic cubic Hermite interpolant, so
-    intermediate-time accuracy is interpolation-limited; step-endpoint
-    accuracy reflects the 8th-order method."""
+    exponent, 7th-order dense output with three extra stages per replayed
+    step)."""
+
+    def test_dense_output_seventh_order(self):
+        # few large steps + many output points: interpolation quality is
+        # what's measured; Hermite would sit at ~1e-4 here
+        ts = jnp.linspace(0.0, 5.0, 101)
+        ys = odeint(exp_decay, jnp.ones(2), ts, method="dop853",
+                    rtol=1e-7, atol=1e-9, max_steps=4096, adjoint="none")
+        exact = np.exp(-np.asarray(ts))[:, None] * np.ones(2)
+        err = float(np.max(np.abs(np.asarray(ys) - exact)))
+        assert err < 5e-6, err
 
     def test_endpoint_accuracy(self):
         ts = jnp.asarray([0.0, 5.0])
@@ -348,9 +357,7 @@ class TestDop853:
             lambda t, y: [y[1], mu * (1 - y[0] ** 2) * y[1] - y[0]],
             (0.0, 8.0), y0, method="DOP853", t_eval=ts,
             rtol=1e-10, atol=1e-12)
-        # Hermite interpolation of the large 8th-order steps bounds the
-        # intermediate-time error, not the integration error.
-        np.testing.assert_allclose(np.asarray(ys), sol.y.T, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(ys), sol.y.T, atol=3e-4)
 
 
 class TestAdamsMethods:
