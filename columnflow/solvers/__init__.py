@@ -11,12 +11,15 @@ scripts/parity_ode.py:10-11, scripts/bifurcation_ode.py:12):
 - gradients: discrete backprop through the step sequence ("replay", default,
   matching the reference's backprop-through-solver), continuous adjoint
   ("backsolve", O(1) memory) as ``jax.custom_vjp``.
-- ``sdeint``: Euler-Maruyama, Milstein, and strong order 1.5 stochastic
-  Runge-Kutta (SRA1 additive / SRIW1 general) for Ito SDEs, plus the
-  Stratonovich method surface (euler_heun/heun/midpoint/milstein) behind
-  ``sde_type="stratonovich"``, with scalar or diagonal noise, counter-based
-  Brownian increments from ``jax.random``, and a virtual Brownian tree for
-  adaptive stepping.
+- ``sdeint``: Euler-Maruyama, Milstein (jvp or ``grad_free=True``
+  derivative-free), and strong order 1.5 stochastic Runge-Kutta (SRA1
+  additive / SRIW1 general) for Ito SDEs, plus the Stratonovich method
+  surface (euler_heun/heun/midpoint/milstein/log_ode) behind
+  ``sde_type="stratonovich"``, with scalar, diagonal, or general
+  (matrix-against-m-channels) noise, counter-based Brownian increments from
+  ``jax.random``, Davie-approximation Levy areas (``solvers.levy``: the
+  log-ODE scheme's strong-1.0 general-noise driver, with Chen-relation
+  coarsening), and a virtual Brownian tree for adaptive stepping.
 - ``sdeint_adjoint``: stochastic-adjoint gradients (torchsde's flagship
   capability, Li et al. 2020) — the backward pass re-integrates state +
   adjoint in reverse on the SAME Brownian path, regenerated from the
@@ -33,8 +36,11 @@ from columnflow.solvers.sde_adaptive import (sdeint_adaptive,
 from columnflow.solvers.brownian import VirtualBrownianTree
 from columnflow.solvers.dopri import SolverStats, odeint_stats
 from columnflow.solvers.fused import odeint_dopri5_fused, sdeint_fused
+from columnflow.solvers.levy import chen_combine, levy_pack
 
 __all__ = [
+    "chen_combine",
+    "levy_pack",
     "odeint",
     "odeint_event",
     "odeint_dopri5_fused",

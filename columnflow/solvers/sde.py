@@ -19,6 +19,13 @@ type; its method surface euler_heun/heun/midpoint/milstein):
     "heun"        full predictor-corrector (trapezoidal drift AND diffusion)
     "midpoint"    stochastic midpoint rule
     "milstein"    Stratonovich Milstein (no -h Ito correction term)
+    "log_ode"     log-ODE midpoint with Davie Levy areas (noise="general"
+                  only): strong order 1.0 where the Euler-type general-noise
+                  schemes are 0.5 — torchsde's ``log_ode`` method
+
+Milstein (either calculus) accepts ``grad_free=True`` — torchsde's
+``options={'grad_free': True}``: the diffusion derivative is replaced by a
+derivative-free two-evaluation difference quotient (same strong order 1.0).
 
 Integration is fixed-step on the output grid ``ts`` (one step per interval)
 over ``lax.scan`` — reverse-differentiable with per-step rematerialisation,
@@ -31,10 +38,11 @@ Noise kinds:
     "scalar"    diffusion returns g with y's shape; dy += g * dW, dW scalar
     "diagonal"  diffusion returns g with y's shape; dy += g * dW, dW elementwise
     "general"   diffusion returns a (d, m) matrix against m independent
-                Brownian channels; dy += g @ dW. Methods without Levy-area
-                requirements only: Ito "euler"; Stratonovich "euler_heun",
-                "heun", "midpoint", "reversible_heun" (torchsde's own
-                noise_type="general" restriction).
+                Brownian channels; dy += g @ dW. Ito: "euler" only
+                (torchsde's own noise_type="general" restriction).
+                Stratonovich: "euler_heun", "heun", "midpoint",
+                "reversible_heun" (strong 0.5), and "log_ode" (strong 1.0
+                via Davie Levy areas, see ``solvers.levy``).
 """
 
 from __future__ import annotations
@@ -148,6 +156,28 @@ def _milstein_step(drift, diffusion, t, y, h, i1, args):
     return y + h * drift(t, y, *args) + g * i1 + 0.5 * dg_g * (i1 * i1 - h)
 
 
+def _milstein_grad_free_step(drift, diffusion, t, y, h, i1, args, ito=True):
+    """Derivative-free Milstein (torchsde's ``options={'grad_free': True}``).
+
+    The dg/dy . g term is replaced by the difference quotient
+    (g(y_support) - g(y)) / sqrt(h) — two diffusion evaluations, no jvp.
+    Same strong order 1.0 (scalar/diagonal noise).
+
+    Support point: Ito uses Platen's y + f h + g sqrt(h) (the f h term's
+    contribution is zero-mean against the centered Ito weight dW^2 - h).
+    Stratonovich drops the drift term — its weight dW^2 has MEAN h, so the
+    f h contamination of the quotient would otherwise accumulate as a
+    systematic O(sqrt(h)) error (measured: it degrades GBM to strong 0.5).
+    """
+    f0 = drift(t, y, *args)
+    g0 = diffusion(t, y, *args)
+    sqrt_h = jnp.sqrt(h)
+    support = y + h * f0 + g0 * sqrt_h if ito else y + g0 * sqrt_h
+    g_bar = diffusion(t, support, *args)
+    ii = i1 * i1 - h if ito else i1 * i1
+    return y + h * f0 + g0 * i1 + 0.5 * (g_bar - g0) / sqrt_h * ii
+
+
 # --- Stratonovich steppers (torchsde's stratonovich method surface) ---------
 
 
@@ -178,6 +208,33 @@ def _heun_step(drift, diffusion, t, y, h, i1, args, mul=_mul_elem):
     f1 = drift(t + h, y_pred, *args)
     g1 = diffusion(t + h, y_pred, *args)
     return y + 0.5 * h * (f0 + f1) + 0.5 * mul(g0 + g1, i1)
+
+
+def _log_ode_field(drift, diffusion, t, y, h, i1, a_levy, args):
+    """The log-ODE vector field V(y) over one step (general noise).
+
+    V = h f + g @ W + sum_{j,k} (dg_k . g_j) A_{jk}: the degree-2 truncated
+    log-signature of (time, Brownian path) pushed through the SDE's vector
+    fields; the Lie-bracket term is the antisymmetric Levy-area correction
+    (Sum_{j<k} [g_j, g_k] A_{jk} rewritten with A's antisymmetry). The
+    brackets contract via m jvps of the diffusion, one per source channel.
+    """
+    f = drift(t, y, *args)
+    g = diffusion(t, y, *args)
+
+    def dg_dir(v):
+        return jax.jvp(lambda y_: diffusion(t, y_, *args), (y,), (v,))[1]
+
+    dgs = jax.vmap(dg_dir, in_axes=1)(g)        # (m, d, m): dgs[j,:,k]=dg_k.g_j
+    bracket = jnp.einsum("jdk,jk->d", dgs, a_levy)
+    return h * f + g @ i1 + bracket
+
+
+def _log_ode_midpoint_step(drift, diffusion, t, y, h, i1, a_levy, args):
+    """One midpoint step of the log-ODE (strong order 1.0, general noise)."""
+    v0 = _log_ode_field(drift, diffusion, t, y, h, i1, a_levy, args)
+    return y + _log_ode_field(drift, diffusion, t + 0.5 * h, y + 0.5 * v0,
+                              h, i1, a_levy, args)
 
 
 def _midpoint_step(drift, diffusion, t, y, h, i1, args, mul=_mul_elem):
@@ -221,6 +278,7 @@ def sdeint(
     sde_type: str = "ito",
     remat: bool = True,
     noise_pack=None,
+    grad_free: bool = False,
 ):
     """Integrate the SDE dy = drift dt + diffusion dW on the grid ``ts``.
 
@@ -243,6 +301,11 @@ def sdeint(
         noise_pack: optional precomputed stochastic integrals
             (i1, i10, i11, i111), each with leading axis T-1 — used to pin
             a Brownian path externally (tests, coupling across resolutions).
+            For method="log_ode" the pack is (i1, a_levy) with a_levy the
+            (T-1, m, m) antisymmetric Levy areas (see ``solvers.levy``).
+        grad_free: Milstein only — replace the jvp diffusion derivative with
+            a derivative-free difference quotient (torchsde's
+            ``options={'grad_free': True}``).
 
     Returns ys with shape (T,) + y0.shape; ys[0] == y0. Pytree states are
     supported like ``odeint``'s: drift/diffusion receive (and return) the
@@ -291,6 +354,34 @@ def sdeint(
         raise ValueError(f"unknown noise kind: {noise!r}")
     mul = _mul_general if noise == "general" else _mul_elem
 
+    if method == "log_ode":
+        if sde_type != "stratonovich":
+            raise ValueError(
+                "log_ode is a Stratonovich method (torchsde registers it "
+                "under sde_type='stratonovich' only)")
+        if noise != "general":
+            raise ValueError(
+                "log_ode requires noise='general'; for scalar/diagonal "
+                "noise use milstein (same strong order 1.0)")
+        from .levy import levy_pack
+
+        if noise_pack is None:
+            hs, i1, _, a_levy = levy_pack(key, ts, noise_shape[0], y0.dtype)
+        else:
+            i1, a_levy = noise_pack
+            hs = (ts[1:] - ts[:-1]).astype(y0.dtype)
+
+        def step(y, xs):
+            t, h, w1, a1 = xs
+            y1 = _log_ode_midpoint_step(drift, diffusion, t, y, h, w1, a1,
+                                        args)
+            return y1, y1
+
+        if remat:
+            step = jax.checkpoint(step)
+        _, ys = jax.lax.scan(step, y0, (ts[:-1], hs, i1, a_levy))
+        return jnp.concatenate([y0[None], ys], axis=0)
+
     if noise_pack is None:
         hs, i1, i10, i11, i111 = _brownian_pack(key, ts, noise_shape, y0.dtype)
     else:
@@ -333,9 +424,13 @@ def sdeint(
             )
         if noise == "general" and method == "milstein":
             raise ValueError(
-                "noise='general' milstein needs Levy areas; use euler_heun, "
-                "heun, midpoint or reversible_heun (torchsde's restriction)")
+                "noise='general' milstein needs Levy areas; use log_ode "
+                "(strong 1.0) or euler_heun/heun/midpoint/reversible_heun")
         stepper = strat_steps[method]
+        if method == "milstein" and grad_free:
+            def stepper(drift_, diffusion_, t, y, h, w1, args_, mul=None):
+                return _milstein_grad_free_step(drift_, diffusion_, t, y, h,
+                                                w1, args_, ito=False)
 
         def step(y, xs):
             t, h, w1 = xs
@@ -355,9 +450,12 @@ def sdeint(
             return y1, y1
         xs = (t0s, hs, i1, i10, i11, i111)
     elif method == "milstein":
+        mil = (_milstein_grad_free_step if grad_free else
+               lambda *a: _milstein_step(*a))
+
         def step(y, xs):
             t, h, w1 = xs
-            y1 = _milstein_step(drift, diffusion, t, y, h, w1, args)
+            y1 = mil(drift, diffusion, t, y, h, w1, args)
             return y1, y1
         xs = (t0s, hs, i1)
     elif method == "euler":

@@ -1,0 +1,279 @@
+"""log-ODE scheme + Levy-area machinery (torchsde's ``log_ode`` method and
+``BrownianInterval(levy_area_approximation='davie')``; the reference imports
+torchsde wholesale, scripts/parity_ode.py:11).
+
+Oracles:
+  - sampled-moment structure of the Davie (W, H, A) triple (derived in
+    solvers/levy.py: Var A = h^2/4 split as h^2/6 conditional-mean +
+    h^2/12 tail);
+  - Chen's relation (coarsened packs must be distributed like directly
+    sampled ones AND couple pathwise);
+  - a closed-form identity: one log-ODE midpoint step is EXACT for the
+    canonical area system dy1 = dW1, dy2 = y1 o dW2, whose Stratonovich
+    solution is y2(T) = W1 W2 / 2 + A_12;
+  - strong self-convergence order ~1.0 on a noncommutative nonlinear system
+    under Chen-coupled refinement, vs ~0.5 for euler_heun on the same paths.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from columnflow.solvers import sdeint
+from columnflow.solvers.levy import chen_combine, levy_pack
+
+
+class TestLevyPack:
+    def test_moments(self):
+        ts = jnp.linspace(0.0, 1.0, 2)  # one step, h = 1
+        keys = jax.random.split(jax.random.PRNGKey(0), 120_000)
+        _, w, h_st, a = jax.jit(jax.vmap(
+            lambda k: levy_pack(k, ts, 2)))(keys)
+        w = np.asarray(w[:, 0])
+        h = np.asarray(h_st[:, 0])
+        a12 = np.asarray(a[:, 0, 0, 1])
+
+        assert abs(w.var(axis=0) - 1.0).max() < 2e-2
+        assert abs(h.var(axis=0) - 1 / 12).max() < 2e-3
+        # independence of H from W
+        assert abs(np.mean(w * h, axis=0)).max() < 2e-3
+        # marginal Var(A) = h^2/4; antisymmetry exact
+        assert abs(a12.var() - 0.25) < 1e-2
+        np.testing.assert_allclose(np.asarray(a[:1000]),
+                                   -np.asarray(a[:1000]).swapaxes(-1, -2),
+                                   atol=1e-6)  # XLA may fuse the two outer-
+        # product occurrences differently -> diagonal is ~1e-9, not bit-zero
+        # Davie structure: tail residual indep of the conditional mean,
+        # with the h^2/12 variance
+        cond_mean = h[:, 0] * w[:, 1] - w[:, 0] * h[:, 1]
+        resid = a12 - cond_mean
+        assert abs(resid.var() - 1 / 12) < 4e-3
+        assert abs(np.corrcoef(resid, cond_mean)[0, 1]) < 1e-2
+
+    def test_chen_combine_matches_direct_stats(self):
+        """Coarsened fine packs are distributed like directly sampled ones."""
+        ts_f = jnp.linspace(0.0, 1.0, 9)  # 8 fine steps -> 1 coarse
+        keys = jax.random.split(jax.random.PRNGKey(1), 80_000)
+
+        def coarse(k):
+            hs, w, h_st, a = levy_pack(k, ts_f, 2)
+            return chen_combine(hs, w, h_st, a, 8)
+
+        hs, w, h_st, a = jax.jit(jax.vmap(coarse))(keys)
+        np.testing.assert_allclose(np.asarray(hs), 1.0, rtol=1e-5)
+        assert abs(np.asarray(w[:, 0]).var(axis=0) - 1.0).max() < 2e-2
+        assert abs(np.asarray(h_st[:, 0]).var(axis=0) - 1 / 12).max() < 3e-3
+        assert abs(np.asarray(a[:, 0, 0, 1]).var() - 0.25) < 1e-2
+        # H stays independent of W after aggregation
+        prod = np.asarray(w[:, 0]) * np.asarray(h_st[:, 0])
+        assert abs(prod.mean(axis=0)).max() < 3e-3
+
+    def test_chen_combine_pathwise_increment(self):
+        hs, w, h_st, a = levy_pack(jax.random.PRNGKey(2),
+                                   jnp.linspace(0.0, 2.0, 17), 3)
+        hs_c, w_c, _, _ = chen_combine(hs, w, h_st, a, 4)
+        np.testing.assert_allclose(np.asarray(w_c),
+                                   np.asarray(w.reshape(4, 4, 3).sum(1)),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(hs_c), 0.5, rtol=1e-6)
+
+    def test_chen_combine_validates(self):
+        hs, w, h_st, a = levy_pack(jax.random.PRNGKey(0),
+                                   jnp.linspace(0.0, 1.0, 7), 2)
+        with pytest.raises(ValueError, match="power of two"):
+            chen_combine(hs, w, h_st, a, 3)
+        with pytest.raises(ValueError, match="divide"):
+            chen_combine(hs, w, h_st, a, 4)
+
+
+# dy1 = dW1, dy2 = y1 o dW2: the canonical Levy-area system.
+_AREA_G = lambda t, y: jnp.array([[1.0, 0.0], [0.0, y[0]]])
+_ZERO_F = lambda t, y: jnp.zeros(2)
+
+
+class TestLogOde:
+    def test_one_step_exact_on_area_system(self):
+        """y2(T) = W1 W2 / 2 + A_12 — one midpoint log-ODE step hits it
+        exactly (the truncated log-signature IS the solution here)."""
+        ts = jnp.linspace(0.0, 1.0, 2)
+        for seed in range(5):
+            key = jax.random.PRNGKey(seed)
+            _, w, _, a = levy_pack(key, ts, 2)
+            ys = sdeint(_ZERO_F, _AREA_G, jnp.zeros(2), ts, key,
+                        method="log_ode", sde_type="stratonovich",
+                        noise="general", noise_pack=(w, a))
+            np.testing.assert_allclose(float(ys[-1, 0]), float(w[0, 0]),
+                                       rtol=1e-6)
+            want = 0.5 * float(w[0, 0] * w[0, 1]) + float(a[0, 0, 1])
+            np.testing.assert_allclose(float(ys[-1, 1]), want, rtol=1e-5,
+                                       atol=1e-6)
+
+    def test_strong_order_one_vs_euler_heun_half(self):
+        """Chen-coupled refinement: log_ode error ~ O(h), euler_heun ~ O(h^0.5)
+        on a noncommutative nonlinear system."""
+        # O(1) Lie brackets ([g_1, g_2] = (0, 1)): without them, euler_heun's
+        # O(h) Taylor terms can mask the missing-area O(sqrt(h)) error at
+        # finite resolution and fake a slope of 1.
+        drift = lambda t, y: -0.5 * y
+        def diff(t, y):
+            return jnp.array([[1.0, 0.0], [0.0, y[0]]])
+
+        y0 = jnp.array([1.0, -0.5])
+        n_fine = 512
+        ts_fine = jnp.linspace(0.0, 1.0, n_fine + 1)
+        factors = (4, 8, 16, 32)
+
+        def solve_pair(key):
+            pack = levy_pack(key, ts_fine, 2)
+            ref = sdeint(drift, diff, y0, ts_fine, key, method="log_ode",
+                         sde_type="stratonovich", noise="general",
+                         noise_pack=(pack[1], pack[3]))[-1]
+            errs_lo, errs_eh = [], []
+            for f in factors:
+                hs, w, h_st, a = chen_combine(*pack, f)
+                ts_c = jnp.concatenate([ts_fine[:1],
+                                        ts_fine[1:][f - 1::f]])
+                lo = sdeint(drift, diff, y0, ts_c, key, method="log_ode",
+                            sde_type="stratonovich", noise="general",
+                            noise_pack=(w, a))[-1]
+                eh = sdeint(drift, diff, y0, ts_c, key, method="euler_heun",
+                            sde_type="stratonovich", noise="general",
+                            noise_pack=(w, None, None, None))[-1]
+                errs_lo.append(jnp.sum((lo - ref) ** 2))
+                errs_eh.append(jnp.sum((eh - ref) ** 2))
+            return jnp.stack(errs_lo), jnp.stack(errs_eh)
+
+        keys = jax.random.split(jax.random.PRNGKey(7), 96)
+        e_lo, e_eh = jax.jit(jax.vmap(solve_pair))(keys)
+        rmse_lo = np.sqrt(np.asarray(e_lo).mean(0))
+        rmse_eh = np.sqrt(np.asarray(e_eh).mean(0))
+        x = np.log2(np.asarray(factors, float))
+        slope_lo = np.polyfit(x, np.log2(rmse_lo), 1)[0]
+        slope_eh = np.polyfit(x, np.log2(rmse_eh), 1)[0]
+        assert slope_lo > 0.85, (slope_lo, rmse_lo)
+        assert slope_eh < 0.75, (slope_eh, rmse_eh)
+        # and at every common resolution the log-ODE error is smaller
+        assert (rmse_lo < rmse_eh).all()
+
+    def test_matches_heun_when_noise_commutes(self):
+        """Diagonal (commuting) diffusion embedded as general: the bracket
+        term vanishes and log_ode agrees with heun at O(h) — both converge
+        to the same Stratonovich solution."""
+        drift = lambda t, y: -y
+        g_gen = lambda t, y: jnp.diag(0.2 * y + 0.3)
+        y0 = jnp.array([1.0, 2.0])
+        ts = jnp.linspace(0.0, 1.0, 801)
+        key = jax.random.PRNGKey(3)
+        _, w, _, a = levy_pack(key, ts, 2)
+        ys_lo = sdeint(drift, g_gen, y0, ts, key, method="log_ode",
+                       sde_type="stratonovich", noise="general",
+                       noise_pack=(w, a))
+        ys_h = sdeint(drift, g_gen, y0, ts, key, method="heun",
+                      sde_type="stratonovich", noise="general",
+                      noise_pack=(w, None, None, None))
+        np.testing.assert_allclose(np.asarray(ys_lo[-1]),
+                                   np.asarray(ys_h[-1]), rtol=2e-3)
+
+    def test_gradients_flow(self):
+        drift = lambda t, y, th: -th * y
+        diff = lambda t, y, th: jnp.array([[0.3, 0.1], [0.0, 0.2]]) \
+            * (1.0 + 0.1 * jnp.tanh(y))[:, None]
+        ts = jnp.linspace(0.0, 0.5, 33)
+        key = jax.random.PRNGKey(4)
+
+        def loss(th):
+            ys = sdeint(drift, diff, jnp.ones(2), ts, key, th,
+                        method="log_ode", sde_type="stratonovich",
+                        noise="general")
+            return jnp.sum(ys[-1] ** 2)
+
+        g = jax.grad(loss)(jnp.float32(0.7))
+        assert np.isfinite(float(g)) and abs(float(g)) > 1e-6
+        # FD check
+        eps = 1e-2
+        fd = (loss(jnp.float32(0.7 + eps)) - loss(jnp.float32(0.7 - eps))) \
+            / (2 * eps)
+        np.testing.assert_allclose(float(g), float(fd), rtol=2e-2)
+
+    def test_requires_general_and_stratonovich(self):
+        ts = jnp.linspace(0.0, 1.0, 5)
+        key = jax.random.PRNGKey(0)
+        with pytest.raises(ValueError, match="general"):
+            sdeint(lambda t, y: -y, lambda t, y: jnp.ones(2), jnp.ones(2),
+                   ts, key, method="log_ode", sde_type="stratonovich",
+                   noise="diagonal")
+        with pytest.raises(ValueError, match="[Ss]tratonovich"):
+            sdeint(lambda t, y: -y, lambda t, y: jnp.ones((2, 2)),
+                   jnp.ones(2), ts, key, method="log_ode", noise="general")
+
+
+class TestGradFreeMilstein:
+    def test_matches_jvp_milstein_strong_order(self):
+        """GBM pathwise: grad-free Milstein converges at strong order 1.0 to
+        the closed form, like the jvp variant (torchsde options={'grad_free':
+        True})."""
+        a, b = 0.8, 0.6
+        drift = lambda t, y: a * y
+        diff = lambda t, y: b * y
+        y0 = jnp.ones(())
+
+        def final_err(key, n, grad_free):
+            ts = jnp.linspace(0.0, 1.0, n + 1)
+            ys = sdeint(drift, diff, y0, ts, key, method="milstein",
+                        noise="diagonal", grad_free=grad_free)
+            # reconstruct the path's W(T) from the same counter-based pack
+            from columnflow.solvers.sde import _brownian_pack
+            _, i1, *_ = _brownian_pack(key, ts, (), jnp.float32)
+            wT = i1.sum()
+            exact = y0 * jnp.exp((a - 0.5 * b * b) * 1.0 + b * wT)
+            return (ys[-1] - exact) ** 2
+
+        keys = jax.random.split(jax.random.PRNGKey(0), 256)
+        for gf in (False, True):
+            errs = []
+            for n in (32, 64, 128, 256):
+                e = jax.jit(jax.vmap(lambda k: final_err(k, n, gf)))(keys)
+                errs.append(float(np.sqrt(np.asarray(e).mean())))
+            slope = np.polyfit(np.log2([32, 64, 128, 256]),
+                               np.log2(errs), 1)[0]
+            assert slope < -0.85, (gf, slope, errs)
+
+    def test_grad_free_close_to_jvp_variant(self):
+        drift = lambda t, y: -y
+        diff = lambda t, y: 0.5 * jnp.tanh(y) + 0.6
+        ts = jnp.linspace(0.0, 1.0, 401)
+        key = jax.random.PRNGKey(5)
+        y0 = jnp.array([1.0, -0.4, 0.2])
+        ys_j = sdeint(drift, diff, y0, ts, key, method="milstein",
+                      noise="diagonal")
+        ys_g = sdeint(drift, diff, y0, ts, key, method="milstein",
+                      noise="diagonal", grad_free=True)
+        np.testing.assert_allclose(np.asarray(ys_g), np.asarray(ys_j),
+                                   rtol=5e-3, atol=5e-4)
+
+    def test_stratonovich_grad_free_strong_order(self):
+        """Stratonovich GBM: y(T) = y0 exp(a T + b W(T)) exactly; grad-free
+        Stratonovich Milstein converges pathwise at strong order ~1."""
+        a, b = 0.5, 0.6
+        drift = lambda t, y: a * y
+        diff = lambda t, y: b * y
+        y0 = jnp.ones(())
+
+        def final_err(key, n):
+            ts = jnp.linspace(0.0, 1.0, n + 1)
+            ys = sdeint(drift, diff, y0, ts, key, method="milstein",
+                        sde_type="stratonovich", noise="diagonal",
+                        grad_free=True)
+            from columnflow.solvers.sde import _brownian_pack
+            _, i1, *_ = _brownian_pack(key, ts, (), jnp.float32)
+            exact = y0 * jnp.exp(a * 1.0 + b * i1.sum())
+            return (ys[-1] - exact) ** 2
+
+        keys = jax.random.split(jax.random.PRNGKey(0), 256)
+        errs = []
+        for n in (32, 64, 128, 256):
+            e = jax.jit(jax.vmap(lambda k: final_err(k, n)))(keys)
+            errs.append(float(np.sqrt(np.asarray(e).mean())))
+        slope = np.polyfit(np.log2([32, 64, 128, 256]), np.log2(errs), 1)[0]
+        assert slope < -0.85, (slope, errs)
