@@ -24,12 +24,16 @@ scripts/parity_ode.py:10-11, scripts/bifurcation_ode.py:12):
   capability, Li et al. 2020) — the backward pass re-integrates state +
   adjoint in reverse on the SAME Brownian path, regenerated from the
   counter-based key instead of torchsde's C++ Brownian-interval cache.
+- ``sdeint_logqp``: the Girsanov KL path against a prior drift (torchsde's
+  ``logqp=True``, the latent-SDE training signal) by state augmentation —
+  rides every method, noise kind, and gradient path.
 """
 
 from columnflow.solvers.api import odeint
 from columnflow.solvers.event import odeint_event
 from columnflow.solvers.sde import sdeint
 from columnflow.solvers.sde_adjoint import sdeint_adjoint
+from columnflow.solvers.sde_logqp import sdeint_logqp
 from columnflow.solvers.sde_reversible import sdeint_reversible
 from columnflow.solvers.sde_adaptive import (sdeint_adaptive,
                                              sdeint_adaptive_batch)
@@ -46,6 +50,7 @@ __all__ = [
     "odeint_dopri5_fused",
     "sdeint",
     "sdeint_adjoint",
+    "sdeint_logqp",
     "sdeint_reversible",
     "sdeint_fused",
     "sdeint_adaptive",
