@@ -12,6 +12,14 @@ Methods:
                             adaptive lower-order pairs (torchdiffeq's)
     "dop853"                adaptive 8th-order (Hairer 8(5,3) pair with the
                             combined error estimator) for tight tolerances
+    "dopri8"                alias of dop853 (torchdiffeq's method name for
+                            its 8th-order pair; the underlying tableau here
+                            is Hairer's 8(5,3) rather than the 8(7) pair —
+                            same order, same role, better estimator)
+    "kvaerno3"              implicit ESDIRK 4(3) (Kvaerno 2004): L-stable,
+                            stiffly accurate, modified-Newton stages — for
+                            stiff systems the explicit pairs grind on
+                            (no torchdiffeq analog; scipy_solver territory)
     "euler"/"midpoint"/"heun"/"heun3"/"rk4"
                             fixed-grid, one step per ts interval
     "dopri5_fixed"          dopri5 tableau on the fixed grid
@@ -45,7 +53,9 @@ from columnflow.solvers.adjoint import odeint_backsolve
 from columnflow.solvers.dopri import odeint_adaptive
 
 _FIXED = ("euler", "midpoint", "heun", "heun3", "rk4", "dopri5_fixed")
-_ADAPTIVE = tuple(rk.ADAPTIVE_TABLEAUS)  # dopri5, bosh3, adaptive_heun, fehlberg2, dop853
+# dopri5, bosh3, adaptive_heun, fehlberg2, dop853 + implicit kvaerno3
+_ADAPTIVE = tuple(rk.ADAPTIVE_TABLEAUS) + ("kvaerno3",)
+_ALIASES = {"dopri8": "dop853"}
 # torchdiffeq's fixed multistep solvers (implicit_adams == fixed_adams there
 # too: both name the PECE Adams-Bashforth-Moulton sweep).
 _ADAMS = ("explicit_adams", "implicit_adams", "fixed_adams")
@@ -73,6 +83,7 @@ def odeint(
 
     Returns ys with leading axis len(ts); ys[0] == y0.
     """
+    method = _ALIASES.get(method, method)
     leaves = jax.tree_util.tree_leaves(y0)
     is_array_state = len(leaves) == 1 and (y0 is leaves[0])
 

@@ -48,6 +48,23 @@ class SolverStats(NamedTuple):
     success: jax.Array  # False if max_steps was exhausted before t_end
 
 
+def _resolve_method(method: str):
+    """(tableau, step_impl) for an adaptive method name.
+
+    Explicit embedded pairs come from rk.ADAPTIVE_TABLEAUS and step with
+    ``rk_step``; implicit (ESDIRK) methods come from esdirk.ESDIRK_TABLEAUS
+    and step with the modified-Newton ``esdirk_step`` (stiff systems).
+    """
+    method = {"dopri8": "dop853"}.get(method, method)
+    if method in ADAPTIVE_TABLEAUS:
+        return ADAPTIVE_TABLEAUS[method], rk_step
+    from columnflow.solvers.esdirk import ESDIRK_TABLEAUS, esdirk_step
+
+    if method in ESDIRK_TABLEAUS:
+        return ESDIRK_TABLEAUS[method], esdirk_step
+    raise ValueError(f"unknown adaptive method: {method!r}")
+
+
 def _rms_norm(x):
     return jnp.sqrt(jnp.mean(jnp.square(x)))
 
@@ -198,7 +215,8 @@ class _StepCarry(NamedTuple):
 
 
 def _adaptive_pass(func, y0, t_start, t_end, rtol, atol, dt0, max_steps,
-                   *args, tab=DOPRI5, dense_d=DOPRI5_DENSE_D, stop_fn=None):
+                   *args, tab=DOPRI5, dense_d=DOPRI5_DENSE_D, stop_fn=None,
+                   step_impl=rk_step):
     """Integrate from t_start to t_end, recording the accepted step sequence.
 
     Returns the final carry; ``step_times``/``naccept`` describe the step
@@ -240,7 +258,7 @@ def _adaptive_pass(func, y0, t_start, t_end, rtol, atol, dt0, max_steps,
 
     def body(s: _StepCarry):
         h = jnp.minimum(s.h, t_end - s.t1)
-        y1, f_last, ks = rk_step(func, tab, s.t1, s.y1, h, s.f1, *args)
+        y1, f_last, ks = step_impl(func, tab, s.t1, s.y1, h, s.f1, *args)
         f1 = f_last if fsal else func(s.t1 + h, y1, *args)
         ratio = _step_error_ratio(tab, h, ks, rtol, atol, s.y1, y1)
         accept = ratio <= 1.0
@@ -267,7 +285,7 @@ def _adaptive_pass(func, y0, t_start, t_end, rtol, atol, dt0, max_steps,
 
 def _replay_pass(func, y0, ts, step_times, naccept, max_steps, *args,
                  remat=True, tab=DOPRI5, dense_d=DOPRI5_DENSE_D,
-                 dop853_dense=False):
+                 dop853_dense=False, step_impl=rk_step):
     """Differentiable re-integration over a fixed accepted-step sequence.
 
     Steps through ``step_times`` with plain dopri5 stages under ``lax.scan``
@@ -288,7 +306,7 @@ def _replay_pass(func, y0, ts, step_times, naccept, max_steps, *args,
         t0 = step_times[idx]
         t1 = step_times[idx + 1]
         h = t1 - t0
-        y1, f_last, ks = rk_step(func, tab, t0, y, h, f, *args)
+        y1, f_last, ks = step_impl(func, tab, t0, y, h, f, *args)
         f1 = f_last if fsal else func(t1, y1, *args)
         if dop853_dense:
             coeffs = dop853_dense_coeffs(func, t0, h, y, y1, ks, *args)
@@ -345,7 +363,7 @@ def odeint_adaptive(
     reverse-mode AD flows through the replay scan — the discrete
     backprop-through-the-solver gradient at a frozen step sequence.
     """
-    tab = ADAPTIVE_TABLEAUS[method]
+    tab, step_impl = _resolve_method(method)
     dense_d = DOPRI5_DENSE_D if method == "dopri5" else None
     # dop853 replay interpolates with Hairer's 7th-order interpolant (three
     # extra drift evals per accepted step, matching the 8th-order solution);
@@ -356,18 +374,20 @@ def odeint_adaptive(
         carry = _adaptive_pass(
             func, jax.lax.stop_gradient(y0), ts[0], ts[-1], rtol, atol, dt0,
             max_steps, *(jax.lax.stop_gradient(args)),
-            tab=tab, dense_d=dense_d,
+            tab=tab, dense_d=dense_d, step_impl=step_impl,
         )
         step_times = jax.lax.stop_gradient(carry.step_times)
         naccept = jax.lax.stop_gradient(carry.naccept)
         return _replay_pass(func, y0, ts, step_times, naccept, max_steps,
                             *args, remat=remat, tab=tab, dense_d=dense_d,
-                            dop853_dense=dop853_dense)
+                            dop853_dense=dop853_dense, step_impl=step_impl)
     carry = _adaptive_pass(func, y0, ts[0], ts[-1], rtol, atol, dt0,
-                           max_steps, *args, tab=tab, dense_d=dense_d)
+                           max_steps, *args, tab=tab, dense_d=dense_d,
+                           step_impl=step_impl)
     return _replay_pass(func, y0, ts, carry.step_times, carry.naccept,
                         max_steps, *args, remat=remat, tab=tab,
-                        dense_d=dense_d, dop853_dense=dop853_dense)
+                        dense_d=dense_d, dop853_dense=dop853_dense,
+                        step_impl=step_impl)
 
 
 def odeint_dopri5(func, y0, ts, *args, **kw):
@@ -391,7 +411,7 @@ def odeint_stats(
     Decreasing ``ts`` is handled like ``odeint``'s (tau = -t substitution)
     when ``ts`` is concrete.
     """
-    tab = ADAPTIVE_TABLEAUS[method]
+    tab, step_impl = _resolve_method(method)
     dense_d = DOPRI5_DENSE_D if method == "dopri5" else None
     ts = jnp.asarray(ts, dtype=jnp.result_type(float))
     try:
@@ -408,12 +428,22 @@ def odeint_stats(
         ts = -ts
     ts = ts.astype(y0.dtype)
     carry = _adaptive_pass(func, y0, ts[0], ts[-1], rtol, atol, dt0,
-                           max_steps, *args, tab=tab, dense_d=dense_d)
+                           max_steps, *args, tab=tab, dense_d=dense_d,
+                           step_impl=step_impl)
     nsteps = carry.naccept + carry.nreject
     s_new = tab.c.shape[0] - 1  # stage 0 reuses the carried derivative
-    # FSAL: the last stage IS the next carry; non-FSAL pays one extra eval
-    # per attempted step. +2 init (f0 + the starting-step heuristic).
-    nfev = 2 + (s_new + (0 if is_fsal(tab) else 1)) * nsteps
+    if step_impl is not rk_step:
+        # ESDIRK: each implicit stage costs NEWTON_ITERS + 1 drift evals
+        # (iterations + the final stage derivative); Jacobian assembly
+        # (jacfwd, one per attempted step) is counted as one state-size
+        # batch eval.
+        from columnflow.solvers.esdirk import NEWTON_ITERS
+
+        nfev = 2 + (s_new * (NEWTON_ITERS + 1) + 1) * nsteps
+    else:
+        # FSAL: the last stage IS the next carry; non-FSAL pays one extra
+        # eval per attempted step. +2 init (f0 + starting-step heuristic).
+        nfev = 2 + (s_new + (0 if is_fsal(tab) else 1)) * nsteps
     return SolverStats(
         naccept=carry.naccept,
         nreject=carry.nreject,

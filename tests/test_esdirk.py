@@ -1,0 +1,152 @@
+"""Implicit ESDIRK (kvaerno3) adaptive solver: stiff systems.
+
+No reference/torchdiffeq analog (torchdiffeq punts stiff problems to
+scipy_solver, losing autodiff); motivation is the column physics itself —
+tau_syn = 0.5 ms vs tau_adapt = 10 s (reference config/model.toml:33-36).
+Oracles: closed-form stiff linear solutions, step-count economy vs dopri5
+at matched tolerance, L-stability behavior at extreme stiffness, FD
+gradient checks through the replay pass, and the dopri8 alias.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from columnflow.solvers import odeint, odeint_stats
+
+
+def _stiff_f(lam):
+    # y' = -lam (y - cos t) - sin t, y(0) = 1 -> y(t) = cos(t)
+    return lambda t, y: -lam * (y - jnp.cos(t)) - jnp.sin(t)
+
+
+class TestKvaerno3:
+    def test_stiff_linear_accuracy(self):
+        ts = jnp.linspace(0.0, 2.0, 21)
+        ys = odeint(_stiff_f(1000.0), jnp.ones(1), ts, method="kvaerno3",
+                    rtol=1e-6, atol=1e-8)
+        err = np.abs(np.asarray(ys[:, 0]) - np.cos(np.asarray(ts))).max()
+        assert err < 1e-4, err
+
+    def test_step_economy_vs_dopri5(self):
+        """At lam = 1000 the L-stable method steps at the accuracy-limited
+        rate; dopri5 at the stability-limited rate (~10x more steps)."""
+        ts = jnp.linspace(0.0, 2.0, 21)
+        sk = odeint_stats(_stiff_f(1000.0), jnp.ones(1), ts,
+                          method="kvaerno3", rtol=1e-6, atol=1e-8)
+        sd = odeint_stats(_stiff_f(1000.0), jnp.ones(1), ts,
+                          method="dopri5", rtol=1e-6, atol=1e-8)
+        assert bool(sk.success) and bool(sd.success)
+        assert int(sk.naccept) * 10 < int(sd.naccept), \
+            (int(sk.naccept), int(sd.naccept))
+
+    def test_l_stability_extreme_stiffness(self):
+        """lam = 1e5 under a 64-step budget: kvaerno3 completes, dopri5
+        exhausts its budget (stability-limited h ~ 1/lam)."""
+        ts = jnp.linspace(0.0, 1.0, 5)
+        sk = odeint_stats(_stiff_f(1e5), jnp.ones(1), ts, method="kvaerno3",
+                          rtol=1e-4, atol=1e-6, max_steps=64)
+        sd = odeint_stats(_stiff_f(1e5), jnp.ones(1), ts, method="dopri5",
+                          rtol=1e-4, atol=1e-6, max_steps=64)
+        assert bool(sk.success)
+        assert not bool(sd.success)
+        ys = odeint(_stiff_f(1e5), jnp.ones(1), ts, method="kvaerno3",
+                    rtol=1e-4, atol=1e-6, max_steps=64)
+        err = np.abs(np.asarray(ys[:, 0]) - np.cos(np.asarray(ts))).max()
+        assert err < 1e-3, err
+
+    def test_nonstiff_accuracy(self):
+        """Exponential decay + harmonic oscillator vs closed form."""
+        ts = jnp.linspace(0.0, 2.0, 17)
+        ys = odeint(lambda t, y: -y, jnp.ones(3), ts, method="kvaerno3",
+                    rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(ys[:, 0]),
+                                   np.exp(-np.asarray(ts)), rtol=2e-5,
+                                   atol=1e-7)
+        rot = jnp.asarray([[0.0, 1.0], [-1.0, 0.0]])
+        ys2 = odeint(lambda t, y: rot @ y, jnp.asarray([1.0, 0.0]), ts,
+                     method="kvaerno3", rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(ys2[:, 0]),
+                                   np.cos(np.asarray(ts)), atol=3e-5)
+
+    def test_nonlinear_stiff_converges(self):
+        """y' = -k y^3 (stiff near t=0 for large k): matches the closed form
+        y = (y0^-2 + 2 k t)^(-1/2)."""
+        k = 200.0
+        ts = jnp.linspace(0.0, 1.0, 9)
+        ys = odeint(lambda t, y, k: -k * y**3, jnp.full((1,), 2.0), ts, k,
+                    method="kvaerno3", rtol=1e-6, atol=1e-8)
+        want = (2.0 ** -2 + 2 * k * np.asarray(ts)) ** -0.5
+        np.testing.assert_allclose(np.asarray(ys[:, 0]), want, rtol=1e-3)
+
+    def test_matrix_shaped_state(self):
+        """Non-vector states ravel internally for the Newton solve."""
+        a = jnp.asarray([[-2.0, 1.0], [0.0, -3.0]])
+        ts = jnp.linspace(0.0, 1.0, 7)
+        y0 = jnp.ones((2, 3))
+        ys = odeint(lambda t, y: a @ y, y0, ts, method="kvaerno3",
+                    rtol=1e-6, atol=1e-8)
+        assert ys.shape == (7, 2, 3)
+        ref = odeint(lambda t, y: a @ y, y0, ts, method="dopri5",
+                     rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(ys[-1]), np.asarray(ref[-1]),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_gradient_matches_fd(self):
+        ts = jnp.linspace(0.0, 1.0, 9)
+
+        def loss(k):
+            ys = odeint(lambda t, y, k: -k * (y - jnp.cos(t)) - jnp.sin(t),
+                        jnp.ones(1), ts, k, method="kvaerno3",
+                        rtol=1e-7, atol=1e-9)
+            return ys[-1, 0]
+
+        k0 = jnp.float32(50.0)
+        g = jax.grad(loss)(k0)
+        eps = 0.5
+        fd = (loss(k0 + eps) - loss(k0 - eps)) / (2 * eps)
+        np.testing.assert_allclose(float(g), float(fd), rtol=5e-2,
+                                   atol=1e-7)
+
+    def test_grad_y0_through_stiff_solve(self):
+        ts = jnp.linspace(0.0, 0.5, 5)
+        g = jax.grad(lambda y0: odeint(_stiff_f(300.0), y0, ts,
+                                       method="kvaerno3", rtol=1e-6,
+                                       atol=1e-8)[-1].sum())(jnp.ones(1))
+        # fast transient forgets y0: dy(T)/dy0 = exp(-lam T) ~ 0
+        assert abs(float(g[0])) < 1e-4
+
+    def test_column_timescale_toy(self):
+        """The column physics' timescale split (tau = 0.5 ms vs 10 s) as a
+        2-d linear toy: kvaerno3 needs ~10x fewer steps over a 1 s horizon."""
+        tau_fast, tau_slow = 5e-4, 10.0
+
+        def f(t, y):
+            drive = jnp.sin(2 * jnp.pi * t)
+            return jnp.stack([(-y[0] + drive) / tau_fast,
+                              (-y[1] + y[0]) / tau_slow])
+
+        ts = jnp.linspace(0.0, 1.0, 11)
+        y0 = jnp.zeros(2)
+        sk = odeint_stats(f, y0, ts, method="kvaerno3", rtol=1e-4,
+                          atol=1e-6, max_steps=16384)
+        sd = odeint_stats(f, y0, ts, method="dopri5", rtol=1e-4, atol=1e-6,
+                          max_steps=16384)
+        assert bool(sk.success) and bool(sd.success)
+        assert int(sk.naccept) * 5 < int(sd.naccept), \
+            (int(sk.naccept), int(sd.naccept))
+
+
+class TestDopri8Alias:
+    def test_alias_routes_to_dop853(self):
+        ts = jnp.linspace(0.0, 1.0, 9)
+        y8 = odeint(lambda t, y: -y, jnp.ones(2), ts, method="dopri8")
+        yd = odeint(lambda t, y: -y, jnp.ones(2), ts, method="dop853")
+        np.testing.assert_allclose(np.asarray(y8), np.asarray(yd), rtol=0,
+                                   atol=0)
+
+    def test_alias_in_stats(self):
+        ts = jnp.linspace(0.0, 1.0, 9)
+        s = odeint_stats(lambda t, y: -y, jnp.ones(2), ts, method="dopri8")
+        assert bool(s.success)
