@@ -50,13 +50,24 @@ class ParityTask(NamedTuple):
     clamps: dict
     optimizer: object
     max_steps: int
+    # Deterministic-solve settings. The reference is pinned to torchdiffeq's
+    # dopri5 at its default tolerances (scripts/parity_ode.py:233); the
+    # stiff tau_syn/tau_adapt split (config/model.toml:33-36) makes the
+    # implicit "kvaerno3" the economical choice at loose tolerances
+    # (RESULTS.md: 99 vs 644 attempted steps at rtol=atol=1e-3 on the
+    # 104-column drift).
+    ode_method: str = "dopri5"
+    rtol: float = 1e-7
+    atol: float = 1e-9
 
 
 def build_task(cfg: ColumnConfig, key, lr: float = 0.1,
                columns_per_area=(8, 4, 1), n_inputs: int = 4,
                time_steps: int = TIME_STEPS, dt: float = DT,
                max_steps: int = 3072,
-               random_fan_in: bool = False) -> ParityTask:
+               random_fan_in: bool = False,
+               ode_method: str = "dopri5",
+               rtol: float = 1e-7, atol: float = 1e-9) -> ParityTask:
     params, net = build_column_network(
         cfg, key, columns_per_area=columns_per_area, n_inputs=n_inputs,
         random_fan_in=random_fan_in,
@@ -75,10 +86,11 @@ def build_task(cfg: ColumnConfig, key, lr: float = 0.1,
         "output_weights": (0.0, OUTPUT_SCALE),
     }
     return ParityTask(params, net, ts, float(ts[1] - ts[0]), grad_mask,
-                      clamps, adam(lr), max_steps)
+                      clamps, adam(lr), max_steps,
+                      ode_method=ode_method, rtol=rtol, atol=atol)
 
 
-def batched_rollout(params, task: ParityTask, stims_raw, method="dopri5",
+def batched_rollout(params, task: ParityTask, stims_raw, method=None,
                     differentiable=True, use_fused: bool = False,
                     stochastic: bool = False, key=None,
                     adaptive: bool = False, adaptive_rtol: float = 1e-3,
@@ -149,6 +161,8 @@ def batched_rollout(params, task: ParityTask, stims_raw, method="dopri5",
     """
     from columnflow.solvers import odeint
 
+    if method is None:  # deterministic solver settings ride on the task
+        method = task.ode_method
     time_steps = task.ts.shape[0]
     state_dim = 3 * task.net.num_pops
     if adaptive_max_steps is None:
@@ -436,7 +450,8 @@ def batched_rollout(params, task: ParityTask, stims_raw, method="dopri5",
         table = parity_stim_table(stim_raw, time_steps)
         return odeint(
             drift, jnp.zeros(state_dim), task.ts, params, table,
-            method=method, max_steps=task.max_steps,
+            method=method, rtol=task.rtol, atol=task.atol,
+            max_steps=task.max_steps,
             adjoint="replay" if differentiable else "none",
             remat=False,  # activations fit in HBM; ~1/3 faster backward
         )
@@ -680,6 +695,9 @@ def train_parity(
     select_bf16: bool = False,
     fused_pass: bool = False,
     grad_bf16: bool = False,
+    ode_method: str = "dopri5",
+    rtol: float = 1e-7,
+    atol: float = 1e-9,
 ):
     """Reference defaults: 6400 samples / batch 4 -> 1600 iterations,
     fixed-position patterns (scripts/parity_ode.py:286-294).
@@ -695,7 +713,8 @@ def train_parity(
     key, k_build = jax.random.split(key)
     task = build_task(cfg, k_build, columns_per_area=columns_per_area,
                       n_inputs=n_inputs, time_steps=time_steps,
-                      max_steps=max_steps, random_fan_in=random_fan_in)
+                      max_steps=max_steps, random_fan_in=random_fan_in,
+                      ode_method=ode_method, rtol=rtol, atol=atol)
 
     if checkpoint_path:  # pre-training snapshot (scripts/parity_ode.py:210-211)
         from columnflow.train import save_checkpoint
@@ -757,7 +776,8 @@ def train_parity(
 
         return odeint_stats(
             lambda t, y: network_drift(t, y, params, task.net, stim),
-            y0, task.ts, max_steps=task.max_steps,
+            y0, task.ts, method=task.ode_method,
+            rtol=task.rtol, atol=task.atol, max_steps=task.max_steps,
         )
 
     stats_every = 50
@@ -953,6 +973,19 @@ def main():
                         "sweep intermediates in f32 range; use 1e-6 for "
                         "--stochastic --adaptive at >=64-column scale on "
                         "TPU)")
+    p.add_argument("--method", default="dopri5", dest="ode_method",
+                   help="deterministic ODE method (any columnflow.solvers "
+                        "odeint method; default dopri5 = the reference's "
+                        "torchdiffeq pin, scripts/parity_ode.py:233). "
+                        "'kvaerno3' (implicit, L-stable) is the economical "
+                        "choice at loose tolerances on this stiff physics "
+                        "(RESULTS.md)")
+    p.add_argument("--rtol", type=float, default=1e-7,
+                   help="deterministic-solve relative tolerance "
+                        "(torchdiffeq default 1e-7)")
+    p.add_argument("--atol", type=float, default=1e-9,
+                   help="deterministic-solve absolute tolerance "
+                        "(torchdiffeq default 1e-9)")
     p.add_argument("--metrics-out", default=None)
     p.add_argument("--profile-dir", default=None,
                    help="dump a jax.profiler trace of steps 2-4 here")
@@ -977,7 +1010,9 @@ def main():
             task = build_task(cfg, jax.random.PRNGKey(args.seed),
                               columns_per_area=cpa,
                               max_steps=args.max_steps or 3072,
-                              random_fan_in=args.random_fan_in)
+                              random_fan_in=args.random_fan_in,
+                              ode_method=args.ode_method,
+                              rtol=args.rtol, atol=args.atol)
             from columnflow.train import load_checkpoint
 
             task = task._replace(params=load_checkpoint(
@@ -1017,6 +1052,8 @@ def main():
             select_bf16=args.select_bf16,
             fused_pass=args.fused_pass,
             grad_bf16=args.grad_bf16,
+            ode_method=args.ode_method,
+            rtol=args.rtol, atol=args.atol,
         )
     else:
         params, hist = train_parity(
@@ -1038,6 +1075,8 @@ def main():
             select_bf16=args.select_bf16,
             fused_pass=args.fused_pass,
             grad_bf16=args.grad_bf16,
+            ode_method=args.ode_method,
+            rtol=args.rtol, atol=args.atol,
         )
     final = next(h for h in reversed(hist) if "loss" in h)
     print(f"final loss {final['loss']:.5f} | "

@@ -40,11 +40,20 @@ class XORTask(NamedTuple):
     grad_mask: dict
     optimizer: object
     max_steps: int
+    # Deterministic-solve settings; dopri5 at torchdiffeq's default
+    # tolerances is the reference pin (scripts/xor_ode.py:114). "kvaerno3"
+    # (implicit, L-stable) is the loose-tolerance choice on this stiff
+    # physics (RESULTS.md).
+    ode_method: str = "dopri5"
+    rtol: float = 1e-7
+    atol: float = 1e-9
 
 
 def build_task(cfg: ColumnConfig, key, lr: float = 0.5, alpha: float = 0.95,
                lr_gamma: float = 0.8, time_steps: int = TIME_STEPS,
-               dt: float = DT, max_steps: int = 3072) -> XORTask:
+               dt: float = DT, max_steps: int = 3072,
+               ode_method: str = "dopri5",
+               rtol: float = 1e-7, atol: float = 1e-9) -> XORTask:
     params, net = build_xor_network(cfg, key)
     ts = jnp.linspace(0.0, time_steps * dt, time_steps)
     grad_mask = {
@@ -53,10 +62,11 @@ def build_task(cfg: ColumnConfig, key, lr: float = 0.5, alpha: float = 0.95,
     }
     optimizer = torch_rmsprop(exponential_lr(lr, lr_gamma), alpha=alpha)
     return XORTask(params, net, ts, float(ts[1] - ts[0]), grad_mask,
-                   optimizer, max_steps)
+                   optimizer, max_steps,
+                   ode_method=ode_method, rtol=rtol, atol=atol)
 
 
-def batched_rollout(params, task: XORTask, conditions, method="dopri5",
+def batched_rollout(params, task: XORTask, conditions, method=None,
                     differentiable=True, use_fused: bool = False,
                     stochastic: bool = False, key=None,
                     adaptive: bool = False, adaptive_rtol: float = 1e-3,
@@ -82,6 +92,8 @@ def batched_rollout(params, task: XORTask, conditions, method="dopri5",
     """
     from columnflow.solvers import odeint
 
+    if method is None:  # deterministic solver settings ride on the task
+        method = task.ode_method
     time_steps = task.ts.shape[0]
     if fused_pass and not (stochastic and adaptive and use_fused):
         raise ValueError("fused_pass requires stochastic=True, "
@@ -290,7 +302,8 @@ def batched_rollout(params, task: XORTask, conditions, method="dopri5",
         table = prep_xor_stim(cond, time_steps)
         return odeint(
             drift, jnp.zeros(XOR_STATE_DIM), task.ts, params, table,
-            method=method, max_steps=task.max_steps,
+            method=method, rtol=task.rtol, atol=task.atol,
+            max_steps=task.max_steps,
             adjoint="replay" if differentiable else "none",
             remat=False,  # activations fit in HBM; ~1/3 faster backward
         )
@@ -365,6 +378,9 @@ def train_xor(
     fused_pass: bool = False,
     checkpoint_every: int = 10,
     resume_from: str | None = None,
+    ode_method: str = "dopri5",
+    rtol: float = 1e-7,
+    atol: float = 1e-9,
 ):
     """Reference defaults: 160 samples / batch 4 -> 40 iterations
     (scripts/xor_ode.py:202-207). ``stochastic`` trains through the Ito
@@ -374,7 +390,9 @@ def train_xor(
     cfg = ColumnConfig.load()
     key = jax.random.PRNGKey(seed)
     key, k_build = jax.random.split(key)
-    task = build_task(cfg, k_build, time_steps=time_steps, max_steps=max_steps)
+    task = build_task(cfg, k_build, time_steps=time_steps,
+                      max_steps=max_steps, ode_method=ode_method,
+                      rtol=rtol, atol=atol)
 
     step_fn = make_train_step(task, use_fused=use_fused,
                               stochastic=stochastic, adaptive=adaptive,
@@ -473,6 +491,14 @@ def main():
                    help="with --adaptive --fused: run the step-size-"
                         "selection pass in-kernel (VMEM-resident weights, "
                         "krng Brownian backend)")
+    p.add_argument("--method", default="dopri5", dest="ode_method",
+                   help="deterministic ODE method (default dopri5 = the "
+                        "reference's torchdiffeq pin, scripts/xor_ode.py:114;"
+                        " 'kvaerno3' for loose-tolerance stiff solves)")
+    p.add_argument("--rtol", type=float, default=1e-7,
+                   help="deterministic-solve rtol (torchdiffeq default)")
+    p.add_argument("--atol", type=float, default=1e-9,
+                   help="deterministic-solve atol (torchdiffeq default)")
     p.add_argument("--resume", default=None, metavar="CKPT",
                    help="resume training from a --checkpoint-out checkpoint")
     args = p.parse_args()
@@ -484,7 +510,9 @@ def main():
                                  stochastic=args.stochastic,
                                  adaptive=args.adaptive,
                                  use_fused=args.fused,
-                                 fused_pass=args.fused_pass)
+                                 fused_pass=args.fused_pass,
+                                 ode_method=args.ode_method,
+                                 rtol=args.rtol, atol=args.atol)
     else:
         params, hist = train_xor(nr_samples=args.samples, seed=args.seed,
                                  use_fused=args.fused,
@@ -494,7 +522,9 @@ def main():
                                  stochastic=args.stochastic,
                                  adaptive=args.adaptive,
                                  fused_pass=args.fused_pass,
-                                 resume_from=args.resume)
+                                 resume_from=args.resume,
+                                 ode_method=args.ode_method,
+                                 rtol=args.rtol, atol=args.atol)
     print(f"final loss {hist[-1]['loss']:.5f} | acc {hist[-1]['acc']:.2f}")
 
 

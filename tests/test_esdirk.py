@@ -138,6 +138,84 @@ class TestKvaerno3:
             (int(sk.naccept), int(sd.naccept))
 
 
+class TestColumnStiff:
+    """kvaerno3 on the actual column physics via the task plumbing."""
+
+    def test_xor_rollout_matches_dopri5(self):
+        """A loose-tolerance kvaerno3 task rollout matches a tight dopri5
+        reference on the 72-dim XOR network, with fewer controller steps
+        (the stiff tau_syn=0.5 ms mode bounds explicit step sizes;
+        reference config/model.toml:33-36)."""
+        import columnflow.tasks.xor as xt
+        from columnflow.config import ColumnConfig
+        from columnflow.data import prep_xor_stim, xor_conditions
+        from columnflow.models import Stimulus, xor_drift
+        from columnflow.solvers import odeint_stats
+
+        cfg = ColumnConfig.load()
+        T = 120
+        stiff = xt.build_task(cfg, jax.random.PRNGKey(0), time_steps=T,
+                              ode_method="kvaerno3", rtol=1e-4, atol=1e-6,
+                              max_steps=4096)
+        ref = xt.build_task(cfg, jax.random.PRNGKey(0), time_steps=T,
+                            max_steps=4096)  # dopri5 @ 1e-7/1e-9
+        conds = jnp.asarray(xor_conditions())
+        ys_k = xt.batched_rollout(stiff.params, stiff, conds,
+                                  differentiable=False)
+        ys_d = xt.batched_rollout(ref.params, ref, conds,
+                                  differentiable=False)
+        # membrane block: O(30)-scale states; tolerance set by the LOOSE
+        # side's rtol=1e-4 (observed max deviation ~2e-3)
+        np.testing.assert_allclose(np.asarray(ys_k[..., :24]),
+                                   np.asarray(ys_d[..., :24]),
+                                   atol=1e-2)
+
+        # Step economy holds in the stiffness-limited regime: the full 1 s
+        # horizon at loose tolerance, where dopri5's step size is pinned by
+        # the tau_syn mode's stability bound (h ~ 3.3 tau_syn) rather than
+        # accuracy. (At tight tolerance or short horizons dopri5 is
+        # accuracy-limited and the 5th order wins — RESULTS.md.)
+        T_long = 1000
+        long = xt.build_task(cfg, jax.random.PRNGKey(0), time_steps=T_long,
+                             max_steps=8192)
+        table = prep_xor_stim(conds[0], T_long)
+        stim = Stimulus(0.0, long.dt, table)
+        f = lambda t, y: xor_drift(t, y, long.params, long.net, stim)
+        y0 = jnp.zeros(ys_k.shape[-1])
+        sk = odeint_stats(f, y0, long.ts, method="kvaerno3", rtol=1e-3,
+                          atol=1e-3, max_steps=8192)
+        sd = odeint_stats(f, y0, long.ts, method="dopri5", rtol=1e-3,
+                          atol=1e-3, max_steps=8192)
+        assert bool(sk.success) and bool(sd.success)
+        assert int(sk.naccept) * 2 < int(sd.naccept), \
+            (int(sk.naccept), int(sd.naccept))
+
+    def test_parity_task_method_plumbing(self):
+        """build_task carries ode_method/rtol/atol into the rollout path."""
+        import columnflow.tasks.parity as pt
+        from columnflow.config import ColumnConfig
+
+        cfg = ColumnConfig.load()
+        task = pt.build_task(cfg, jax.random.PRNGKey(0),
+                             columns_per_area=(2, 1), n_inputs=2,
+                             time_steps=80, ode_method="kvaerno3",
+                             rtol=1e-4, atol=1e-6, max_steps=4096)
+        assert task.ode_method == "kvaerno3"
+        stims = jnp.asarray([[15.0, 0.0], [15.0, 15.0]])
+        ys = pt.batched_rollout(task.params, task, stims,
+                                differentiable=False)
+        assert ys.shape == (2, 80, 3 * task.net.num_pops)
+        assert bool(jnp.all(jnp.isfinite(ys)))
+        ref = pt.build_task(cfg, jax.random.PRNGKey(0),
+                            columns_per_area=(2, 1), n_inputs=2,
+                            time_steps=80, max_steps=4096)
+        ys_d = pt.batched_rollout(ref.params, ref, stims,
+                                  differentiable=False)
+        P = task.net.num_pops
+        np.testing.assert_allclose(np.asarray(ys[..., :P]),
+                                   np.asarray(ys_d[..., :P]), atol=2e-3)
+
+
 class TestDopri8Alias:
     def test_alias_routes_to_dop853(self):
         ts = jnp.linspace(0.0, 1.0, 9)
