@@ -12,6 +12,12 @@ Ito methods (``sde_type="ito"``, the default):
     "srk"       stochastic Runge-Kutta, strong 1.5: Rossler SRA1 when the
                 diffusion is declared additive (the reference's models all
                 have constant diffusion), Rossler SRIW1 otherwise
+    "implicit_euler" / "implicit_milstein"
+                drift-implicit (semi-implicit) variants: the drift is
+                solved by modified Newton per step (shared LU), lifting the
+                explicit schemes' stiff stability bound h < 2/lam while
+                keeping the same strong order. No torchsde analog; the
+                stiff-SDE companion of the kvaerno3 ODE method
 
 Stratonovich methods (``sde_type="stratonovich"`` — torchsde's second SDE
 type; its method surface euler_heun/heun/midpoint/milstein):
@@ -156,6 +162,60 @@ def _milstein_step(drift, diffusion, t, y, h, i1, args):
     return y + h * drift(t, y, *args) + g * i1 + 0.5 * dg_g * (i1 * i1 - h)
 
 
+IMPLICIT_NEWTON_ITERS = 4
+
+
+def _drift_implicit_step(drift, diffusion, t, y, h, i1, args, mul=_mul_elem,
+                         milstein=False):
+    """Drift-implicit (semi-implicit) Euler-Maruyama / Milstein step (Ito).
+
+    Solves  y1 = y + h f(t+h, y1) + g(t, y) dW  [+ Milstein correction]
+    by modified Newton against one LU-factorized I - h J per step (J =
+    df/dy at the step's start state) — the stiff-SDE analog of the
+    kvaerno3 machinery (solvers/esdirk.py). The diffusion stays explicit,
+    so strong order matches the explicit scheme (0.5 Euler / 1.0 Milstein,
+    and 1.0 for additive noise) while the DRIFT stability constraint
+    disappears: for a stiff linear drift the scheme is unconditionally
+    mean-square stable where explicit Euler-Maruyama requires h < 2/lam.
+
+    No torchsde analog (its method surface is fully explicit); motivated
+    by the column physics' tau_syn = 0.5 ms fast mode (reference
+    config/model.toml:33-36), which bounds every explicit fixed grid at
+    h ~ tau_syn regardless of the accuracy actually needed (RESULTS.md:
+    the 104-column fixed-grid stochastic run destabilizes late).
+
+    For LINEAR drift the Newton iteration is exact after one step, so the
+    scheme coincides with the closed form y1 = (I - hA)^-1 (y + b h + g dW)
+    to solve tolerance (pinned in tests/test_sde_implicit.py).
+    """
+    dtype = y.dtype
+    shape = y.shape
+    yf = y.reshape(-1)
+    n = yf.shape[0]
+    t1 = t + h
+
+    gdw = mul(diffusion(t, y, *args), i1)
+    if milstein:
+        g, dg_g = jax.jvp(
+            lambda y_: diffusion(t, y_, *args), (y,),
+            (diffusion(t, y, *args),)
+        )
+        gdw = g * i1 + 0.5 * dg_g * (i1 * i1 - h)
+    rhs = (y + gdw).reshape(-1)
+
+    def ff(zz):
+        return drift(t1, zz.reshape(shape), *args).reshape(-1)
+
+    jac = jax.jacfwd(ff)(yf)
+    m = jnp.eye(n, dtype=dtype) - h * jac
+    lu, piv = jax.scipy.linalg.lu_factor(m)
+    z = rhs + h * ff(yf)  # explicit predictor
+    for _ in range(IMPLICIT_NEWTON_ITERS):
+        resid = z - h * ff(z) - rhs
+        z = z - jax.scipy.linalg.lu_solve((lu, piv), resid)
+    return z.reshape(shape)
+
+
 def _milstein_grad_free_step(drift, diffusion, t, y, h, i1, args, ito=True):
     """Derivative-free Milstein (torchsde's ``options={'grad_free': True}``).
 
@@ -289,7 +349,9 @@ def sdeint(
         y0: initial state (any array shape).
         ts: (T,) increasing times; one solver step per interval.
         key: PRNG key — the trajectory is a pure function of it.
-        method: sde_type="ito": "euler" | "milstein" | "srk";
+        method: sde_type="ito": "euler" | "milstein" | "srk" |
+            "implicit_euler" | "implicit_milstein" (drift-implicit, for
+            stiff drift — see module docstring);
             sde_type="stratonovich": "euler_heun" | "heun" | "midpoint" |
             "milstein" | "reversible_heun" (algebraically reversible
             extended-state scheme; exact O(1)-state-memory gradients via
@@ -391,10 +453,12 @@ def sdeint(
 
     if sde_type not in ("ito", "stratonovich"):
         raise ValueError(f"unknown sde_type: {sde_type!r}")
-    if noise == "general" and sde_type == "ito" and method != "euler":
+    if (noise == "general" and sde_type == "ito"
+            and method not in ("euler", "implicit_euler")):
         raise ValueError(
             "noise='general' with sde_type='ito' supports method='euler' "
-            "only (milstein/srk need Levy areas — torchsde's restriction)")
+            "and 'implicit_euler' only (milstein/srk need Levy areas — "
+            "torchsde's restriction)")
     if sde_type == "stratonovich":
         strat_steps = {
             "euler_heun": _euler_heun_step,
@@ -462,6 +526,19 @@ def sdeint(
         def step(y, xs):
             t, h, w1 = xs
             y1 = _euler_step(drift, diffusion, t, y, h, w1, args, mul=mul)
+            return y1, y1
+        xs = (t0s, hs, i1)
+    elif method in ("implicit_euler", "implicit_milstein"):
+        mil = method == "implicit_milstein"
+        if mil and noise == "general":
+            raise ValueError(
+                "noise='general' implicit_milstein needs Levy areas; use "
+                "implicit_euler (diffusion is explicit either way)")
+
+        def step(y, xs):
+            t, h, w1 = xs
+            y1 = _drift_implicit_step(drift, diffusion, t, y, h, w1, args,
+                                      mul=mul, milstein=mil)
             return y1, y1
         xs = (t0s, hs, i1)
     else:
