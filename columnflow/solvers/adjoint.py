@@ -22,16 +22,22 @@ import jax
 import jax.numpy as jnp
 from jax.flatten_util import ravel_pytree
 
-from columnflow.solvers.dopri import odeint_dopri5
+from columnflow.solvers.dopri import _rms_norm, odeint_dopri5
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
 def odeint_backsolve(
-    func: Callable, rtol: float, atol: float, dt0, max_steps: int, y0, ts, args
+    func: Callable, rtol: float, atol: float, dt0, max_steps: int,
+    seminorm: bool, y0, ts, args
 ):
     """Adaptive dopri5 whose reverse-mode gradient is the continuous adjoint.
 
     ``args`` is a tuple pytree of parameters passed as ``func(t, y, *args)``.
+    ``seminorm=True`` (torchdiffeq's ``adjoint_options=dict(norm='seminorm')``)
+    makes the BACKWARD solve's error controller ignore the parameter-adjoint
+    block of the augmented state: parameter adjoints are integrals (no
+    feedback into the dynamics), so controlling their local error buys
+    nothing and inflates the backward step count.
     """
     return odeint_dopri5(
         lambda t, y: func(t, y, *args), y0, ts,
@@ -39,13 +45,18 @@ def odeint_backsolve(
     )
 
 
-def _fwd(func, rtol, atol, dt0, max_steps, y0, ts, args):
-    ys = odeint_backsolve(func, rtol, atol, dt0, max_steps, y0, ts, args)
+def _fwd(func, rtol, atol, dt0, max_steps, seminorm, y0, ts, args):
+    ys = odeint_backsolve(func, rtol, atol, dt0, max_steps, seminorm,
+                          y0, ts, args)
     return ys, (ys, ts, args)
 
 
-def _bwd(func, rtol, atol, dt0, max_steps, res, g):
+def _bwd(func, rtol, atol, dt0, max_steps, seminorm, res, g):
     ys, ts, args = res
+    # Augmented raveled layout is (y, a_y, a_args): the first 2*ny entries
+    # are the state + state-adjoint block the seminorm controller tracks.
+    ny = ys[0].size
+    norm = (lambda e: _rms_norm(e[: 2 * ny])) if seminorm else None
 
     def f_eval(t, y):
         return func(t, y, *args)
@@ -74,7 +85,7 @@ def _bwd(func, rtol, atol, dt0, max_steps, res, g):
         z1 = odeint_dopri5(
             back_dyn, aug0, span,
             rtol=rtol, atol=atol, dt0=None, max_steps=max_steps,
-            differentiable=False,
+            differentiable=False, norm=norm,
         )[-1]
         _, y_bar, args_bar = unravel(z1)
         return (y_bar, args_bar, t0_bar), t_bar_i

@@ -73,6 +73,10 @@ def odeint(
     max_steps: int = 2048,
     adjoint: str = "replay",
     remat: bool = True,
+    norm=None,
+    step_ts=None,
+    jump_ts=None,
+    adjoint_seminorm: bool = False,
 ):
     """Integrate dy/dt = func(t, y, *args) and return states at ``ts``.
 
@@ -80,6 +84,17 @@ def odeint(
     reversed time via the substitution tau = -t (requires concrete ``ts``
     to detect the direction — the usual case, since adaptive solves bake
     the span into the compiled step loop anyway).
+
+    Adaptive-method options (torchdiffeq's ``options`` dict, as kwargs):
+    ``step_ts`` — times the controller must land on exactly (never steps
+    across); ``jump_ts`` — like step_ts, and the carried derivative is
+    re-evaluated just past the time (for drifts discontinuous in t:
+    stimulus onsets, forcing switches); ``norm`` — callable replacing the
+    RMS error norm (plain embedded pairs only). ``adjoint_seminorm=True``
+    (with ``adjoint="backsolve"``) makes the backward solve's controller
+    ignore the parameter-adjoint block of the augmented state —
+    torchdiffeq's ``adjoint_options=dict(norm="seminorm")``, typically
+    fewer backward steps at equal parameter-gradient quality.
 
     Returns ys with leading axis len(ts); ys[0] == y0.
     """
@@ -113,6 +128,16 @@ def odeint(
             return jax.tree_util.tree_map(jnp.negative, fwd_f(-t, y, *a))
 
         ts = -ts
+        if step_ts is not None:
+            step_ts = -jnp.asarray(step_ts, dtype=flat_y0.dtype)
+        if jump_ts is not None:
+            jump_ts = -jnp.asarray(jump_ts, dtype=flat_y0.dtype)
+
+    if (step_ts is not None or jump_ts is not None or norm is not None) \
+            and method not in _ADAPTIVE:
+        raise ValueError(
+            "step_ts/jump_ts/norm apply to adaptive methods only (fixed "
+            "grids already step exactly on ts — add the times there)")
 
     if method in _FIXED:
         ys = rk.odeint_fixed(f, flat_y0, ts, *args, tableau=rk.FIXED_TABLEAUS[method])
@@ -128,18 +153,25 @@ def odeint(
                 raise ValueError(
                     "adjoint='backsolve' supports method='dopri5' only; "
                     "use adjoint='replay' for other adaptive methods")
-            ys = odeint_backsolve(f, rtol, atol, dt0, max_steps, flat_y0, ts, args)
+            if step_ts is not None or jump_ts is not None or norm is not None:
+                raise ValueError(
+                    "step_ts/jump_ts/norm are replay-path options; "
+                    "adjoint='backsolve' supports adjoint_seminorm only")
+            ys = odeint_backsolve(f, rtol, atol, dt0, max_steps,
+                                  adjoint_seminorm, flat_y0, ts, args)
         elif adjoint == "replay":
             ys = odeint_adaptive(
                 f, flat_y0, ts, *args, method=method,
                 rtol=rtol, atol=atol, dt0=dt0, max_steps=max_steps,
                 differentiable=True, remat=remat,
+                norm=norm, step_ts=step_ts, jump_ts=jump_ts,
             )
         elif adjoint in (None, "none"):
             ys = odeint_adaptive(
                 f, flat_y0, ts, *args, method=method,
                 rtol=rtol, atol=atol, dt0=dt0, max_steps=max_steps,
                 differentiable=False,
+                norm=norm, step_ts=step_ts, jump_ts=jump_ts,
             )
         else:
             raise ValueError(f"unknown adjoint mode: {adjoint!r}")

@@ -69,12 +69,12 @@ def _rms_norm(x):
     return jnp.sqrt(jnp.mean(jnp.square(x)))
 
 
-def _error_ratio(err, rtol, atol, y0, y1):
+def _error_ratio(err, rtol, atol, y0, y1, norm=None):
     scale = atol + rtol * jnp.maximum(jnp.abs(y0), jnp.abs(y1))
-    return _rms_norm(err / scale)
+    return (norm or _rms_norm)(err / scale)
 
 
-def _step_error_ratio(tab, h, ks, rtol, atol, y0, y1):
+def _step_error_ratio(tab, h, ks, rtol, atol, y0, y1, norm=None):
     """Error ratio of one attempted step (accept iff <= 1).
 
     Plain embedded pairs: RMS of h * (b_err @ ks) / scale — torchdiffeq's
@@ -86,7 +86,7 @@ def _step_error_ratio(tab, h, ks, rtol, atol, y0, y1):
     e = jnp.asarray(tab.b_err, dtype=y1.dtype)
     scale = atol + rtol * jnp.maximum(jnp.abs(y0), jnp.abs(y1))
     if tab.b_err2 is None:
-        return _rms_norm(h * jnp.tensordot(e, ks, axes=1) / scale)
+        return (norm or _rms_norm)(h * jnp.tensordot(e, ks, axes=1) / scale)
     e2 = jnp.asarray(tab.b_err2, dtype=y1.dtype)
     err5 = jnp.tensordot(e, ks, axes=1) / scale
     err3 = jnp.tensordot(e2, ks, axes=1) / scale
@@ -111,15 +111,16 @@ def _next_step_size(h, error_ratio, order: int = _ORDER):
 
 
 def _initial_step_size(func, t0, y0, f0, rtol, atol, *args,
-                       order: int = _ORDER):
+                       order: int = _ORDER, norm=None):
     """Hairer's starting-step heuristic."""
+    nrm = norm or _rms_norm
     scale = atol + rtol * jnp.abs(y0)
-    d0 = _rms_norm(y0 / scale)
-    d1 = _rms_norm(f0 / scale)
+    d0 = nrm(y0 / scale)
+    d1 = nrm(f0 / scale)
     h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / d1)
     y1 = y0 + h0 * f0
     f1 = func(t0 + h0, y1, *args)
-    d2 = _rms_norm((f1 - f0) / scale) / h0
+    d2 = nrm((f1 - f0) / scale) / h0
     h1 = jnp.where(
         (d1 <= 1e-15) & (d2 <= 1e-15),
         jnp.maximum(1e-6, h0 * 1e-3),
@@ -216,7 +217,7 @@ class _StepCarry(NamedTuple):
 
 def _adaptive_pass(func, y0, t_start, t_end, rtol, atol, dt0, max_steps,
                    *args, tab=DOPRI5, dense_d=DOPRI5_DENSE_D, stop_fn=None,
-                   step_impl=rk_step):
+                   step_impl=rk_step, norm=None, step_ts=None, jump_ts=None):
     """Integrate from t_start to t_end, recording the accepted step sequence.
 
     Returns the final carry; ``step_times``/``naccept`` describe the step
@@ -228,12 +229,23 @@ def _adaptive_pass(func, y0, t_start, t_end, rtol, atol, dt0, max_steps,
     stepping continues only while it returns True (event detection,
     event.py) — the final carry's ``coeffs``/``t0``/``t1`` then bracket
     the stopping condition. ``t_end`` may be +inf in that case.
+
+    ``step_ts``/``jump_ts`` (torchdiffeq's ``options={'step_t', 'jump_t'}``):
+    sorted arrays of times no step may cross — the controller lands on each
+    exactly. ``jump_ts`` additionally re-evaluates the carried derivative
+    just PAST the time (``nextafter``), so a drift discontinuous in t hands
+    the next step its right-limit dynamics instead of a stale FSAL stage.
+    ``norm`` replaces the RMS error norm (plain embedded pairs only).
     """
     fsal = is_fsal(tab)
+    crit_ts = None
+    if step_ts is not None or jump_ts is not None:
+        parts = [a for a in (step_ts, jump_ts) if a is not None]
+        crit_ts = jnp.sort(jnp.concatenate(parts).astype(y0.dtype))
     f0 = func(t_start, y0, *args)
     if dt0 is None:
         h0 = _initial_step_size(func, t_start, y0, f0, rtol, atol, *args,
-                                order=tab.order)
+                                order=tab.order, norm=norm)
     else:
         h0 = jnp.asarray(dt0, dtype=y0.dtype)
     h0 = jnp.minimum(h0, t_end - t_start)
@@ -258,9 +270,22 @@ def _adaptive_pass(func, y0, t_start, t_end, rtol, atol, dt0, max_steps,
 
     def body(s: _StepCarry):
         h = jnp.minimum(s.h, t_end - s.t1)
+        if crit_ts is not None:
+            # Land exactly on the next critical time instead of crossing it.
+            i = jnp.searchsorted(crit_ts, s.t1, side="right")
+            nxt = crit_ts[jnp.minimum(i, crit_ts.shape[0] - 1)]
+            gap = nxt - s.t1
+            h = jnp.where((i < crit_ts.shape[0]) & (gap > 0) & (gap < h),
+                          gap, h)
         y1, f_last, ks = step_impl(func, tab, s.t1, s.y1, h, s.f1, *args)
         f1 = f_last if fsal else func(s.t1 + h, y1, *args)
-        ratio = _step_error_ratio(tab, h, ks, rtol, atol, s.y1, y1)
+        if jump_ts is not None:
+            # Past a jump, the carried derivative must see the right-limit
+            # dynamics; re-evaluate just past the landing time.
+            on_jump = jnp.any(s.t1 + h == jump_ts)
+            t_right = jnp.nextafter(s.t1 + h, jnp.asarray(jnp.inf, h.dtype))
+            f1 = jnp.where(on_jump, func(t_right, y1, *args), f1)
+        ratio = _step_error_ratio(tab, h, ks, rtol, atol, s.y1, y1, norm=norm)
         accept = ratio <= 1.0
 
         t_new = jnp.where(accept, s.t1 + h, s.t1)
@@ -285,7 +310,7 @@ def _adaptive_pass(func, y0, t_start, t_end, rtol, atol, dt0, max_steps,
 
 def _replay_pass(func, y0, ts, step_times, naccept, max_steps, *args,
                  remat=True, tab=DOPRI5, dense_d=DOPRI5_DENSE_D,
-                 dop853_dense=False, step_impl=rk_step):
+                 dop853_dense=False, step_impl=rk_step, jump_ts=None):
     """Differentiable re-integration over a fixed accepted-step sequence.
 
     Steps through ``step_times`` with plain dopri5 stages under ``lax.scan``
@@ -308,6 +333,12 @@ def _replay_pass(func, y0, ts, step_times, naccept, max_steps, *args,
         h = t1 - t0
         y1, f_last, ks = step_impl(func, tab, t0, y, h, f, *args)
         f1 = f_last if fsal else func(t1, y1, *args)
+        if jump_ts is not None:
+            # Mirror the adaptive pass: carried derivative sees the
+            # right-limit dynamics past a jump time.
+            on_jump = jnp.any(t1 == jump_ts) & (h > 0)
+            t_right = jnp.nextafter(t1, jnp.asarray(jnp.inf, t1.dtype))
+            f1 = jnp.where(on_jump, func(t_right, y1, *args), f1)
         if dop853_dense:
             coeffs = dop853_dense_coeffs(func, t0, h, y, y1, ks, *args)
         else:
@@ -348,6 +379,9 @@ def odeint_adaptive(
     max_steps: int = 2048,
     differentiable: bool = True,
     remat: bool = True,
+    norm=None,
+    step_ts=None,
+    jump_ts=None,
 ):
     """Adaptive embedded-RK solve returning states at ``ts`` (ys[0] == y0).
 
@@ -364,30 +398,41 @@ def odeint_adaptive(
     backprop-through-the-solver gradient at a frozen step sequence.
     """
     tab, step_impl = _resolve_method(method)
+    if norm is not None and tab.b_err2 is not None:
+        raise ValueError(
+            "custom norm is not supported with dop853 (its combined "
+            "5th/3rd-order error estimator is RMS-specific)")
     dense_d = DOPRI5_DENSE_D if method == "dopri5" else None
     # dop853 replay interpolates with Hairer's 7th-order interpolant (three
     # extra drift evals per accepted step, matching the 8th-order solution);
     # the adaptive pass itself needs no interpolant.
     dop853_dense = method == "dop853" and DOP853_DENSE is not None
     ts = jnp.asarray(ts, dtype=y0.dtype)
+    if step_ts is not None:
+        step_ts = jnp.sort(jnp.asarray(step_ts, dtype=y0.dtype))
+    if jump_ts is not None:
+        jump_ts = jnp.sort(jnp.asarray(jump_ts, dtype=y0.dtype))
     if differentiable:
         carry = _adaptive_pass(
             func, jax.lax.stop_gradient(y0), ts[0], ts[-1], rtol, atol, dt0,
             max_steps, *(jax.lax.stop_gradient(args)),
-            tab=tab, dense_d=dense_d, step_impl=step_impl,
+            tab=tab, dense_d=dense_d, step_impl=step_impl, norm=norm,
+            step_ts=step_ts, jump_ts=jump_ts,
         )
         step_times = jax.lax.stop_gradient(carry.step_times)
         naccept = jax.lax.stop_gradient(carry.naccept)
         return _replay_pass(func, y0, ts, step_times, naccept, max_steps,
                             *args, remat=remat, tab=tab, dense_d=dense_d,
-                            dop853_dense=dop853_dense, step_impl=step_impl)
+                            dop853_dense=dop853_dense, step_impl=step_impl,
+                            jump_ts=jump_ts)
     carry = _adaptive_pass(func, y0, ts[0], ts[-1], rtol, atol, dt0,
                            max_steps, *args, tab=tab, dense_d=dense_d,
-                           step_impl=step_impl)
+                           step_impl=step_impl, norm=norm,
+                           step_ts=step_ts, jump_ts=jump_ts)
     return _replay_pass(func, y0, ts, carry.step_times, carry.naccept,
                         max_steps, *args, remat=remat, tab=tab,
                         dense_d=dense_d, dop853_dense=dop853_dense,
-                        step_impl=step_impl)
+                        step_impl=step_impl, jump_ts=jump_ts)
 
 
 def odeint_dopri5(func, y0, ts, *args, **kw):
@@ -405,6 +450,9 @@ def odeint_stats(
     dt0: float | None = None,
     max_steps: int = 2048,
     method: str = "dopri5",
+    norm=None,
+    step_ts=None,
+    jump_ts=None,
 ) -> SolverStats:
     """Run the adaptive pass only and report solver statistics.
 
@@ -427,9 +475,16 @@ def odeint_stats(
 
         ts = -ts
     ts = ts.astype(y0.dtype)
+    if step_ts is not None:
+        step_ts = jnp.sort(jnp.asarray(step_ts, dtype=y0.dtype))
+        step_ts = -step_ts[::-1] if descending else step_ts
+    if jump_ts is not None:
+        jump_ts = jnp.sort(jnp.asarray(jump_ts, dtype=y0.dtype))
+        jump_ts = -jump_ts[::-1] if descending else jump_ts
     carry = _adaptive_pass(func, y0, ts[0], ts[-1], rtol, atol, dt0,
                            max_steps, *args, tab=tab, dense_d=dense_d,
-                           step_impl=step_impl)
+                           step_impl=step_impl, norm=norm,
+                           step_ts=step_ts, jump_ts=jump_ts)
     nsteps = carry.naccept + carry.nreject
     s_new = tab.c.shape[0] - 1  # stage 0 reuses the carried derivative
     if step_impl is not rk_step:

@@ -1,0 +1,165 @@
+"""torchdiffeq ``options`` parity: step_ts / jump_ts / norm / seminorm.
+
+torchdiffeq exposes these as ``options={'step_t': ..., 'jump_t': ...,
+'norm': ...}`` and ``adjoint_options=dict(norm='seminorm')``; here they are
+odeint kwargs. Motivation in-repo: the column stimuli are piecewise with
+onsets at phase boundaries (e.g. scripts/xor_ode.py:75-91 — half
+pre-stimulus, half stimulus), exactly the drift-discontinuity jump_ts
+handles.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from columnflow.solvers import odeint, odeint_stats
+
+
+def _forced(t, y):
+    # dy/dt = -y + 5 * 1[t >= 0.5]: drift discontinuous in t.
+    return -y + jnp.where(t >= 0.5, 5.0, 0.0)
+
+
+def _forced_exact(t):
+    t = np.asarray(t)
+    return np.where(t < 0.5, np.exp(-t),
+                    np.exp(-t) + 5.0 * (1 - np.exp(-(t - 0.5))))
+
+
+TS = jnp.linspace(0.0, 1.0, 21)
+
+
+class TestJumpTs:
+    def test_accuracy_across_discontinuity(self):
+        """Landing exactly on the jump and re-evaluating the carried
+        derivative past it recovers the smooth-problem accuracy the
+        controller's rejection-feeling loses."""
+        y_plain = odeint(_forced, jnp.ones(1), TS, rtol=1e-6, atol=1e-8)
+        y_jump = odeint(_forced, jnp.ones(1), TS, rtol=1e-6, atol=1e-8,
+                        jump_ts=jnp.asarray([0.5]))
+        e_plain = np.abs(np.asarray(y_plain[:, 0]) - _forced_exact(TS)).max()
+        e_jump = np.abs(np.asarray(y_jump[:, 0]) - _forced_exact(TS)).max()
+        assert e_jump < 5e-6, e_jump
+        assert e_jump * 10 < e_plain, (e_jump, e_plain)
+
+    def test_fewer_rejections(self):
+        s_jump = odeint_stats(_forced, jnp.ones(1), TS,
+                              jump_ts=jnp.asarray([0.5]))
+        s_plain = odeint_stats(_forced, jnp.ones(1), TS)
+        assert bool(s_jump.success) and bool(s_plain.success)
+        assert int(s_jump.nreject) < int(s_plain.nreject)
+
+    def test_gradient_flows(self):
+        def loss(k):
+            return odeint(lambda t, y, k: -k * y
+                          + jnp.where(t >= 0.5, 5.0, 0.0),
+                          jnp.ones(1), TS, k,
+                          jump_ts=jnp.asarray([0.5]))[-1].sum()
+
+        k0 = jnp.float32(1.0)
+        g = jax.grad(loss)(k0)
+        eps = 1e-2
+        fd = (loss(k0 + eps) - loss(k0 - eps)) / (2 * eps)
+        np.testing.assert_allclose(float(g), float(fd), rtol=1e-3)
+
+    def test_vmap(self):
+        ys = jax.vmap(lambda y0: odeint(_forced, y0, TS,
+                                        jump_ts=jnp.asarray([0.5])))(
+            jnp.ones((3, 1)) * jnp.asarray([[1.0], [2.0], [0.5]]))
+        assert ys.shape == (3, 21, 1)
+        assert bool(jnp.all(jnp.isfinite(ys)))
+
+    def test_descending_ts(self):
+        # Descending ts integrates the same field backward in time
+        # (odeint's tau = -t substitution), retracing the forward run.
+        tsd = TS[::-1]
+        y_fwd = odeint(_forced, jnp.ones(1), TS, jump_ts=jnp.asarray([0.5]))
+        y_bwd = odeint(_forced, y_fwd[-1], tsd,
+                       jump_ts=jnp.asarray([0.5]))
+        np.testing.assert_allclose(np.asarray(y_bwd[-1]),
+                                   np.asarray(y_fwd[0]), atol=1e-4)
+
+
+class TestStepTs:
+    def test_step_lands_on_kink(self):
+        y = odeint(_forced, jnp.ones(1), TS, rtol=1e-6, atol=1e-8,
+                   step_ts=jnp.asarray([0.5]))
+        err = np.abs(np.asarray(y[:, 0]) - _forced_exact(TS)).max()
+        # step_ts prevents steps from SPANNING the kink; the FSAL stage at
+        # exactly t=0.5 already sees the right-limit value (t >= 0.5), so
+        # accuracy matches jump_ts here.
+        assert err < 5e-6, err
+
+    def test_multiple_times(self):
+        def f(t, y):
+            return -y + jnp.where((t >= 0.3) & (t < 0.7), 3.0, 0.0)
+
+        y = odeint(f, jnp.ones(1), TS, rtol=1e-6, atol=1e-8,
+                   step_ts=jnp.asarray([0.3, 0.7]))
+        s = odeint_stats(f, jnp.ones(1), TS, step_ts=jnp.asarray([0.3, 0.7]))
+        assert bool(s.success)
+        assert bool(jnp.all(jnp.isfinite(y)))
+
+
+class TestNorm:
+    def test_max_norm_solves(self):
+        y = odeint(lambda t, y: -y, jnp.ones(3), TS,
+                   norm=lambda x: jnp.max(jnp.abs(x)))
+        np.testing.assert_allclose(np.asarray(y[-1]),
+                                   np.exp(-1.0) * np.ones(3), rtol=1e-5)
+
+    def test_loose_norm_takes_fewer_steps(self):
+        """A norm scaled down 100x behaves like 100x looser tolerances."""
+        from columnflow.solvers.dopri import _rms_norm
+
+        s_loose = odeint_stats(lambda t, y: -y + jnp.sin(10 * t),
+                               jnp.ones(2), TS,
+                               norm=lambda x: 0.01 * _rms_norm(x))
+        s_tight = odeint_stats(lambda t, y: -y + jnp.sin(10 * t),
+                               jnp.ones(2), TS)
+        assert int(s_loose.naccept) < int(s_tight.naccept)
+
+    def test_norm_with_dop853_raises(self):
+        with pytest.raises(ValueError):
+            odeint(lambda t, y: -y, jnp.ones(1), TS, method="dop853",
+                   norm=lambda x: jnp.max(jnp.abs(x)))
+
+
+class TestSeminorm:
+    def test_gradient_matches_replay(self):
+        def loss(k, **kw):
+            return odeint(lambda t, y, k: -k * y, jnp.ones(2), TS, k,
+                          **kw)[-1].sum()
+
+        g_rep = jax.grad(loss)(jnp.float32(0.7))
+        g_semi = jax.grad(lambda k: loss(k, adjoint="backsolve",
+                                         adjoint_seminorm=True))(
+            jnp.float32(0.7))
+        np.testing.assert_allclose(float(g_semi), float(g_rep), rtol=1e-4)
+
+    def test_y0_gradient(self):
+        g = jax.grad(lambda y0: odeint(lambda t, y: -y, y0, TS,
+                                       adjoint="backsolve",
+                                       adjoint_seminorm=True)[-1].sum())(
+            jnp.ones(2))
+        np.testing.assert_allclose(np.asarray(g),
+                                   np.exp(-1.0) * np.ones(2), rtol=1e-4)
+
+
+class TestOptionErrors:
+    def test_options_with_fixed_method_raise(self):
+        with pytest.raises(ValueError):
+            odeint(lambda t, y: -y, jnp.ones(1), TS, method="rk4",
+                   step_ts=jnp.asarray([0.5]))
+
+    def test_options_with_backsolve_raise(self):
+        with pytest.raises(ValueError):
+            odeint(lambda t, y: -y, jnp.ones(1), TS, adjoint="backsolve",
+                   jump_ts=jnp.asarray([0.5]))
+
+    def test_options_with_kvaerno3_work(self):
+        y = odeint(_forced, jnp.ones(1), TS, method="kvaerno3",
+                   rtol=1e-5, atol=1e-7, jump_ts=jnp.asarray([0.5]))
+        err = np.abs(np.asarray(y[:, 0]) - _forced_exact(TS)).max()
+        assert err < 1e-3, err
