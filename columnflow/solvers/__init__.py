@@ -37,7 +37,11 @@ from columnflow.solvers.sde_logqp import sdeint_logqp
 from columnflow.solvers.sde_reversible import sdeint_reversible
 from columnflow.solvers.sde_adaptive import (sdeint_adaptive,
                                              sdeint_adaptive_batch)
-from columnflow.solvers.brownian import VirtualBrownianTree
+from columnflow.solvers.brownian import (
+    BrownianInterval,
+    VirtualBrownianTree,
+    brownian_path,
+)
 from columnflow.solvers.dopri import SolverStats, odeint_stats
 from columnflow.solvers.fused import odeint_dopri5_fused, sdeint_fused
 from columnflow.solvers.levy import chen_combine, levy_pack
@@ -55,7 +59,9 @@ __all__ = [
     "sdeint_fused",
     "sdeint_adaptive",
     "sdeint_adaptive_batch",
+    "BrownianInterval",
     "VirtualBrownianTree",
+    "brownian_path",
     "SolverStats",
     "odeint_stats",
 ]

@@ -77,6 +77,9 @@ def odeint(
     step_ts=None,
     jump_ts=None,
     adjoint_seminorm: bool = False,
+    safety: float | None = None,
+    ifactor: float | None = None,
+    dfactor: float | None = None,
 ):
     """Integrate dy/dt = func(t, y, *args) and return states at ``ts``.
 
@@ -133,11 +136,15 @@ def odeint(
         if jump_ts is not None:
             jump_ts = -jnp.asarray(jump_ts, dtype=flat_y0.dtype)
 
-    if (step_ts is not None or jump_ts is not None or norm is not None) \
-            and method not in _ADAPTIVE:
+    if (step_ts is not None or jump_ts is not None or norm is not None
+            or safety is not None or ifactor is not None
+            or dfactor is not None) and method not in _ADAPTIVE:
         raise ValueError(
-            "step_ts/jump_ts/norm apply to adaptive methods only (fixed "
-            "grids already step exactly on ts — add the times there)")
+            "step_ts/jump_ts/norm/safety/ifactor/dfactor apply to adaptive "
+            "methods only (fixed grids already step exactly on ts)")
+    ctrl = {k: v for k, v in
+            (("safety", safety), ("ifactor", ifactor), ("dfactor", dfactor))
+            if v is not None}
 
     if method in _FIXED:
         ys = rk.odeint_fixed(f, flat_y0, ts, *args, tableau=rk.FIXED_TABLEAUS[method])
@@ -164,14 +171,14 @@ def odeint(
                 f, flat_y0, ts, *args, method=method,
                 rtol=rtol, atol=atol, dt0=dt0, max_steps=max_steps,
                 differentiable=True, remat=remat,
-                norm=norm, step_ts=step_ts, jump_ts=jump_ts,
+                norm=norm, step_ts=step_ts, jump_ts=jump_ts, **ctrl,
             )
         elif adjoint in (None, "none"):
             ys = odeint_adaptive(
                 f, flat_y0, ts, *args, method=method,
                 rtol=rtol, atol=atol, dt0=dt0, max_steps=max_steps,
                 differentiable=False,
-                norm=norm, step_ts=step_ts, jump_ts=jump_ts,
+                norm=norm, step_ts=step_ts, jump_ts=jump_ts, **ctrl,
             )
         else:
             raise ValueError(f"unknown adjoint mode: {adjoint!r}")

@@ -90,3 +90,118 @@ class VirtualBrownianTree:
     def increment(self, ta, tb) -> jax.Array:
         """W(tb) - W(ta)."""
         return self.evaluate(tb) - self.evaluate(ta)
+
+
+def _fold_time(key, t):
+    """Fold a float time into a key (counter-based, collision-free per bit
+    pattern)."""
+    bits = jax.lax.bitcast_convert_type(
+        jnp.asarray(t, jnp.float32), jnp.int32)
+    return jax.random.fold_in(key, bits)
+
+
+@dataclasses.dataclass(frozen=True)
+class BrownianInterval:
+    """torchsde-style Brownian sample path over [t0, t1].
+
+    The user-facing path object torchsde exposes as
+    ``BrownianInterval(t0, t1, size, entropy, levy_area_approximation)``
+    and passes to ``sdeint(..., bm=bm)`` (reference dependency surface;
+    torchsde backs it with a C++ interval tree + LRU cache). Here the
+    backing store is the counter-based ``VirtualBrownianTree``: every query
+    is a pure function of (key, time), so the same object is valid under
+    jit, vmap, grad and sharding with no cache state.
+
+    - ``bm(t)`` -> W(t); ``bm(ta, tb)`` -> W(tb) - W(ta). Queries are
+      mutually consistent samples of ONE path: bm(a,b) + bm(b,c) == bm(a,c)
+      to float roundoff, at time resolution (t1-t0)/2^depth.
+    - ``levy_area_approximation="space-time"`` enables ``space_time(ta, tb)``
+      -> (W_inc, U) with U = int_ta^tb (W_s - W_ta) ds, sampled from its
+      exact conditional law given the increment (U | dW ~ N(h dW / 2,
+      h^3/12)), keyed per interval — consistent for a fixed partition (what
+      a fixed-grid solve uses); for Chen-coupled refinement across
+      partitions use ``solvers.levy``.
+    - ``entropy`` seeds the path (torchsde's argument); pass ``key`` to
+      seed from an existing JAX PRNG key instead.
+    """
+
+    t0: float = 0.0
+    t1: float = 1.0
+    shape: tuple = ()
+    entropy: int = 0
+    key: jax.Array | None = None
+    levy_area_approximation: str = "none"
+    depth: int = 24
+    dtype: object = jnp.float32
+
+    def _keys(self):
+        base = (self.key if self.key is not None
+                else jax.random.PRNGKey(self.entropy))
+        k_w, k_u = jax.random.split(base)
+        return k_w, k_u
+
+    def _tree(self):
+        k_w, _ = self._keys()
+        return VirtualBrownianTree(t0=self.t0, t1=self.t1, key=k_w,
+                                   shape=tuple(self.shape), depth=self.depth,
+                                   dtype=self.dtype)
+
+    def __call__(self, ta, tb=None):
+        tree = self._tree()
+        if tb is None:
+            return tree.evaluate(ta)
+        return tree.increment(ta, tb)
+
+    def space_time(self, ta, tb):
+        """(W increment, space-time integral U) over [ta, tb]."""
+        if self.levy_area_approximation not in ("space-time", "davie"):
+            raise ValueError(
+                "space_time queries need "
+                "levy_area_approximation='space-time' (torchsde raises the "
+                "same way when the approximation level is too low)")
+        _, k_u = self._keys()
+        w = self(ta, tb)
+        h = jnp.asarray(tb, self.dtype) - jnp.asarray(ta, self.dtype)
+        z = jax.random.normal(_fold_time(_fold_time(k_u, ta), tb),
+                              tuple(self.shape), self.dtype)
+        u = h * (0.5 * w + jnp.sqrt(h / 12.0) * z)
+        return w, u
+
+    def pack(self, ts):
+        """Per-step stochastic integrals (I1, I10, I11, I111) on grid ``ts``
+        — the ``noise_pack`` consumed by ``sdeint(..., noise_pack=...)``;
+        ``sdeint(..., bm=bm)`` calls this internally.
+
+        I10 is exact-conditional when the approximation level allows it and
+        zero otherwise (methods that never read it — euler/milstein/
+        implicit/Stratonovich families — are unaffected; srk requires
+        'space-time', matching torchsde's requirement).
+        """
+        ts = jnp.asarray(ts, self.dtype)
+        n = ts.shape[0] - 1
+        shape = tuple(self.shape)
+        ws = jax.vmap(lambda t: self(t))(ts)
+        i1 = ws[1:] - ws[:-1]
+        hs = ts[1:] - ts[:-1]
+        hs_b = jnp.reshape(hs, (n,) + (1,) * len(shape))
+        if self.levy_area_approximation in ("space-time", "davie"):
+            _, k_u = self._keys()
+            z = jax.vmap(
+                lambda ta, tb: jax.random.normal(
+                    _fold_time(_fold_time(k_u, ta), tb), shape, self.dtype)
+            )(ts[:-1], ts[1:])
+            i10 = hs_b * (0.5 * i1 + jnp.sqrt(hs_b / 12.0) * z)
+        else:
+            i10 = jnp.zeros_like(i1)
+        i11 = 0.5 * (i1 * i1 - hs_b)
+        i111 = (i1 * i1 * i1 - 3.0 * hs_b * i1) / 6.0
+        return i1, i10, i11, i111
+
+
+def brownian_path(t0, t1, shape=(), entropy=0, key=None, depth=24,
+                  dtype=jnp.float32) -> BrownianInterval:
+    """torchsde's ``BrownianPath``/``BrownianTree`` constructors (both are
+    thin wrappers over the interval in current torchsde; same here)."""
+    return BrownianInterval(t0=t0, t1=t1, shape=shape, entropy=entropy,
+                            key=key, depth=depth, dtype=dtype,
+                            levy_area_approximation="space-time")

@@ -100,12 +100,14 @@ def _step_error_ratio(tab, h, ks, rtol, atol, y0, y1, norm=None):
     )
 
 
-def _next_step_size(h, error_ratio, order: int = _ORDER):
+def _next_step_size(h, error_ratio, order: int = _ORDER,
+                    safety: float = _SAFETY, ifactor: float = _IFACTOR,
+                    dfactor: float = _DFACTOR):
     # I-controller, torchdiffeq-style: grow/shrink clamped to [dfactor, ifactor].
     factor = jnp.where(
         error_ratio <= 0.0,
-        _IFACTOR,
-        jnp.clip(_SAFETY * error_ratio ** (-1.0 / order), _DFACTOR, _IFACTOR),
+        ifactor,
+        jnp.clip(safety * error_ratio ** (-1.0 / order), dfactor, ifactor),
     )
     return h * factor
 
@@ -217,7 +219,8 @@ class _StepCarry(NamedTuple):
 
 def _adaptive_pass(func, y0, t_start, t_end, rtol, atol, dt0, max_steps,
                    *args, tab=DOPRI5, dense_d=DOPRI5_DENSE_D, stop_fn=None,
-                   step_impl=rk_step, norm=None, step_ts=None, jump_ts=None):
+                   step_impl=rk_step, norm=None, step_ts=None, jump_ts=None,
+                   safety=_SAFETY, ifactor=_IFACTOR, dfactor=_DFACTOR):
     """Integrate from t_start to t_end, recording the accepted step sequence.
 
     Returns the final carry; ``step_times``/``naccept`` describe the step
@@ -299,7 +302,8 @@ def _adaptive_pass(func, y0, t_start, t_end, rtol, atol, dt0, max_steps,
         step_times = jnp.where(
             accept, s.step_times.at[naccept].set(t_new), s.step_times
         )
-        h_next = _next_step_size(h, ratio, tab.order)
+        h_next = _next_step_size(h, ratio, tab.order, safety=safety,
+                                 ifactor=ifactor, dfactor=dfactor)
         return _StepCarry(
             t1=t_new, y1=y_new, f1=f_new, h=h_next, coeffs=coeffs, t0=t0_new,
             step_times=step_times, naccept=naccept, nreject=nreject,
@@ -382,6 +386,9 @@ def odeint_adaptive(
     norm=None,
     step_ts=None,
     jump_ts=None,
+    safety: float = _SAFETY,
+    ifactor: float = _IFACTOR,
+    dfactor: float = _DFACTOR,
 ):
     """Adaptive embedded-RK solve returning states at ``ts`` (ys[0] == y0).
 
@@ -418,6 +425,7 @@ def odeint_adaptive(
             max_steps, *(jax.lax.stop_gradient(args)),
             tab=tab, dense_d=dense_d, step_impl=step_impl, norm=norm,
             step_ts=step_ts, jump_ts=jump_ts,
+            safety=safety, ifactor=ifactor, dfactor=dfactor,
         )
         step_times = jax.lax.stop_gradient(carry.step_times)
         naccept = jax.lax.stop_gradient(carry.naccept)
@@ -428,7 +436,8 @@ def odeint_adaptive(
     carry = _adaptive_pass(func, y0, ts[0], ts[-1], rtol, atol, dt0,
                            max_steps, *args, tab=tab, dense_d=dense_d,
                            step_impl=step_impl, norm=norm,
-                           step_ts=step_ts, jump_ts=jump_ts)
+                           step_ts=step_ts, jump_ts=jump_ts,
+                           safety=safety, ifactor=ifactor, dfactor=dfactor)
     return _replay_pass(func, y0, ts, carry.step_times, carry.naccept,
                         max_steps, *args, remat=remat, tab=tab,
                         dense_d=dense_d, dop853_dense=dop853_dense,

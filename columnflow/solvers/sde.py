@@ -339,6 +339,7 @@ def sdeint(
     remat: bool = True,
     noise_pack=None,
     grad_free: bool = False,
+    bm=None,
 ):
     """Integrate the SDE dy = drift dt + diffusion dW on the grid ``ts``.
 
@@ -360,6 +361,13 @@ def sdeint(
         additive: declare the diffusion state-independent (selects SRA1).
         sde_type: "ito" (default, the reference's setting) or "stratonovich"
             (torchsde's second calculus; for additive noise the two coincide).
+        bm: optional ``BrownianInterval`` (solvers.brownian) supplying the
+            path — torchsde's ``sdeint(..., bm=bm)``. Its shape must match
+            the noise kind (() scalar, y.shape diagonal, (m,) general);
+            ``method='srk'`` requires it constructed with
+            ``levy_area_approximation='space-time'`` (torchsde's own
+            requirement). Mutually exclusive with ``noise_pack``; ``key``
+            is ignored for path generation when given.
         noise_pack: optional precomputed stochastic integrals
             (i1, i10, i11, i111), each with leading axis T-1 — used to pin
             a Brownian path externally (tests, coupling across resolutions).
@@ -391,7 +399,8 @@ def sdeint(
 
         ys = sdeint(flat_fn(drift), flat_fn(diffusion), flat_y0, ts, key,
                     *args, method=method, noise=noise, additive=additive,
-                    sde_type=sde_type, remat=remat, noise_pack=noise_pack)
+                    sde_type=sde_type, remat=remat, noise_pack=noise_pack,
+                    bm=bm)
         return jax.vmap(unravel)(ys)
 
     y0 = jnp.asarray(y0)
@@ -415,6 +424,25 @@ def sdeint(
     else:
         raise ValueError(f"unknown noise kind: {noise!r}")
     mul = _mul_general if noise == "general" else _mul_elem
+
+    if bm is not None:
+        if noise_pack is not None:
+            raise ValueError("pass bm or noise_pack, not both")
+        if tuple(bm.shape) != tuple(noise_shape):
+            raise ValueError(
+                f"bm.shape {tuple(bm.shape)} does not match the "
+                f"'{noise}' noise shape {tuple(noise_shape)}")
+        if method == "log_ode":
+            raise ValueError(
+                "log_ode needs Levy areas; build the (i1, a_levy) pack "
+                "with solvers.levy and pass noise_pack instead of bm")
+        if method == "srk" and bm.levy_area_approximation not in (
+                "space-time", "davie"):
+            raise ValueError(
+                "method='srk' needs bm with "
+                "levy_area_approximation='space-time' (torchsde's own "
+                "requirement for its srk)")
+        noise_pack = bm.pack(ts)
 
     if method == "log_ode":
         if sde_type != "stratonovich":
