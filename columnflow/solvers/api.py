@@ -80,6 +80,7 @@ def odeint(
     safety: float | None = None,
     ifactor: float | None = None,
     dfactor: float | None = None,
+    controller: str = "i",
 ):
     """Integrate dy/dt = func(t, y, *args) and return states at ``ts``.
 
@@ -136,15 +137,20 @@ def odeint(
         if jump_ts is not None:
             jump_ts = -jnp.asarray(jump_ts, dtype=flat_y0.dtype)
 
+    if controller not in ("i", "pi"):
+        raise ValueError(f"unknown controller: {controller!r} "
+                         "(choose 'i' — torchdiffeq's — or 'pi')")
     if (step_ts is not None or jump_ts is not None or norm is not None
             or safety is not None or ifactor is not None
-            or dfactor is not None) and method not in _ADAPTIVE:
+            or dfactor is not None or controller != "i") \
+            and method not in _ADAPTIVE:
         raise ValueError(
             "step_ts/jump_ts/norm/safety/ifactor/dfactor apply to adaptive "
             "methods only (fixed grids already step exactly on ts)")
     ctrl = {k: v for k, v in
             (("safety", safety), ("ifactor", ifactor), ("dfactor", dfactor))
             if v is not None}
+    ctrl["controller"] = controller
 
     if method in _FIXED:
         ys = rk.odeint_fixed(f, flat_y0, ts, *args, tableau=rk.FIXED_TABLEAUS[method])

@@ -102,12 +102,22 @@ def _step_error_ratio(tab, h, ks, rtol, atol, y0, y1, norm=None):
 
 def _next_step_size(h, error_ratio, order: int = _ORDER,
                     safety: float = _SAFETY, ifactor: float = _IFACTOR,
-                    dfactor: float = _DFACTOR):
-    # I-controller, torchdiffeq-style: grow/shrink clamped to [dfactor, ifactor].
+                    dfactor: float = _DFACTOR, ratio_prev=None):
+    # I-controller, torchdiffeq-style: grow/shrink clamped to [dfactor,
+    # ifactor]. With ``ratio_prev`` (the previous ACCEPTED step's error
+    # ratio): Gustafsson PI control, factor = safety * r^(-0.7/k) *
+    # r_prev^(0.4/k) — damps the accept/reject oscillation the pure
+    # I-controller falls into on oscillatory error histories (Hairer &
+    # Wanner II.IV.2; torchdiffeq has no PI option).
+    if ratio_prev is None:
+        exponent = error_ratio ** (-1.0 / order)
+    else:
+        exponent = (error_ratio ** (-0.7 / order)
+                    * jnp.maximum(ratio_prev, 1e-10) ** (0.4 / order))
     factor = jnp.where(
         error_ratio <= 0.0,
         ifactor,
-        jnp.clip(safety * error_ratio ** (-1.0 / order), dfactor, ifactor),
+        jnp.clip(safety * exponent, dfactor, ifactor),
     )
     return h * factor
 
@@ -215,12 +225,14 @@ class _StepCarry(NamedTuple):
     step_times: jax.Array  # (max_steps + 1,) accepted times, padded with t_end
     naccept: jax.Array
     nreject: jax.Array
+    ratio_prev: jax.Array  # last accepted error ratio (PI controller memory)
 
 
 def _adaptive_pass(func, y0, t_start, t_end, rtol, atol, dt0, max_steps,
                    *args, tab=DOPRI5, dense_d=DOPRI5_DENSE_D, stop_fn=None,
                    step_impl=rk_step, norm=None, step_ts=None, jump_ts=None,
-                   safety=_SAFETY, ifactor=_IFACTOR, dfactor=_DFACTOR):
+                   safety=_SAFETY, ifactor=_IFACTOR, dfactor=_DFACTOR,
+                   controller="i"):
     """Integrate from t_start to t_end, recording the accepted step sequence.
 
     Returns the final carry; ``step_times``/``naccept`` describe the step
@@ -262,6 +274,7 @@ def _adaptive_pass(func, y0, t_start, t_end, rtol, atol, dt0, max_steps,
         t1=t_start, y1=y0, f1=f0, h=h0, coeffs=zero_coeffs, t0=t_start,
         step_times=step_times,
         naccept=jnp.zeros((), jnp.int32), nreject=jnp.zeros((), jnp.int32),
+        ratio_prev=jnp.ones((), y0.dtype),
     )
 
     def cond(s: _StepCarry):
@@ -302,11 +315,16 @@ def _adaptive_pass(func, y0, t_start, t_end, rtol, atol, dt0, max_steps,
         step_times = jnp.where(
             accept, s.step_times.at[naccept].set(t_new), s.step_times
         )
-        h_next = _next_step_size(h, ratio, tab.order, safety=safety,
-                                 ifactor=ifactor, dfactor=dfactor)
+        h_next = _next_step_size(
+            h, ratio, tab.order, safety=safety, ifactor=ifactor,
+            dfactor=dfactor,
+            ratio_prev=s.ratio_prev if controller == "pi" else None)
+        ratio_prev = jnp.where(accept, jnp.asarray(ratio, s.ratio_prev.dtype),
+                               s.ratio_prev)
         return _StepCarry(
             t1=t_new, y1=y_new, f1=f_new, h=h_next, coeffs=coeffs, t0=t0_new,
             step_times=step_times, naccept=naccept, nreject=nreject,
+            ratio_prev=ratio_prev,
         )
 
     return jax.lax.while_loop(cond, body, init)
@@ -389,6 +407,7 @@ def odeint_adaptive(
     safety: float = _SAFETY,
     ifactor: float = _IFACTOR,
     dfactor: float = _DFACTOR,
+    controller: str = "i",
 ):
     """Adaptive embedded-RK solve returning states at ``ts`` (ys[0] == y0).
 
@@ -426,6 +445,7 @@ def odeint_adaptive(
             tab=tab, dense_d=dense_d, step_impl=step_impl, norm=norm,
             step_ts=step_ts, jump_ts=jump_ts,
             safety=safety, ifactor=ifactor, dfactor=dfactor,
+            controller=controller,
         )
         step_times = jax.lax.stop_gradient(carry.step_times)
         naccept = jax.lax.stop_gradient(carry.naccept)
@@ -437,7 +457,8 @@ def odeint_adaptive(
                            max_steps, *args, tab=tab, dense_d=dense_d,
                            step_impl=step_impl, norm=norm,
                            step_ts=step_ts, jump_ts=jump_ts,
-                           safety=safety, ifactor=ifactor, dfactor=dfactor)
+                           safety=safety, ifactor=ifactor, dfactor=dfactor,
+                           controller=controller)
     return _replay_pass(func, y0, ts, carry.step_times, carry.naccept,
                         max_steps, *args, remat=remat, tab=tab,
                         dense_d=dense_d, dop853_dense=dop853_dense,
@@ -462,6 +483,7 @@ def odeint_stats(
     norm=None,
     step_ts=None,
     jump_ts=None,
+    controller: str = "i",
 ) -> SolverStats:
     """Run the adaptive pass only and report solver statistics.
 
@@ -493,7 +515,8 @@ def odeint_stats(
     carry = _adaptive_pass(func, y0, ts[0], ts[-1], rtol, atol, dt0,
                            max_steps, *args, tab=tab, dense_d=dense_d,
                            step_impl=step_impl, norm=norm,
-                           step_ts=step_ts, jump_ts=jump_ts)
+                           step_ts=step_ts, jump_ts=jump_ts,
+                           controller=controller)
     nsteps = carry.naccept + carry.nreject
     s_new = tab.c.shape[0] - 1  # stage 0 reuses the carried derivative
     if step_impl is not rk_step:

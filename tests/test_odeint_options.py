@@ -180,6 +180,40 @@ class TestControllerOptions:
                    safety=0.5)
 
 
+class TestPIController:
+    """controller="pi" (Gustafsson): beyond torchdiffeq's I-controller."""
+
+    OSC = staticmethod(
+        lambda t, y: -y + jnp.sin(37.0 * t) * (1.0 + y * y) * 0.3)
+    TS4 = jnp.linspace(0.0, 4.0, 41)
+
+    def test_fewer_rejections_oscillatory(self):
+        s_i = odeint_stats(self.OSC, jnp.ones(2), self.TS4, rtol=1e-6,
+                           atol=1e-8)
+        s_pi = odeint_stats(self.OSC, jnp.ones(2), self.TS4, rtol=1e-6,
+                            atol=1e-8, controller="pi")
+        assert bool(s_i.success) and bool(s_pi.success)
+        # measured: 45 -> 5 rejections; demand a 3x margin
+        assert int(s_pi.nreject) * 3 < int(s_i.nreject), \
+            (int(s_pi.nreject), int(s_i.nreject))
+
+    def test_same_solution(self):
+        yi = odeint(self.OSC, jnp.ones(2), self.TS4)
+        yp = odeint(self.OSC, jnp.ones(2), self.TS4, controller="pi")
+        np.testing.assert_allclose(np.asarray(yp), np.asarray(yi),
+                                   atol=2e-6)
+
+    def test_gradient_flows(self):
+        g = jax.grad(lambda k: odeint(lambda t, y, k: -k * y, jnp.ones(1),
+                                      TS, k, controller="pi")[-1, 0])(
+            jnp.float32(1.0))
+        np.testing.assert_allclose(float(g), -np.exp(-1.0), rtol=1e-4)
+
+    def test_unknown_controller_raises(self):
+        with pytest.raises(ValueError):
+            odeint(lambda t, y: -y, jnp.ones(1), TS, controller="pid")
+
+
 class TestOptionErrors:
     def test_options_with_fixed_method_raise(self):
         with pytest.raises(ValueError):
