@@ -20,6 +20,10 @@ Methods:
                             stiffly accurate, modified-Newton stages — for
                             stiff systems the explicit pairs grind on
                             (no torchdiffeq analog; scipy_solver territory)
+    "kvaerno5"              implicit ESDIRK 5(4) (Kvaerno 2004): the
+                            higher-order companion for stiff systems at
+                            TIGHT tolerances, where the 3(2) pair is
+                            accuracy-limited
     "euler"/"midpoint"/"heun"/"heun3"/"rk4"
                             fixed-grid, one step per ts interval
     "dopri5_fixed"          dopri5 tableau on the fixed grid
@@ -53,8 +57,8 @@ from columnflow.solvers.adjoint import odeint_backsolve
 from columnflow.solvers.dopri import odeint_adaptive
 
 _FIXED = ("euler", "midpoint", "heun", "heun3", "rk4", "dopri5_fixed")
-# dopri5, bosh3, adaptive_heun, fehlberg2, dop853 + implicit kvaerno3
-_ADAPTIVE = tuple(rk.ADAPTIVE_TABLEAUS) + ("kvaerno3",)
+# dopri5, bosh3, adaptive_heun, fehlberg2, dop853 + implicit kvaerno3/5
+_ADAPTIVE = tuple(rk.ADAPTIVE_TABLEAUS) + ("kvaerno3", "kvaerno5")
 _ALIASES = {"dopri8": "dop853"}
 # torchdiffeq's fixed multistep solvers (implicit_adams == fixed_adams there
 # too: both name the PECE Adams-Bashforth-Moulton sweep).

@@ -81,7 +81,10 @@ def _step_error_ratio(tab, h, ks, rtol, atol, y0, y1, norm=None):
     norm. Pairs with ``b_err2`` (dop853): Hairer's combined 5th/3rd-order
     estimator |h| * ||e5||^2 / sqrt((||e5||^2 + 0.01 ||e3||^2) * n), which
     damps the 5th-order estimate when the 3rd-order one is comparatively
-    large (scipy's DOP853 uses the identical formula).
+    large (scipy's DOP853 uses the identical formula). ESDIRK steps feed
+    the same raw combination by design — the (I - h*gamma*J)^(-1)
+    smoothed variant was measured and rejected (esdirk.esdirk_step
+    docstring, RESULTS.md "ESDIRK error estimator").
     """
     e = jnp.asarray(tab.b_err, dtype=y1.dtype)
     scale = atol + rtol * jnp.maximum(jnp.abs(y0), jnp.abs(y1))

@@ -10,10 +10,10 @@ a stiff solver (torchdiffeq punts to scipy_solver, leaving autodiff behind)
 — this module provides one natively, differentiable through the same
 replay-gradient machinery as every other adaptive method (dopri.py).
 
-Method: Kvaerno 4(3) — a 4-stage, stiffly-accurate, L-stable ESDIRK pair
-(Kvaerno 2004, "Singly diagonally implicit Runge-Kutta methods with an
-explicit first stage"). The first stage is explicit (so the FSAL carry
-chains exactly like dopri5's); stages 2-4 each solve
+Methods: Kvaerno 4(3) and Kvaerno 5(4) — stiffly-accurate, L-stable ESDIRK
+pairs (Kvaerno 2004, "Singly diagonally implicit Runge-Kutta methods with
+an explicit first stage"). The first stage is explicit (so the FSAL carry
+chains exactly like dopri5's); the implicit stages each solve
 
     z = rhs + h * gamma * f(t + c_i h, z)
 
@@ -54,9 +54,40 @@ KVAERNO3 = _tab(
     order=3,
 )
 
+# Kvaerno 5(4): 7-stage, stiffly-accurate, L-stable ESDIRK pair with
+# gamma = 0.26 (Kvaerno 2004, same paper). The higher-order companion for
+# the tight-tolerance stiff regime where the 3rd-order pair is
+# accuracy-limited (RESULTS.md: kvaerno3 wins at loose tolerance, dopri5 at
+# tight — kvaerno5 covers tight AND stiff). Stage 6 is the embedded
+# 4th-order solution; stage 7 (== b, a77 = gamma) is the 5th-order one.
+_G5 = 0.26
+_KV5_A = [
+    [],
+    [_G5, _G5],
+    [0.13, 0.84033320996790809, _G5],
+    [0.22371961478320505, 0.47675532319799699, -0.06470895363112615, _G5],
+    [0.16648564323248321, 0.10450018841591720, 0.03631482272098715,
+     -0.13090704451073998, _G5],
+    [0.13855640231268224, 0.0, -0.04245337201752043, 0.02446657898003141,
+     0.61943039072480676, _G5],
+    [0.13659751177640291, 0.0, -0.05496908796538376, -0.04118626728321046,
+     0.62993304899016403, 0.06962479448202728, _G5],
+]
+_KV5_B = np.array(_KV5_A[6])
+_KV5_BHAT = np.array(_KV5_A[5] + [0.0])  # stage 6 IS the embedded solution
+
+KVAERNO5 = _tab(
+    c=[0.0, 0.52, 1.230333209967908, 0.8957659843500759,
+       0.43639360985864756, 1.0, 1.0],
+    a=_KV5_A,
+    b=_KV5_B,
+    b_err=_KV5_B - _KV5_BHAT,
+    order=5,
+)
+
 NEWTON_ITERS = 4
 
-ESDIRK_TABLEAUS = {"kvaerno3": KVAERNO3}
+ESDIRK_TABLEAUS = {"kvaerno3": KVAERNO3, "kvaerno5": KVAERNO5}
 
 
 def esdirk_step(func: Callable, tab: ButcherTableau, t, y, h, f0=None, *args):
@@ -67,7 +98,29 @@ def esdirk_step(func: Callable, tab: ButcherTableau, t, y, h, f0=None, *args):
     iterations against the shared LU-factorized I - h*gamma*J. Stiff
     accuracy (a[-1] == b) makes y1 the final stage value, so the returned
     ``f_last_stage`` is exactly f(t1, y1).
+
+    Error estimation is the RAW embedded difference h * (b - bhat) @ ks,
+    deliberately NOT filtered through (I - h*gamma*J)^(-1) (Hairer &
+    Wanner IV.8's smoothed estimate). Measured on a 4-problem battery
+    (RESULTS.md "ESDIRK error estimator"): the filtered estimate is 12x
+    cheaper on Van der Pol mu=100 but livelocks in an accept/reject limit
+    cycle at mu=1000 and under-resolves 1-D fully-stiff problems by
+    ~(h*gamma*lam) x tolerance; the geometric-mean compromise breaks the
+    lam=1e5 accuracy bound. Raw is the only estimator correct on all
+    four; its cost is a ~50% rejection rate at the stiff limit (the
+    estimate is undamped there) and lam-amplification of drift-evaluation
+    noise (visible on TPU at rtol<=1e-7 as a ~2e-5 error floor — use
+    rtol>=1e-6 on TPU, see RESULTS.md).
+
+    Runs under f32 HIGHEST matmul precision (repo solver-matmul rule):
+    the Jacobian/LU/triangular-solve matmuls must not run bf16 passes on
+    TPU for n-D systems.
     """
+    with jax.default_matmul_precision("highest"):
+        return _esdirk_step(func, tab, t, y, h, f0, *args)
+
+
+def _esdirk_step(func, tab, t, y, h, f0, *args):
     dtype = y.dtype
     c = jnp.asarray(tab.c, dtype=dtype)
     a = jnp.asarray(tab.a, dtype=dtype)
