@@ -10,6 +10,11 @@ from columnflow.analysis.experiments import (
     wta_timecourse,
     xor_timecourse,
 )
+from columnflow.analysis.phase_plane import (
+    PhasePlane,
+    wong_wang_phase_plane,
+    ww_drift,
+)
 
 __all__ = [
     "running_mean",
@@ -20,4 +25,7 @@ __all__ = [
     "rivalry_sweep",
     "wta_timecourse",
     "xor_timecourse",
+    "PhasePlane",
+    "wong_wang_phase_plane",
+    "ww_drift",
 ]

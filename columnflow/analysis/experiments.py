@@ -314,7 +314,7 @@ def main():
     p = argparse.ArgumentParser(description=main.__doc__)
     p.add_argument("experiment", choices=["coherence", "bistable",
                                           "rivalry-sweep", "wta-timecourse",
-                                          "xor-timecourse"])
+                                          "xor-timecourse", "ww-phase-plane"])
     p.add_argument("--checkpoint", default=None,
                    help="checkpoint path from the wta/xor task trainers")
     p.add_argument("--demo", action="store_true",
@@ -325,6 +325,10 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--iterations", type=int, default=10,
                    help="bistable: number of chained 10 s segments")
+    p.add_argument("--mu", type=float, default=30.0,
+                   help="ww-phase-plane: mean external drive mu0")
+    p.add_argument("--coherence", type=float, default=0.0,
+                   help="ww-phase-plane: coherence bias in [-1, 1]")
     args = p.parse_args()
 
     import os
@@ -332,6 +336,19 @@ def main():
     os.makedirs(args.out_dir, exist_ok=True)
     cfg = ColumnConfig.load()
     key = jax.random.PRNGKey(args.seed)
+
+    if args.experiment == "ww-phase-plane":
+        from columnflow.analysis.phase_plane import wong_wang_phase_plane
+        from columnflow.analysis.plots import plot_phase_plane
+
+        pp = wong_wang_phase_plane(args.mu, args.mu,
+                                   coherence=args.coherence)
+        for s, lab in zip(pp.fixed_points, pp.stability):
+            print(f"fixed point ({s[0]:.4f}, {s[1]:.4f}): {lab}")
+        plot_phase_plane(pp, f"{args.out_dir}/ww_phase_plane.png",
+                         title=f"mu0={args.mu:g}, c={args.coherence:g}")
+        print(f"wrote {args.out_dir}/ww_phase_plane.png")
+        return
 
     if args.experiment == "xor-timecourse":
         from columnflow.analysis.plots import plot_timecourse

@@ -198,3 +198,36 @@ def plot_hopf(true_y, pred_y, ts, train_loss, val_loss, path):
     fig.text(0.6, 0.02, f"train {float(train_loss):.4f}", ha="center")
     fig.tight_layout()
     return _save(fig, path)
+
+
+def plot_phase_plane(pp, path, title=None):
+    """Wong-Wang phase portrait: vector field (streamlines), both nullclines,
+    and fixed points colored by stability. ``pp`` is an
+    ``analysis.phase_plane.PhasePlane``; fills the phase_plane analysis the
+    reference's DM docstring promises but never implements
+    (src/ww_model.py:48)."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(6, 6))
+    g = np.asarray(pp.grid)
+    ds = np.asarray(pp.ds)
+    ax.streamplot(g, g, ds[..., 0], ds[..., 1], color="0.75", density=1.2,
+                  linewidth=0.7, arrowsize=0.8)
+    for pts, color, label in ((pp.nullcline_a, "tab:orange", "ds_A/dt = 0"),
+                              (pp.nullcline_b, "tab:blue", "ds_B/dt = 0")):
+        pts = np.asarray(pts)
+        if pts.size:
+            ax.plot(pts[:, 0], pts[:, 1], ".", ms=2, color=color, label=label)
+    marker = {"stable": ("o", "black"), "saddle": ("s", "tab:red"),
+              "unstable": ("^", "tab:purple")}
+    for s, lab in zip(np.asarray(pp.fixed_points), pp.stability):
+        m, c = marker[lab]
+        ax.plot(s[0], s[1], m, color=c, ms=9, mfc="white", mew=2)
+    ax.set_xlabel("$s_A$")
+    ax.set_ylabel("$s_B$")
+    ax.set_xlim(g[0], g[-1])
+    ax.set_ylim(g[0], g[-1])
+    if title:
+        ax.set_title(title)
+    ax.legend(loc="upper right", fontsize=8)
+    fig.tight_layout()
+    return _save(fig, path)

@@ -199,3 +199,81 @@ class TestDemoCheckpoint:
         final_c = np.asarray(final_c)
         targets = np.asarray(xor_targets(conds))
         assert final_c[targets == 1.0].min() > final_c[targets == 0.25].max()
+
+
+class TestWongWangPhasePlane:
+    """phase_plane analysis the reference's DM docstring promises but never
+    implements (src/ww_model.py:48); validated against the textbook
+    Wong & Wang (2006) attractor structure and against the DM simulator."""
+
+    def test_bistable_decision_regime(self):
+        from columnflow.analysis import wong_wang_phase_plane, ww_drift
+
+        pp = wong_wang_phase_plane(30.0, 30.0)
+        assert len(pp.stability) == 3
+        assert pp.stability == ["stable", "saddle", "stable"]
+        # roots are genuine and the decision pair is symmetric
+        for s in pp.fixed_points:
+            assert np.linalg.norm(ww_drift(s, [30.0, 30.0])) < 1e-8
+        lo, mid, hi = pp.fixed_points
+        np.testing.assert_allclose(lo, hi[::-1], atol=1e-8)
+        np.testing.assert_allclose(mid[0], mid[1], atol=1e-8)
+
+    def test_resting_state_has_five_fixed_points(self):
+        from columnflow.analysis import wong_wang_phase_plane
+
+        pp = wong_wang_phase_plane(0.0, 0.0)
+        assert len(pp.stability) == 5
+        assert pp.stability.count("stable") == 3
+        assert pp.stability.count("saddle") == 2
+
+    def test_high_drive_single_attractor(self):
+        from columnflow.analysis import wong_wang_phase_plane
+
+        pp = wong_wang_phase_plane(70.0, 70.0)
+        assert pp.stability == ["stable"]
+
+    def test_coherence_biases_drives(self):
+        from columnflow.analysis import wong_wang_phase_plane
+
+        pp = wong_wang_phase_plane(30.0, 30.0, coherence=0.5)
+        # biased toward pool A: the A-winning attractor dominates
+        stable = [s for s, lab in zip(pp.fixed_points, pp.stability)
+                  if lab == "stable"]
+        assert max(s[0] for s in stable) > max(s[1] for s in stable)
+
+    def test_stability_labels_match_dynamics(self):
+        from columnflow.analysis import wong_wang_phase_plane, ww_drift
+
+        mu = [30.0, 30.0]
+        pp = wong_wang_phase_plane(*mu)
+        dt = 1e-3
+        for s0, lab in zip(pp.fixed_points, pp.stability):
+            s = s0 + np.array([1e-3, -1e-3])
+            for _ in range(2000):
+                s = s + dt * ww_drift(s, mu)
+            dist = np.linalg.norm(s - s0)
+            if lab == "stable":
+                assert dist < 1e-3
+            else:  # the saddle repels along its unstable manifold
+                assert dist > 1e-2
+
+    def test_nullclines_lie_on_zero_level_set(self):
+        from columnflow.analysis import wong_wang_phase_plane, ww_drift
+
+        pp = wong_wang_phase_plane(30.0, 30.0)
+        a = np.abs(ww_drift(pp.nullcline_a, [30.0, 30.0])[:, 0])
+        b = np.abs(ww_drift(pp.nullcline_b, [30.0, 30.0])[:, 1])
+        scale = np.abs(pp.ds[..., 0]).max()
+        assert np.median(a) < 1e-3 * scale
+        assert np.median(b) < 1e-3 * scale
+
+    def test_phase_plane_figure(self, tmp_path):
+        from columnflow.analysis import wong_wang_phase_plane
+        from columnflow.analysis import plots
+
+        pp = wong_wang_phase_plane(30.0, 30.0, n_grid=41)
+        p = plots.plot_phase_plane(pp, str(tmp_path / "pp.png"), title="t")
+        import os
+
+        assert os.path.exists(p) and os.path.getsize(p) > 0
