@@ -57,6 +57,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _brownian_pack(key, ts, noise_shape, dtype):
@@ -340,6 +341,7 @@ def sdeint(
     noise_pack=None,
     grad_free: bool = False,
     bm=None,
+    dt: float | None = None,
 ):
     """Integrate the SDE dy = drift dt + diffusion dW on the grid ``ts``.
 
@@ -376,12 +378,51 @@ def sdeint(
         grad_free: Milstein only — replace the jvp diffusion derivative with
             a derivative-free difference quotient (torchsde's
             ``options={'grad_free': True}``).
+        dt: optional internal step size (torchsde's ``sdeint(..., dt=)``).
+            By default the solver takes one step per ``ts`` interval; with
+            ``dt`` each interval is integrated with
+            ``k = ceil(max_interval / dt)`` uniform substeps (size <= dt)
+            and only the states at ``ts`` are returned. torchsde's fixed
+            solvers step ``min(dt, next_output_t - t)`` — same contract
+            (steps never exceed dt, always land exactly on output times);
+            the only difference is that the shortened remainder step is
+            spread uniformly across the interval here, which keeps the
+            substep count static for jit. Requires concrete ``ts``.
+            Incompatible with ``noise_pack`` (whose leading axis is tied
+            to the grid — pre-build it on the fine grid instead); ``bm``
+            works (increments are queried by time).
 
     Returns ys with shape (T,) + y0.shape; ys[0] == y0. Pytree states are
     supported like ``odeint``'s: drift/diffusion receive (and return) the
     pytree, integration runs on the raveled vector ("scalar" noise shares
     one Brownian across the whole tree; "diagonal" draws per element).
     """
+    if dt is not None:
+        if noise_pack is not None:
+            raise ValueError(
+                "dt= refines the integration grid, so a precomputed "
+                "noise_pack (leading axis T-1 on the OUTPUT grid) cannot "
+                "apply; build the pack on the fine grid and pass dt=None")
+        try:
+            ts_c = np.asarray(ts, dtype=np.float64)
+        except Exception as e:  # traced ts — substep count must be static
+            raise ValueError(
+                "dt= needs concrete ts (the substep count per interval is "
+                "a static compile-time quantity)") from e
+        k = max(1, int(np.ceil(float(np.max(np.diff(ts_c))) / float(dt)
+                               - 1e-12)))
+        if k > 1:
+            tsj = jnp.asarray(ts)
+            frac = jnp.arange(k, dtype=tsj.dtype) / k
+            tfine = (tsj[:-1, None]
+                     + frac[None, :] * jnp.diff(tsj)[:, None]).reshape(-1)
+            tfine = jnp.concatenate([tfine, tsj[-1:]])
+            ys = sdeint(drift, diffusion, y0, tfine, key, *args,
+                        method=method, noise=noise, additive=additive,
+                        sde_type=sde_type, remat=remat,
+                        grad_free=grad_free, bm=bm)
+            return jax.tree_util.tree_map(lambda a: a[::k], ys)
+
     leaves = jax.tree_util.tree_leaves(y0)
     if not (len(leaves) == 1 and y0 is leaves[0]):
         if noise == "general":

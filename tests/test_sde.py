@@ -268,3 +268,79 @@ class TestPytreeState:
                                    np.asarray(flat[:, :2]), rtol=1e-6)
         np.testing.assert_allclose(np.asarray(ys["b"]),
                                    np.asarray(flat[:, 2:]), rtol=1e-6)
+
+
+class TestDtSubstep:
+    """torchsde's ``sdeint(..., dt=)``: internal steps of size <= dt between
+    the output times (reference call shape: the torchsde default dt=1e-3
+    equals the reference scripts' time_vec spacing, scripts/wta_ode.py:174,
+    so one-step-per-interval is its faithful default here; dt= restores the
+    decoupled surface for coarser output grids)."""
+
+    def test_matches_manual_fine_grid(self):
+        drift, diffusion = _gbm()
+        y0 = jnp.ones(3)
+        ts = jnp.linspace(0.0, 1.0, 5)          # interval 0.25
+        key = jax.random.PRNGKey(7)
+        ys = sdeint(drift, diffusion, y0, ts, key, method="euler",
+                    noise="diagonal", dt=0.25 / 8)
+        tfine = jnp.linspace(0.0, 1.0, 4 * 8 + 1)
+        ys_fine = sdeint(drift, diffusion, y0, tfine, key, method="euler",
+                         noise="diagonal")
+        np.testing.assert_allclose(np.asarray(ys), np.asarray(ys_fine[::8]),
+                                   rtol=1e-6)
+
+    def test_large_dt_is_identity(self):
+        drift, diffusion = _gbm()
+        y0 = jnp.ones(2)
+        ts = jnp.linspace(0.0, 1.0, 9)
+        key = jax.random.PRNGKey(3)
+        a = sdeint(drift, diffusion, y0, ts, key, noise="diagonal")
+        b = sdeint(drift, diffusion, y0, ts, key, noise="diagonal", dt=1.0)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_refinement_improves_strong_error(self):
+        # GBM on the SAME coarse output grid and the SAME Brownian path
+        # (bm= is queried by time, so it is resolution-consistent): euler
+        # with dt-substeps must beat one-step-per-interval in strong error
+        # against the path's closed-form terminal value.
+        from columnflow.solvers.brownian import BrownianInterval
+
+        mu, sig = 0.3, 0.7
+        drift, diffusion = _gbm(mu, sig)
+        ts = jnp.linspace(0.0, 1.0, 9)
+        errs = {}
+        for dt in (None, 0.125 / 16):
+            e = []
+            for s in range(8):
+                bm = BrownianInterval(t0=0.0, t1=1.0, entropy=s)
+                ys = sdeint(drift, diffusion, jnp.ones(()), ts,
+                            jax.random.PRNGKey(0), method="euler",
+                            noise="scalar", bm=bm, dt=dt)
+                w1 = float(bm(0.0, 1.0))
+                exact = float(np.exp((mu - 0.5 * sig**2) * 1.0 + sig * w1))
+                e.append(abs(float(ys[-1]) - exact))
+            errs[dt] = np.mean(e)
+        assert errs[0.125 / 16] < 0.5 * errs[None]
+
+    def test_dt_with_noise_pack_raises(self):
+        drift, diffusion = _gbm()
+        ts = jnp.linspace(0.0, 1.0, 5)
+        h = np.full((1, 4), 0.25)
+        i1 = np.zeros((1, 4))
+        pack = _packs(i1, np.zeros((1, 4)), h)
+        pack = tuple(p[0] for p in pack)
+        with pytest.raises(ValueError, match="noise_pack"):
+            sdeint(drift, diffusion, jnp.ones(()), ts, jax.random.PRNGKey(0),
+                   noise="scalar", noise_pack=pack, dt=0.01)
+
+    def test_pytree_state(self):
+        ts = jnp.linspace(0.0, 1.0, 5)
+        y0 = {"a": jnp.ones(2), "b": jnp.zeros(())}
+        drift = lambda t, y: jax.tree_util.tree_map(lambda x: -x, y)
+        diffusion = lambda t, y: jax.tree_util.tree_map(
+            lambda x: 0.3 * jnp.ones_like(x), y)
+        ys = sdeint(drift, diffusion, y0, ts, jax.random.PRNGKey(1),
+                    method="milstein", noise="diagonal", dt=0.05)
+        assert ys["a"].shape == (5, 2) and ys["b"].shape == (5,)
+        assert np.all(np.isfinite(np.asarray(ys["a"])))
