@@ -85,6 +85,7 @@ def odeint(
     ifactor: float | None = None,
     dfactor: float | None = None,
     controller: str = "i",
+    step_size: float | None = None,
 ):
     """Integrate dy/dt = func(t, y, *args) and return states at ``ts``.
 
@@ -104,9 +105,40 @@ def odeint(
     torchdiffeq's ``adjoint_options=dict(norm="seminorm")``, typically
     fewer backward steps at equal parameter-gradient quality.
 
+    Fixed-grid-method option: ``step_size`` — torchdiffeq's
+    ``options=dict(step_size=...)``: internal steps of size <= step_size
+    (each ts interval is split into ``ceil(max_interval / step_size)``
+    uniform substeps; torchdiffeq's grid likewise never steps across an
+    output time), with states returned at ``ts`` only. By default fixed
+    methods take exactly one step per interval. Requires concrete ``ts``.
+
     Returns ys with leading axis len(ts); ys[0] == y0.
     """
     method = _ALIASES.get(method, method)
+
+    if step_size is not None:
+        if method not in _FIXED and method not in _ADAMS:
+            raise ValueError(
+                "step_size applies to fixed-grid methods only (adaptive "
+                "methods choose their own steps; use rtol/atol)")
+        try:
+            ts_c = np.asarray(ts, dtype=np.float64)
+        except Exception as e:  # traced ts — substep count must be static
+            raise ValueError(
+                "step_size needs concrete ts (the substep count per "
+                "interval is a static compile-time quantity)") from e
+        k = max(1, int(np.ceil(float(np.max(np.abs(np.diff(ts_c))))
+                               / float(step_size) - 1e-12)))
+        if k > 1:
+            tsj = jnp.asarray(ts)
+            frac = jnp.arange(k, dtype=jnp.result_type(tsj.dtype,
+                                                       jnp.float32)) / k
+            tfine = (tsj[:-1, None]
+                     + frac[None, :] * jnp.diff(tsj)[:, None]).reshape(-1)
+            tfine = jnp.concatenate([tfine, tsj[-1:]])
+            ys = odeint(func, y0, tfine, *args, method=method,
+                        remat=remat)
+            return jax.tree_util.tree_map(lambda a: a[::k], ys)
     leaves = jax.tree_util.tree_leaves(y0)
     is_array_state = len(leaves) == 1 and (y0 is leaves[0])
 

@@ -230,3 +230,51 @@ class TestOptionErrors:
                    rtol=1e-5, atol=1e-7, jump_ts=jnp.asarray([0.5]))
         err = np.abs(np.asarray(y[:, 0]) - _forced_exact(TS)).max()
         assert err < 1e-3, err
+
+
+class TestStepSize:
+    """torchdiffeq's fixed-solver ``options=dict(step_size=...)``: internal
+    steps <= step_size between output times; states returned at ts only."""
+
+    def test_matches_manual_fine_grid(self):
+        f = lambda t, y: -1.3 * y
+        ts = jnp.linspace(0.0, 2.0, 5)            # interval 0.5
+        ys = odeint(f, jnp.ones(3), ts, method="euler", step_size=0.5 / 8)
+        tfine = jnp.linspace(0.0, 2.0, 4 * 8 + 1)
+        ys_fine = odeint(f, jnp.ones(3), tfine, method="euler")
+        np.testing.assert_allclose(np.asarray(ys), np.asarray(ys_fine[::8]),
+                                   rtol=1e-6)
+
+    def test_refinement_improves_accuracy(self):
+        f = lambda t, y: -2.0 * y
+        ts = jnp.linspace(0.0, 1.0, 3)            # coarse outputs
+        exact = np.exp(-2.0 * np.asarray(ts))
+        for method, factor in (("euler", 0.1), ("rk4", 0.5)):
+            coarse = odeint(f, jnp.ones(()), ts, method=method)
+            fine = odeint(f, jnp.ones(()), ts, method=method,
+                          step_size=0.01)
+            e_coarse = np.max(np.abs(np.asarray(coarse) - exact))
+            e_fine = np.max(np.abs(np.asarray(fine) - exact))
+            assert e_fine < factor * e_coarse, (method, e_coarse, e_fine)
+
+    def test_adams_and_descending(self):
+        f = lambda t, y: -y
+        ts = jnp.linspace(1.0, 0.0, 5)            # decreasing ts
+        ys = odeint(f, jnp.ones(()), ts, method="fixed_adams",
+                    step_size=0.01)
+        exact = np.exp(-(np.asarray(ts) - 1.0))
+        np.testing.assert_allclose(np.asarray(ys), exact, rtol=1e-4)
+
+    def test_gradient_flows(self):
+        def loss(k):
+            ts = jnp.linspace(0.0, 1.0, 3)
+            return odeint(lambda t, y, k: -k * y, jnp.ones(()), ts, k,
+                          method="midpoint", step_size=0.02)[-1]
+        g = float(jax.grad(loss)(0.7))
+        # d/dk exp(-k) = -exp(-k)
+        assert abs(g + np.exp(-0.7)) < 1e-3
+
+    def test_adaptive_raises(self):
+        with pytest.raises(ValueError, match="step_size"):
+            odeint(lambda t, y: -y, jnp.ones(()), jnp.linspace(0, 1, 3),
+                   method="dopri5", step_size=0.01)
