@@ -147,6 +147,7 @@ def sdeint_adjoint(
     noise: str = "scalar",
     additive: bool = False,
     sde_type: str = "ito",
+    dt: float | None = None,
 ):
     """``sdeint`` whose reverse-mode gradient is the stochastic adjoint.
 
@@ -154,13 +155,30 @@ def sdeint_adjoint(
     (without ``noise_pack``/``remat``: the Brownian path must come from the
     key so the backward pass can regenerate it). Gradients flow to ``y0`` and
     ``*args``; memory does not grow with solver stage count or require
-    rematerialisation of the step graph.
+    rematerialisation of the step graph. ``dt`` refines the internal grid
+    like ``sdeint``'s (the backward pass re-integrates the same fine grid
+    in reverse on the same regenerated path).
 
     Replaces torchsde's ``sdeint_adjoint`` (unused by the reference's scripts
     but the package's central capability; reference import of the package at
     scripts/wta_ode.py:10).
     """
     _check(sde_type, additive)
+    if dt is not None:
+        ts_c = np.asarray(ts, dtype=np.float64)
+        k = max(1, int(np.ceil(float(np.max(np.diff(ts_c))) / float(dt)
+                               - 1e-12)))
+        if k > 1:
+            tsj = jnp.asarray(ts)
+            frac = jnp.arange(k, dtype=tsj.dtype) / k
+            tfine = (tsj[:-1, None]
+                     + frac[None, :] * jnp.diff(tsj)[:, None]).reshape(-1)
+            tfine = jnp.concatenate([tfine, tsj[-1:]])
+            ys = sdeint_adjoint(drift, diffusion, y0, tfine, key, *args,
+                                method=method, noise=noise,
+                                additive=additive, sde_type=sde_type)
+            return jax.tree_util.tree_map(lambda a: a[::k], ys)
+
     leaves = jax.tree_util.tree_leaves(y0)
     if not (len(leaves) == 1 and y0 is leaves[0]):
         from jax.flatten_util import ravel_pytree

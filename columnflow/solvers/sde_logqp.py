@@ -72,7 +72,9 @@ def sdeint_logqp(
             "general", u solves g u = f - h by pseudo-inverse (flat 1-D
             state only, like sdeint's general noise).
         **kwargs: forwarded to ``sdeint`` (method, sde_type, additive,
-            remat, noise_pack, grad_free).
+            remat, noise_pack, grad_free, dt — the KL integrates on the
+            dt-refined internal grid, increments still reported between
+            consecutive OUTPUT times).
 
     Returns:
         (ys, log_ratio_increments): ys as ``sdeint`` returns, plus the

@@ -167,3 +167,22 @@ class TestGradients:
         for _ in range(25):
             th = th - 0.3 * jax.grad(loss)(th)
         assert float(loss(th)) < 0.5 * l0
+
+
+class TestDtSubstep:
+    def test_constant_mismatch_exact_under_refinement(self):
+        """dt-substeps integrate the KL on the fine grid; increments are
+        still reported between OUTPUT times and stay exact for constant
+        mismatch (the quadrature of a constant is dt-invariant)."""
+        c, sigma = 0.8, 0.5
+        drift = lambda t, y: -y + c
+        prior = lambda t, y: -y
+        diff = lambda t, y: sigma * jnp.ones_like(y)
+        ts = jnp.linspace(0.0, 1.0, 6)
+        _, inc = sdeint_logqp(drift, diff, prior, jnp.ones(2), ts,
+                              jax.random.PRNGKey(1), method="euler",
+                              noise="diagonal", dt=0.01)
+        h = float(ts[1] - ts[0])
+        want = (c / sigma) ** 2 * h
+        assert inc.shape == (5,)
+        np.testing.assert_allclose(np.asarray(inc), want, rtol=1e-5)
