@@ -229,7 +229,7 @@ class SDESolverStats(NamedTuple):
 
 def _make_body(stepper, err_exp, with_i10, drift, diffusion, t_end, tree,
                i10_draw, rtol, atol, dtype, args, controller="i",
-               doubling=None):
+               doubling=None, dt_min=0.0):
     """One adaptive step-doubling attempt + accept/reject bookkeeping.
 
     ``controller="i"`` is the deadbeat I-controller
@@ -266,7 +266,10 @@ def _make_body(stepper, err_exp, with_i10, drift, diffusion, t_end, tree,
         # reproduces the interval-keyed I10 draws bit-exactly.
         h = (c.t1 + h) - c.t1
         y_new, err, w1 = attempt(c.t1, c.y1, h, c.w_t1)
-        accept = err <= 1.0
+        # torchsde's dt_min semantics: a step already at the floor is
+        # accepted unconditionally (prevents reject livelock on rough
+        # paths); dt_min=0.0 (default) leaves behavior unchanged.
+        accept = (err <= 1.0) | (h <= dt_min)
         err_c = jnp.maximum(err, 1e-10)
         fac_i = _SAFETY * err_c ** (-err_exp)
         if controller == "pi":
@@ -286,7 +289,7 @@ def _make_body(stepper, err_exp, with_i10, drift, diffusion, t_end, tree,
             y0=jnp.where(accept, c.y1, c.y0),
             t1=jnp.where(accept, c.t1 + h, c.t1),
             y1=jnp.where(accept, y_new, c.y1),
-            h=h * factor,
+            h=jnp.maximum(h * factor, jnp.asarray(dt_min, dtype)),
             step_times=step_times,
             naccept=naccept,
             nreject=c.nreject + 1 - accept.astype(jnp.int32),
@@ -310,10 +313,11 @@ def _init_carry(y0, t_start, t_end, h0, max_steps, tree):
 
 def _adaptive_pass(stepper, err_exp, with_i10, drift, diffusion, y0, t_start,
                    t_end, tree, i10_draw, rtol, atol, h0, max_steps, args,
-                   controller="i", doubling=None):
+                   controller="i", doubling=None, dt_min=0.0):
     body = _make_body(stepper, err_exp, with_i10, drift, diffusion, t_end,
                       tree, i10_draw, rtol, atol, y0.dtype, args,
-                      controller=controller, doubling=doubling)
+                      controller=controller, doubling=doubling,
+                      dt_min=dt_min)
     return jax.lax.while_loop(
         lambda s: (s.t1 < t_end) & (s.naccept + s.nreject < max_steps),
         body, _init_carry(y0, t_start, t_end, h0, max_steps, tree),
@@ -504,7 +508,7 @@ def _replay_pass_fused_batch(method, with_i10, drift, diffusion, y0, ts,
 
 def _make_sde_adaptive_kernel(drift, diffusion, prep, n_args, method,
                               t_start, t_end, rtol, atol, h0, max_steps,
-                              levy_depth, controller):
+                              levy_depth, controller, dt_min=0.0):
     """The step-size-selection pass as ONE Pallas kernel body.
 
     Mirrors ``_make_body``/``_adaptive_pass`` op for op (same step doubling,
@@ -578,7 +582,8 @@ def _make_sde_adaptive_kernel(drift, diffusion, prep, n_args, method,
             # replay recomputes h from the recorded step times.
             h = (t1 + h) - t1
             y_new, err, w1 = attempt(t1, y1, h, w_t1)
-            accept = err <= 1.0
+            # dt_min floor, as in _make_body (dt_min is a baked-in float).
+            accept = (err <= 1.0) | (h <= dt_min)
             err_c = jnp.maximum(err, 1e-10)
             fac_i = _SAFETY * _powk(err_c, -err_exp)
             if controller == "pi":
@@ -596,7 +601,7 @@ def _make_sde_adaptive_kernel(drift, diffusion, prep, n_args, method,
             st_ref[0, na_new] = t_new
             return (t_new,
                     jnp.where(accept, y_new, y1),
-                    h * factor,
+                    jnp.maximum(h * factor, jnp.asarray(dt_min, dtype)),
                     na_new,
                     nr + 1 - accept.astype(jnp.int32),
                     jnp.where(accept, err_c, err_prev),
@@ -616,7 +621,7 @@ def _make_sde_adaptive_kernel(drift, diffusion, prep, n_args, method,
 
 def _adaptive_pass_fused(drift, diffusion, y0, key, t_start, t_end, rtol,
                          atol, h0, max_steps, levy_depth, controller, method,
-                         args, prepare=None, interpret=False):
+                         args, prepare=None, interpret=False, dt_min=0.0):
     """Run the selection pass in-kernel; returns (step_times, naccept,
     nreject, success). ``drift``/``diffusion`` must be kernel-safe (the
     ``sdeint_fused`` contract); args must fit VMEM — at large state pass
@@ -636,7 +641,7 @@ def _adaptive_pass_fused(drift, diffusion, y0, key, t_start, t_end, rtol,
 
     kernel = _make_sde_adaptive_kernel(
         wrapped_drift, wrapped_diff, prep, n_args, method, t_start, t_end,
-        rtol, atol, h0, max_steps, levy_depth, controller)
+        rtol, atol, h0, max_steps, levy_depth, controller, dt_min=dt_min)
     call = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((1, max_steps + 1), y0.dtype),
@@ -684,6 +689,7 @@ def sdeint_adaptive(
     rtol: float = 1e-3,
     atol: float = 1e-3,
     dt0: float | None = None,
+    dt_min: float = 0.0,
     max_steps: int = 16384,
     levy_depth: int = 20,
     differentiable: bool = False,
@@ -709,6 +715,13 @@ def sdeint_adaptive(
 
     Returns ys (len(ts),) + y0.shape; ys[0] == y0. The trajectory is a pure
     function of ``key`` (one underlying Brownian path).
+
+    ``dt_min`` is torchsde's minimum step size (its adaptive default is
+    1e-5; here 0.0 = no floor): proposed steps never shrink below it, and
+    an attempt whose step is already at the floor is accepted
+    unconditionally — the controller cannot reject-livelock on a rough
+    path segment. Applies to the selection pass only (XLA and in-kernel);
+    the replay integrates whatever grid was accepted.
 
     ``differentiable=True`` enables reverse-mode gradients w.r.t. ``y0`` and
     ``args`` by replaying the frozen accepted-step sequence under a bounded
@@ -806,7 +819,7 @@ def sdeint_adaptive(
             sel_drift, sel_diffusion, y0, key, float(ts_host[0]),
             float(ts_host[-1]), rtol, atol, h0_f, max_steps, levy_depth,
             controller, method, sel_args, prepare=select_prepare,
-            interpret=kernel_interpret)
+            interpret=kernel_interpret, dt_min=dt_min)
         if differentiable:
             if fused:
                 ys = _replay_pass_fused(
@@ -839,7 +852,7 @@ def sdeint_adaptive(
             stepper, err_exp, with_i10, sel_drift, sel_diffusion,
             jax.lax.stop_gradient(y0), t_start, t_end, tree, i10_draw, rtol,
             atol, h0, max_steps, jax.lax.stop_gradient(sel_args),
-            controller=controller, doubling=doubling,
+            controller=controller, doubling=doubling, dt_min=dt_min,
         )
         step_times = jax.lax.stop_gradient(carry.step_times)
         naccept = jax.lax.stop_gradient(carry.naccept)
@@ -866,7 +879,8 @@ def sdeint_adaptive(
     # (cost proportional to the ACTUAL number of steps, not max_steps).
     body = _make_body(stepper, err_exp, with_i10, sel_drift, sel_diffusion,
                       t_end, tree, i10_draw, rtol, atol, y0.dtype, sel_args,
-                      controller=controller, doubling=doubling)
+                      controller=controller, doubling=doubling,
+                      dt_min=dt_min)
 
     def advance_until(c: _Carry, t_target):
         return jax.lax.while_loop(
@@ -903,6 +917,7 @@ def sdeint_adaptive_batch(
     rtol: float = 1e-3,
     atol: float = 1e-3,
     dt0: float | None = None,
+    dt_min: float = 0.0,
     max_steps: int = 16384,
     levy_depth: int = 20,
     remat: bool = True,
@@ -1003,7 +1018,7 @@ def sdeint_adaptive_batch(
                 sel_drift, sel_diff, y0_b, key_b, float(ts_host[0]),
                 float(ts_host[-1]), rtol, atol, h0_f, max_steps, levy_depth,
                 controller, method, sel_args, prepare=select_prepare,
-                interpret=kernel_interpret)
+                interpret=kernel_interpret, dt_min=dt_min)
 
         step_times, naccept, nreject, successes = jax.vmap(one_pass)(
             y0, keys, *batch_args)
@@ -1022,7 +1037,7 @@ def sdeint_adaptive_batch(
                 jax.lax.stop_gradient(y0_b),
                 t0_, t1_, tree, i10_draw, rtol, atol, h0, max_steps,
                 jax.lax.stop_gradient(sel_args), controller=controller,
-                doubling=dbl)
+                doubling=dbl, dt_min=dt_min)
             return carry.step_times, carry.naccept, carry.nreject, carry.t1
 
         step_times, naccept, nreject, t1s = jax.vmap(one_pass)(

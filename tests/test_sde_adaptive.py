@@ -1141,3 +1141,97 @@ class TestBatchedFusedReplay:
                                    np.asarray(ys_v[:, :, 0, :]),
                                    rtol=1e-5, atol=1e-6)
         assert bool(jnp.all(st_b.success))
+
+
+class TestDtMin:
+    """torchsde's dt_min: a step floor with unconditional accept at the
+    floor (its adaptive default is 1e-5; here the default 0.0 = no floor,
+    preserving prior behavior exactly)."""
+
+    def _setup(self):
+        mu, sig = 0.3, 0.7
+        return (lambda t, y: mu * y), (lambda t, y: sig * y)
+
+    def test_default_zero_is_identity(self):
+        drift, diff = self._setup()
+        ts = jnp.linspace(0.0, 1.0, 11)
+        key = jax.random.PRNGKey(0)
+        a = sdeint_adaptive(drift, diff, jnp.float32(1.0), ts, key,
+                            method="milstein")
+        b = sdeint_adaptive(drift, diff, jnp.float32(1.0), ts, key,
+                            method="milstein", dt_min=0.0)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_floor_prevents_budget_exhaustion(self):
+        # At an unmeetable tolerance the controller grinds to tiny steps
+        # and exhausts the budget (success False); a floor of span/budget
+        # forces progress and completes.
+        from columnflow.solvers.sde_adaptive import SDESolverStats  # noqa: F401
+
+        drift, diff = self._setup()
+        ts = jnp.linspace(0.0, 1.0, 11)
+        key = jax.random.PRNGKey(2)
+        kw = dict(method="milstein", rtol=1e-14, atol=1e-14, max_steps=256,
+                  return_stats=True)
+        _, st_no = sdeint_adaptive(drift, diff, jnp.float32(1.0), ts, key,
+                                   **kw)
+        assert not bool(st_no.success)
+        ys, st = sdeint_adaptive(drift, diff, jnp.float32(1.0), ts, key,
+                                 dt_min=1.0 / 128, **kw)
+        assert bool(st.success)
+        assert np.all(np.isfinite(np.asarray(ys)))
+
+    def test_accepted_steps_respect_floor(self):
+        drift, diff = self._setup()
+        ts = jnp.linspace(0.0, 1.0, 11)
+        key = jax.random.PRNGKey(3)
+        dt_min = 1.0 / 64
+        from columnflow.solvers.sde_adaptive import _setup as solver_setup  # noqa
+        ys, st = sdeint_adaptive(drift, diff, jnp.float32(1.0), ts, key,
+                                 method="milstein", rtol=1e-14, atol=1e-14,
+                                 max_steps=512, dt_min=dt_min,
+                                 return_stats=True)
+        assert bool(st.success)
+        # completing 1.0 of span within the budget at floor dt_min means
+        # naccept <= span/dt_min + slack (every accepted step >= ~dt_min,
+        # modulo the final end-of-span clamp per output landing)
+        assert int(st.naccept) <= 64 + 16
+
+    def test_differentiable_replay_with_floor(self):
+        drift = lambda t, y, a: a * y
+        diff = lambda t, y, a: 0.7 * y
+        ts = jnp.linspace(0.0, 1.0, 6)
+        key = jax.random.PRNGKey(5)
+
+        def term(a):
+            return sdeint_adaptive(drift, diff, jnp.float32(1.0), ts, key, a,
+                                   method="milstein", rtol=1e-9, atol=1e-9,
+                                   max_steps=256, dt_min=1.0 / 64,
+                                   differentiable=True)[-1]
+        y_t = float(term(0.3))
+        g = float(jax.grad(term)(0.3))
+        assert np.isfinite(g) and y_t > 0.0
+        # Ito GBM pathwise: dy_T/da = T y_T
+        assert abs(g - y_t) < 0.05 * abs(y_t)
+
+    def test_kernel_pass_matches_xla_pass(self):
+        # fused_pass (interpret on CPU) with dt_min: at an unmeetable
+        # tolerance every attempt sits at the floor and is force-accepted,
+        # so the controller's decisions are deterministic — both backends
+        # must walk the SAME grid (no near-threshold ULP ambiguity).
+        mu = 0.3
+        drift = lambda t, y: mu * y
+        diff = lambda t, y: jnp.full_like(y, 0.5)
+        ts = jnp.linspace(0.0, 1.0, 6)
+        y0 = jnp.ones((1, 4))
+        key = jax.random.PRNGKey(8)
+        kw = dict(method="euler", rtol=1e-14, atol=1e-14, max_steps=128,
+                  dt_min=1.0 / 32, return_stats=True, differentiable=True)
+        ys_x, st_x = sdeint_adaptive(drift, diff, y0, ts, key,
+                                     brownian="kernel", **kw)
+        ys_k, st_k = sdeint_adaptive(drift, diff, y0, ts, key,
+                                     fused_pass=True, **kw)
+        assert bool(st_x.success) and bool(st_k.success)
+        assert int(st_x.naccept) == int(st_k.naccept)
+        np.testing.assert_allclose(np.asarray(ys_x), np.asarray(ys_k),
+                                   rtol=1e-5)
