@@ -21,6 +21,20 @@ Layering (see SURVEY.md section 7):
 
 __version__ = "0.1.0"
 
+# Pin the PRNG key-derivation regime at the package boundary: every Brownian
+# path (solvers/brownian.py VirtualBrownianTree, solvers/krng.py — whose
+# bit-identity-to-jax.random claim is proven under this flag) is a pure
+# function of (key, location) ONLY within one threefry partitioning regime.
+# JAX has flipped this default across releases; without the pin, tests
+# (tests/conftest.py sets it) and production runs (bench.py, task CLIs) could
+# generate different paths for the same key. Setting jax.config here does not
+# initialize any backend. tests/test_brownian.py pins that this production
+# default matches the test regime.
+import jax as _jax
+
+_jax.config.update("jax_threefry_partitionable", True)
+del _jax
+
 from columnflow.config import load_config, ColumnConfig
 
 __all__ = ["load_config", "ColumnConfig", "__version__"]

@@ -116,6 +116,21 @@ def odeint(
     """
     method = _ALIASES.get(method, method)
 
+    # Validate option/method compatibility BEFORE any step_size recursion so
+    # error behavior does not depend on the step_size value (advisor finding:
+    # norm= with a fixed method used to be silently ignored when refinement
+    # triggered but rejected when it did not).
+    if controller not in ("i", "pi"):
+        raise ValueError(f"unknown controller: {controller!r} "
+                         "(choose 'i' — torchdiffeq's — or 'pi')")
+    if (step_ts is not None or jump_ts is not None or norm is not None
+            or safety is not None or ifactor is not None
+            or dfactor is not None or controller != "i") \
+            and method not in _ADAPTIVE:
+        raise ValueError(
+            "step_ts/jump_ts/norm/safety/ifactor/dfactor apply to adaptive "
+            "methods only (fixed grids already step exactly on ts)")
+
     if step_size is not None:
         if method not in _FIXED and method not in _ADAMS:
             raise ValueError(
@@ -127,8 +142,11 @@ def odeint(
             raise ValueError(
                 "step_size needs concrete ts (the substep count per "
                 "interval is a static compile-time quantity)") from e
-        k = max(1, int(np.ceil(float(np.max(np.abs(np.diff(ts_c))))
-                               / float(step_size) - 1e-12)))
+        # A single output time has no intervals to refine (the base path
+        # returns y0); np.max over the empty diff would raise.
+        k = 1 if ts_c.size < 2 else max(
+            1, int(np.ceil(float(np.max(np.abs(np.diff(ts_c))))
+                           / float(step_size) - 1e-12)))
         if k > 1:
             tsj = jnp.asarray(ts)
             frac = jnp.arange(k, dtype=jnp.result_type(tsj.dtype,
@@ -173,16 +191,6 @@ def odeint(
         if jump_ts is not None:
             jump_ts = -jnp.asarray(jump_ts, dtype=flat_y0.dtype)
 
-    if controller not in ("i", "pi"):
-        raise ValueError(f"unknown controller: {controller!r} "
-                         "(choose 'i' — torchdiffeq's — or 'pi')")
-    if (step_ts is not None or jump_ts is not None or norm is not None
-            or safety is not None or ifactor is not None
-            or dfactor is not None or controller != "i") \
-            and method not in _ADAPTIVE:
-        raise ValueError(
-            "step_ts/jump_ts/norm/safety/ifactor/dfactor apply to adaptive "
-            "methods only (fixed grids already step exactly on ts)")
     ctrl = {k: v for k, v in
             (("safety", safety), ("ifactor", ifactor), ("dfactor", dfactor))
             if v is not None}

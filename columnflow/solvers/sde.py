@@ -409,8 +409,18 @@ def sdeint(
             raise ValueError(
                 "dt= needs concrete ts (the substep count per interval is "
                 "a static compile-time quantity)") from e
-        k = max(1, int(np.ceil(float(np.max(np.diff(ts_c))) / float(dt)
-                               - 1e-12)))
+        # Reject decreasing grids loudly (advisor finding: |diff| used to
+        # collapse k to 1 and silently skip refinement; the Brownian
+        # construction needs increasing time anyway — sqrt(h) of a negative
+        # interval is NaN, torchsde likewise requires ascending ts). A
+        # single output time has no intervals to refine.
+        if ts_c.size >= 2 and np.any(np.diff(ts_c) <= 0):
+            raise ValueError(
+                "sdeint requires strictly increasing ts (Brownian "
+                "increments are defined forward in time)")
+        k = 1 if ts_c.size < 2 else max(
+            1, int(np.ceil(float(np.max(np.diff(ts_c))) / float(dt)
+                           - 1e-12)))
         if k > 1:
             tsj = jnp.asarray(ts)
             frac = jnp.arange(k, dtype=tsj.dtype) / k

@@ -165,9 +165,15 @@ def sdeint_adjoint(
     """
     _check(sde_type, additive)
     if dt is not None:
-        ts_c = np.asarray(ts, dtype=np.float64)
-        k = max(1, int(np.ceil(float(np.max(np.diff(ts_c))) / float(dt)
-                               - 1e-12)))
+        try:
+            ts_c = np.asarray(ts, dtype=np.float64)
+        except Exception as e:  # traced ts — substep count must be static
+            raise ValueError(
+                "dt= needs concrete ts (the substep count per interval is "
+                "a static compile-time quantity)") from e
+        k = 1 if ts_c.size < 2 else max(
+            1, int(np.ceil(float(np.max(np.abs(np.diff(ts_c)))) / float(dt)
+                           - 1e-12)))
         if k > 1:
             tsj = jnp.asarray(ts)
             frac = jnp.arange(k, dtype=tsj.dtype) / k

@@ -38,11 +38,57 @@ if not TPU_TIER:
 jax.config.update("jax_threefry_partitionable", True)
 
 
+# Smoke tier: one (fast, representative) test per subsystem, applied as a
+# marker at collection time so the selection lives in one place. Target
+# budget < 5 min on this box (the full suite is ~40 min); run with
+#     python -m pytest tests/ -m smoke -q
+SMOKE_NODE_PREFIXES = (
+    # L1 config + ops
+    "tests/test_ops.py::TestTransfer",
+    "tests/test_models.py::TestWeightConstruction::test_golden_wta_anatomy",
+    # L2 models: golden parity vs the reference's own torch class
+    "tests/test_golden_drift.py::TestWTADriftGolden",
+    # L3 ODE engine
+    "tests/test_ode.py::TestDopri5::test_exp_decay_tight",
+    "tests/test_odeint_options.py::TestStepSize::test_matches_manual_fine_grid",
+    "tests/test_esdirk.py::TestKvaerno3::test_stiff_linear_accuracy",
+    "tests/test_event.py::TestEventDetection::test_threshold_crossing_time",
+    # L3 SDE engine
+    "tests/test_sde.py::TestBasics::test_zero_diffusion_matches_ode",
+    "tests/test_sde_adaptive.py::TestAdaptiveSDE::test_reproducible",
+    "tests/test_sde_adjoint.py::TestStratonovichMethods::test_gbm_pathwise_exact",
+    "tests/test_sde_general.py::TestGeneralNoiseConsistency::test_diagonal_embedding_matches",
+    "tests/test_sde_logode.py::TestLevyPack::test_moments",
+    "tests/test_sde_logqp.py::TestClosedForm::test_zero_when_prior_equals_posterior",
+    "tests/test_sde_reversible.py::TestReversibleHeunMethod::test_gbm_pathwise_exact",
+    "tests/test_sde_implicit.py::TestLinearClosedForm::test_one_step_matches_backward_euler_formula",
+    "tests/test_brownian.py::TestVBT::test_deterministic_queries",
+    "tests/test_brownian_interval.py::TestPathConsistency::test_additivity",
+    "tests/test_krng.py::TestThreefry::test_matches_jax_threefry",
+    # L3 kernels (interpret mode)
+    "tests/test_fused.py::TestFusedSolver::test_trajectory_parity",
+    "tests/test_kernels.py::TestFusedDrift::test_matches_xla_drift",
+    # parallel / train / native
+    "tests/test_parallel.py::TestDPTraining::test_dp_matches_single_device",
+    "tests/test_train.py::TestOptimizerTorchParity::test_rmsprop_wta_settings",
+    "tests/test_train.py::TestMasksAndClamps",
+    "tests/test_native.py::TestPhiloxRNG::test_deterministic",
+    # L4 tasks + L5 analysis
+    "tests/test_tasks.py::TestXORTask::test_smoke",
+    "tests/test_analysis.py::TestStats::test_dominance_time_alternating_signal",
+)
+
+
 def pytest_configure(config):
     config.addinivalue_line(
         "markers",
         "tpu: compiled-TPU kernel tier (needs a real TPU and "
         "COLUMNFLOW_TPU_TESTS=1; auto-skipped otherwise)",
+    )
+    config.addinivalue_line(
+        "markers",
+        "smoke: fast tier — one representative test per subsystem "
+        "(< 5 min; applied at collection from conftest.SMOKE_NODE_PREFIXES)",
     )
     # In TPU mode the rest of the suite assumes the 8-device CPU platform;
     # restrict collection to the tpu tier unless the caller said otherwise.
@@ -67,6 +113,11 @@ def _clear_jax_caches_between_modules():
 
 
 def pytest_collection_modifyitems(config, items):
+    for item in items:
+        nid = item.nodeid
+        if any(nid == p or nid.startswith(p + "::")
+               for p in SMOKE_NODE_PREFIXES):
+            item.add_marker(pytest.mark.smoke)
     if TPU_TIER and jax.default_backend() != "cpu":
         return
     reason = (

@@ -51,3 +51,35 @@ class TestVBT:
         ws = jax.vmap(tree.evaluate)(ts)
         diffs = np.abs(np.diff(np.asarray(ws)))
         assert np.max(diffs) < 0.5  # ~6 sigma of sqrt(1/256)
+
+
+class TestNoiseRegimePin:
+    """The production package pins jax_threefry_partitionable at import
+    (columnflow/__init__.py), so bench.py / task-CLI Brownian paths share the
+    test suite's key-derivation regime. A subprocess WITHOUT the conftest
+    must see the pinned regime and reproduce a golden draw."""
+
+    def test_production_default_matches_test_regime(self):
+        import subprocess
+        import sys
+
+        code = (
+            "import columnflow, jax, jax.numpy as jnp\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "assert jax.config.jax_threefry_partitionable, "
+            "'package must pin the threefry regime'\n"
+            "from columnflow.solvers.brownian import VirtualBrownianTree\n"
+            "t = VirtualBrownianTree(t0=0.0, t1=1.0,"
+            " key=jax.random.PRNGKey(7), depth=10)\n"
+            "print(float(t.evaluate(jnp.asarray(0.37))))\n"
+        )
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True,
+                             env={"PATH": "/usr/local/bin:/usr/bin:/bin",
+                                  "HOME": "/root"})
+        assert out.returncode == 0, out.stderr
+        sub_val = float(out.stdout.strip().splitlines()[-1])
+        here_val = float(VirtualBrownianTree(
+            t0=0.0, t1=1.0, key=jax.random.PRNGKey(7), depth=10
+        ).evaluate(jnp.asarray(0.37)))
+        np.testing.assert_allclose(sub_val, here_val, rtol=0, atol=0)

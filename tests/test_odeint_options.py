@@ -278,3 +278,20 @@ class TestStepSize:
         with pytest.raises(ValueError, match="step_size"):
             odeint(lambda t, y: -y, jnp.ones(()), jnp.linspace(0, 1, 3),
                    method="dopri5", step_size=0.01)
+
+    def test_single_output_time(self):
+        """Advisor regression: len(ts)==1 with step_size must return y0
+        like the base path does (np.max over an empty diff used to raise)."""
+        y = odeint(lambda t, y: -y, jnp.ones(3), jnp.asarray([0.7]),
+                   method="euler", step_size=0.01)
+        np.testing.assert_allclose(np.asarray(y), np.ones((1, 3)))
+
+    def test_incompatible_options_raise_regardless_of_step_size(self):
+        """Advisor regression: norm= with a fixed method raises whether or
+        not the step_size value triggers refinement."""
+        norm = lambda e: jnp.max(jnp.abs(e))
+        for ss in (0.01, 10.0):  # refinement on / off
+            with pytest.raises(ValueError, match="adaptive"):
+                odeint(lambda t, y: -y, jnp.ones(()),
+                       jnp.linspace(0, 1, 3), method="euler",
+                       step_size=ss, norm=norm)

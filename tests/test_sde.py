@@ -344,3 +344,24 @@ class TestDtSubstep:
                     method="milstein", noise="diagonal", dt=0.05)
         assert ys["a"].shape == (5, 2) and ys["b"].shape == (5,)
         assert np.all(np.isfinite(np.asarray(ys["a"])))
+
+    def test_single_output_time(self):
+        """Advisor regression: len(ts)==1 with dt= returns y0 (np.max over
+        an empty diff used to raise)."""
+        drift, diffusion = _gbm()
+        y = sdeint(drift, diffusion, jnp.ones(2), jnp.asarray([0.3]),
+                   jax.random.PRNGKey(0), noise="diagonal", dt=0.01)
+        np.testing.assert_allclose(np.asarray(y), np.ones((1, 2)))
+
+    def test_decreasing_ts_rejected(self):
+        """Advisor regression: a decreasing grid used to silently skip
+        refinement (k collapsed to 1 through a signed diff) and then NaN in
+        the Brownian construction; it must raise instead."""
+        import pytest
+
+        drift = lambda t, y: -0.5 * y
+        diffusion = lambda t, y: jnp.zeros_like(y)
+        with pytest.raises(ValueError, match="increasing"):
+            sdeint(drift, diffusion, jnp.ones(()), jnp.linspace(1.0, 0.0, 5),
+                   jax.random.PRNGKey(0), method="euler", noise="scalar",
+                   dt=0.01)

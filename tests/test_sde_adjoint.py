@@ -258,3 +258,20 @@ class TestDtSubstep:
         y_t = float(term(0.3))
         g = float(jax.grad(term)(0.3))
         assert abs(g - y_t) < 2e-2 * abs(y_t), (g, y_t)
+
+    def test_traced_ts_raises_value_error(self):
+        """Advisor regression: traced ts with dt= raises the intended
+        ValueError, not an opaque TracerArrayConversionError."""
+        import pytest
+
+        drift = lambda t, y: -y
+        diff = lambda t, y: jnp.zeros_like(y)
+
+        @jax.jit
+        def run(ts):
+            return sdeint_adjoint(drift, diff, jnp.ones(()), ts,
+                                  jax.random.PRNGKey(0), noise="scalar",
+                                  sde_type="stratonovich", dt=0.01)
+
+        with pytest.raises(ValueError, match="concrete ts"):
+            run(jnp.linspace(0.0, 1.0, 4))
