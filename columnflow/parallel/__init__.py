@@ -7,6 +7,7 @@ from columnflow.parallel.sharding import (
 from columnflow.parallel.tp import (
     make_mesh_2d,
     make_tp_train_step,
+    make_tp_stochastic_adaptive_train_step,
     network_param_shardings,
     shard_network_opt_state,
     shard_network_params,
@@ -19,6 +20,7 @@ __all__ = [
     "make_dp_train_step",
     "make_mesh_2d",
     "make_tp_train_step",
+    "make_tp_stochastic_adaptive_train_step",
     "network_param_shardings",
     "shard_network_opt_state",
     "shard_network_params",

@@ -147,3 +147,68 @@ def make_tp_train_step(task, mesh: Mesh):
         return params, opt_state, loss
 
     return jax.jit(step, donate_argnums=(0, 1))
+
+
+def make_tp_stochastic_adaptive_train_step(task, mesh: Mesh,
+                                           rtol: float = 1e-3,
+                                           atol: float = 1e-3,
+                                           max_steps: int | None = None,
+                                           bptt_every: int | None = None):
+    """tp x stochastic-adaptive training step: the round-2 flagship engine
+    (per-sample adaptive SRA1 controllers on virtual-Brownian-tree paths,
+    frozen-grid replay gradients, optional truncated BPTT —
+    ``solvers.sde_adaptive.sdeint_adaptive_batch``) composed with the
+    model-sharded weight layout of :func:`make_tp_train_step`.
+
+    Semantics are EXACTLY ``tasks.parity.batched_rollout(stochastic=True,
+    adaptive=True)`` + readout loss + masked update + clamps — the same
+    engine the DP step shards over "batch" — with the (P, P) weight
+    matrices row-sharded over "model". Under GSPMD the per-sample vmapped
+    drift matvecs batch into (B, P) x (P, P) contractions, which the
+    partitioner splits over ("batch", "model") with a per-stage all-gather
+    of the (B, P) firing rates — the same collective pattern as the
+    deterministic TP step. The selection pass is a vmapped lockstep
+    ``while_loop`` (per-sample controllers; lockstep cost measured at
+    ~95% useful work, BASELINE.md).
+
+    Returns ``step(params, opt_state, stims_raw, key) ->
+    (params, opt_state, loss)``; ``key`` is one PRNG key, split per sample
+    INSIDE the step (replicated), so trajectories are identical across
+    mesh shapes — the basis of the TP == unsharded parity tests
+    (tests/test_parallel.py::TestTPFullScale).
+
+    Reference basis: torchsde's ``adaptive=True`` held commented-in at
+    /root/reference/scripts/parity_ode.py:234; no multi-device analog
+    exists there (SURVEY.md section 2.3).
+    """
+    from columnflow.tasks.parity import (
+        batched_rollout,
+        parity_targets,
+        readout,
+    )
+    from columnflow.train import clamp_params, mask_grads
+
+    batch_sh = NamedSharding(mesh, P(BATCH_AXIS))
+    a_max_steps = task.max_steps if max_steps is None else max_steps
+
+    def step(params, opt_state, stims_raw, key):
+        def loss_fn(p):
+            ys = batched_rollout(p, task, stims_raw, stochastic=True,
+                                 adaptive=True, key=key,
+                                 adaptive_rtol=rtol, adaptive_atol=atol,
+                                 adaptive_max_steps=a_max_steps,
+                                 adaptive_bptt_every=bptt_every)
+            ys = jax.lax.with_sharding_constraint(ys, batch_sh)
+            pred = readout(ys, p, task.net)
+            return jnp.mean(jnp.abs(pred - parity_targets(stims_raw)))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = mask_grads(grads, task.grad_mask)
+        updates, opt_state = task.optimizer.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p_, u: p_ + u, params, updates)
+        params = clamp_params(params, task.clamps)
+        params = jax.lax.with_sharding_constraint(
+            params, network_param_shardings(mesh))
+        return params, opt_state, loss
+
+    return jax.jit(step, donate_argnums=(0, 1))

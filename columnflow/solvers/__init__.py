@@ -32,11 +32,15 @@ scripts/parity_ode.py:10-11, scripts/bifurcation_ode.py:12):
 from columnflow.solvers.api import odeint
 from columnflow.solvers.event import odeint_event
 from columnflow.solvers.sde import sdeint
-from columnflow.solvers.sde_adjoint import sdeint_adjoint
+from columnflow.solvers.sde_adjoint import (sdeint_adjoint,
+                                            sdeint_adjoint_adaptive)
 from columnflow.solvers.sde_logqp import sdeint_logqp
 from columnflow.solvers.sde_reversible import sdeint_reversible
-from columnflow.solvers.sde_adaptive import (sdeint_adaptive,
-                                             sdeint_adaptive_batch)
+from columnflow.solvers.sde_adaptive import (FrozenGrid,
+                                             sde_select_grid,
+                                             sdeint_adaptive,
+                                             sdeint_adaptive_batch,
+                                             sdeint_replay)
 from columnflow.solvers.brownian import (
     BrownianInterval,
     VirtualBrownianTree,
@@ -54,11 +58,15 @@ __all__ = [
     "odeint_dopri5_fused",
     "sdeint",
     "sdeint_adjoint",
+    "sdeint_adjoint_adaptive",
     "sdeint_logqp",
     "sdeint_reversible",
     "sdeint_fused",
+    "FrozenGrid",
+    "sde_select_grid",
     "sdeint_adaptive",
     "sdeint_adaptive_batch",
+    "sdeint_replay",
     "BrownianInterval",
     "VirtualBrownianTree",
     "brownian_path",

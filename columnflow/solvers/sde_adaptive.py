@@ -1143,3 +1143,97 @@ def sdeint_adaptive_batch(
     if return_stats:
         return ys, stats
     return ys
+
+
+class FrozenGrid(NamedTuple):
+    """The accepted-step sequence of one adaptive pass: a first-class
+    object, so selection (non-differentiable, controller-driven) and
+    integration over the frozen grid (differentiable) can be composed
+    explicitly — the basis of ``sdeint_adjoint(adaptive=True)``
+    (O(|state|)-memory gradients over the adaptive grid) and of the
+    TP-parity decomposition in tests/test_parallel.py.
+
+    ``step_times`` is (max_steps + 1,) accepted times padded with t_end;
+    ``naccept`` the number of real steps; ``stats`` the controller record.
+    """
+
+    step_times: jax.Array
+    naccept: jax.Array
+    stats: SDESolverStats
+
+
+def sde_select_grid(
+    drift: Callable,
+    diffusion: Callable,
+    y0: jax.Array,
+    ts: jax.Array,
+    key: jax.Array,
+    *args,
+    method: str = "milstein",
+    rtol: float = 1e-3,
+    atol: float = 1e-3,
+    dt0: float | None = None,
+    dt_min: float = 0.0,
+    max_steps: int = 16384,
+    levy_depth: int = 20,
+    controller: str = "pi",
+    brownian: str = "jax",
+) -> FrozenGrid:
+    """Run ONLY the step-size-selection pass and return the frozen grid.
+
+    The pass runs under ``stop_gradient`` (selection is control flow, not a
+    differentiable quantity — same semantics as inside ``sdeint_adaptive``).
+    The grid is a pure function of (key, y0, args, controller settings):
+    re-running with the same inputs reproduces it bit-exactly.
+    """
+    if controller not in ("i", "pi"):
+        raise ValueError(f"unknown step controller: {controller!r}")
+    (stepper, err_exp, with_i10, doubling, ts, t_start, t_end, tree,
+     i10_draw, h0) = _setup(method, y0, ts, key, dt0, levy_depth,
+                            brownian=brownian)
+    carry = _adaptive_pass(
+        stepper, err_exp, with_i10, drift, diffusion,
+        jax.lax.stop_gradient(y0), t_start, t_end, tree, i10_draw, rtol,
+        atol, h0, max_steps, jax.lax.stop_gradient(args),
+        controller=controller, doubling=doubling, dt_min=dt_min)
+    return FrozenGrid(
+        step_times=jax.lax.stop_gradient(carry.step_times),
+        naccept=jax.lax.stop_gradient(carry.naccept),
+        stats=SDESolverStats(jax.lax.stop_gradient(carry.naccept),
+                             jax.lax.stop_gradient(carry.nreject),
+                             jax.lax.stop_gradient(carry.t1) >= t_end),
+    )
+
+
+def sdeint_replay(
+    drift: Callable,
+    diffusion: Callable,
+    y0: jax.Array,
+    ts: jax.Array,
+    key: jax.Array,
+    grid: FrozenGrid,
+    *args,
+    method: str = "milstein",
+    levy_depth: int = 20,
+    brownian: str = "jax",
+    remat: bool = True,
+    bptt_every: int | None = None,
+):
+    """Differentiable integration over a frozen accepted-step grid.
+
+    Exactly the replay sweep ``sdeint_adaptive(differentiable=True)`` runs
+    after its selection pass (two half steps per accepted interval, same
+    Brownian data from the same ``key``), exposed on an explicit
+    :class:`FrozenGrid` — so the grid can come from ``sde_select_grid`` on
+    ANY variant of the problem (a bf16 drift, a different mesh sharding)
+    while values and gradients integrate the full-precision functions.
+    """
+    if bptt_every is not None and bptt_every < 1:
+        raise ValueError(f"bptt_every must be >= 1, got {bptt_every}")
+    (stepper, _, with_i10, _, ts, t_start, t_end, tree,
+     i10_draw, _) = _setup(method, y0, ts, key, None, levy_depth,
+                           brownian=brownian)
+    max_steps = grid.step_times.shape[0] - 1
+    return _replay_pass(stepper, with_i10, drift, diffusion, y0, ts,
+                        grid.step_times, grid.naccept, max_steps, tree,
+                        i10_draw, args, remat=remat, bptt_every=bptt_every)

@@ -148,6 +148,11 @@ def sdeint_adjoint(
     additive: bool = False,
     sde_type: str = "ito",
     dt: float | None = None,
+    adaptive: bool = False,
+    rtol: float = 1e-3,
+    atol: float = 1e-3,
+    dt_min: float = 0.0,
+    max_steps: int = 16384,
 ):
     """``sdeint`` whose reverse-mode gradient is the stochastic adjoint.
 
@@ -162,8 +167,35 @@ def sdeint_adjoint(
     Replaces torchsde's ``sdeint_adjoint`` (unused by the reference's scripts
     but the package's central capability; reference import of the package at
     scripts/wta_ode.py:10).
+
+    ``adaptive=True`` is torchsde's flagship combination
+    ``sdeint_adjoint(..., adaptive=True)``: step sizes come from the
+    adaptive controller (``rtol``/``atol``/``dt_min``/``max_steps``,
+    solvers/sde_adaptive.py) and the adjoint runs backward over the frozen
+    accepted grid — see :func:`sdeint_adjoint_adaptive` (which it forwards
+    to; scalar additive noise, method mapped ``srk``->``sra1``).
     """
     _check(sde_type, additive)
+    if adaptive:
+        if noise != "scalar":
+            raise ValueError(
+                "adaptive=True supports noise='scalar' (the adaptive "
+                "engine integrates one shared Brownian path)")
+        if not additive:
+            raise ValueError(
+                "adaptive=True requires additive noise (the backward "
+                "re-integrates over the frozen grid; for additive noise "
+                "the Ito and Stratonovich calculi coincide)")
+        a_method = {"srk": "sra1", "sra1": "sra1", "euler": "euler",
+                    "milstein": "milstein"}.get(method)
+        if a_method is None:
+            raise ValueError(
+                f"adaptive=True supports methods srk/sra1/euler/milstein; "
+                f"got {method!r}")
+        return sdeint_adjoint_adaptive(
+            drift, diffusion, y0, ts, key, *args, method=a_method,
+            rtol=rtol, atol=atol, dt0=dt, dt_min=dt_min,
+            max_steps=max_steps)
     if dt is not None:
         try:
             ts_c = np.asarray(ts, dtype=np.float64)
@@ -207,3 +239,260 @@ def sdeint_adjoint(
     ts = jnp.asarray(ts, dtype=y0.dtype)
     return _sdeint_backsolve(drift, diffusion, method, noise, additive,
                              sde_type, y0, ts, key, tuple(args))
+
+
+# ---------------------------------------------------------------------------
+# Adaptive stepping x O(|state|)-memory gradients (torchsde's flagship
+# combination ``sdeint_adjoint(..., adaptive=True)``; reference basis: the
+# torchsde import at scripts/wta_ode.py:10 and the README's adaptive note,
+# README.md:27-29). The selection pass (solvers/sde_adaptive.py) freezes an
+# accepted-step grid under stop_gradient; the forward value is the standard
+# replay over that grid; the BACKWARD re-integrates (y, a, p_bar) in reverse
+# time over the same frozen half-step grid on the SAME Brownian path
+# (regenerated from the counter-based key) — no per-step state is ever
+# stored, so gradient memory is O(|state| + |outputs|) however many steps
+# the controller took, where replay gradients grow with naccept (at the
+# 104-column scale: 16384-step budgets forced truncated BPTT,
+# RESULTS.md).
+# ---------------------------------------------------------------------------
+
+
+def _adaptive_fine_grid(step_times):
+    """(2*max_steps + 1,) half-step grid ht of a frozen accepted grid —
+    exactly the points the replay pass steps through (sde_adaptive's
+    ``_half_noise`` midpoints)."""
+    hs = step_times[1:] - step_times[:-1]
+    mids = step_times[:-1] + 0.5 * hs
+    return jnp.concatenate(
+        [jnp.stack([step_times[:-1], mids], axis=1).reshape(-1),
+         step_times[-1:]])
+
+
+def _interp_cotangents(cot, ts, step_times, naccept, max_steps):
+    """Pull output cotangents back through the linear interpolation onto the
+    accepted points: ys = W @ ys_acc with W the (T, max_steps+1) interp
+    matrix of ``_interp_accepted`` -> cot_acc = W^T @ cot. Output 0 is
+    excluded (``_interp_accepted`` overwrites ys[0] with y0 exactly; its
+    cotangent flows straight to y0)."""
+    idx = jnp.clip(
+        jnp.searchsorted(step_times, ts, side="right") - 1, 0, naccept - 1
+    ).astype(jnp.int32)
+    t0s = step_times[idx]
+    hs = step_times[idx + 1] - t0s
+    theta = jnp.where(hs > 0, (ts - t0s) / jnp.where(hs > 0, hs, 1.0), 0.0)
+    theta = theta.reshape(theta.shape + (1,) * (cot.ndim - 1))
+    cot_acc = jnp.zeros((max_steps + 1,) + cot.shape[1:], cot.dtype)
+    cot_acc = cot_acc.at[idx[1:]].add((1.0 - theta[1:]) * cot[1:])
+    cot_acc = cot_acc.at[idx[1:] + 1].add(theta[1:] * cot[1:])
+    return cot_acc
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _sdeint_adaptive_backsolve(drift, diffusion, method, levy_depth,
+                               y0, ts, key, step_times, naccept, args):
+    from columnflow.solvers.sde_adaptive import _replay_pass, _setup
+
+    (stepper, _, with_i10, _, ts_, _, _, tree, i10_draw, _) = _setup(
+        method, y0, ts, key, None, levy_depth)
+    max_steps = step_times.shape[0] - 1
+    return _replay_pass(stepper, with_i10, drift, diffusion, y0, ts_,
+                        step_times, naccept, max_steps, tree, i10_draw,
+                        args, remat=False)
+
+
+def _ada_fwd(drift, diffusion, method, levy_depth,
+             y0, ts, key, step_times, naccept, args):
+    ys = _sdeint_adaptive_backsolve(drift, diffusion, method, levy_depth,
+                                    y0, ts, key, step_times, naccept, args)
+    # ys[-1] IS the final accepted state (ts[-1] == step_times[naccept],
+    # interpolation theta == 1): the only state the backward needs.
+    return ys, (ys[-1], ts, key, step_times, naccept, args)
+
+
+def _ada_bwd(drift, diffusion, method, levy_depth, res, cot):
+    from columnflow.solvers.sde_adaptive import _STEPPERS, _half_noise, _setup
+
+    y_end, ts, key, step_times, naccept, args = res
+    y0_shape_dummy = jnp.zeros_like(y_end)
+    (stepper, _, with_i10, _, ts_, _, _, tree, i10_draw, _) = _setup(
+        method, y0_shape_dummy, ts, key, None, levy_depth)
+    max_steps = step_times.shape[0] - 1
+    dtype = y_end.dtype
+
+    ht = _adaptive_fine_grid(step_times)              # (2*max_steps + 1,)
+    w = jax.vmap(tree.evaluate)(ht)
+    dws = w[1:] - w[:-1]                              # per half step
+    if with_i10:
+        # The forward replay's exact space-time-integral draws, regenerated
+        # from the counter-based key (interval-endpoint-keyed).
+        za = jax.vmap(i10_draw)(ht[:-1], ht[1:]).astype(dtype)
+        hh = ht[1:] - ht[:-1]
+        i10s = hh * (0.5 * dws + jnp.sqrt(hh / 12.0) * za)
+    else:
+        i10s = jnp.zeros_like(dws)
+
+    cot_acc = _interp_cotangents(cot, ts_, step_times, naccept, max_steps)
+    # Injection schedule on the half-step grid: accepted point m sits at
+    # fine index 2m; odd (midpoint) indices inject nothing.
+    cot_half = jnp.zeros((2 * max_steps + 1,) + y_end.shape, dtype)
+    cot_half = cot_half.at[::2].set(cot_acc)
+
+    def aug_coeffs(t, y, a, h_r, dw_r):
+        f, vjp_f = jax.vjp(lambda y_, p_: drift(t, y_, *p_), y, args)
+        g, vjp_g = jax.vjp(lambda y_, p_: diffusion(t, y_, *p_), y, args)
+        fy_a, fp_a = vjp_f(a)
+        gy_a, gp_a = vjp_g(a * dw_r)
+        dy = f * h_r + g * dw_r
+        da = -(fy_a * h_r + gy_a)
+        dp = jax.tree_util.tree_map(
+            lambda fp, gp: -(fp * h_r + gp), fp_a, gp_a)
+        return dy, da, dp
+
+    # Reverse-time reconstruction of y with the FORWARD stepper under the
+    # time flip s = -t: Y(s) = y(-s) solves dY = f_r ds + g_r dV over the
+    # flipped Brownian path V(s) = W(-s), with f_r(s, y) = -f(-s, y),
+    # g_r(s, y) = g(-s, y), and the flipped path's per-interval data
+    # following exactly from the substitution u = -s:
+    #     dV  = V(s0+h) - V(s0)            = -dW
+    #     I10_V = int (V - V(s0)) ds       = I10 - h dW.
+    # (Valid pathwise for additive noise — the adjoint path's validity
+    # domain.) Using the forward scheme (SRA1 for method="sra1") keeps the
+    # reconstruction at the forward pass's strong order — a plain
+    # reverse-Heun y drops the space-time integrals (O(h^1.5) per-step
+    # path error), which measurably biased the parameter adjoint on
+    # stochastic problems.
+    def reconstruct(t_lo, t_hi, y_hi, h, dw, i10):
+        f_r = lambda s, y_, *a_: -drift(-s, y_, *a_)
+        g_r = lambda s, y_, *a_: diffusion(-s, y_, *a_)
+        return stepper(f_r, g_r, -t_hi, y_hi, h, -dw, i10 - h * dw, args)
+
+    def back_half_step(carry, xs):
+        """One frozen half interval [ht[j], ht[j+1]] in reverse: y
+        reconstructed with the forward scheme (nothing stored), the
+        (a, p) adjoint integrated with stochastic Heun on the
+        reconstructed endpoints, cotangent injected at the interval's top
+        point. Padding intervals (h == 0, dw == 0) are exact no-ops."""
+        y, a, p_bar = carry
+        t_lo, t_hi, dw, i10, inj = xs
+        a = a + inj
+        h = t_hi - t_lo
+        h_r = -h
+        dw_r = -dw
+        y_lo = reconstruct(t_lo, t_hi, y, h, dw, i10)
+        dy0, da0, dp0 = aug_coeffs(t_hi, y, a, h_r, dw_r)
+        _, da1, dp1 = aug_coeffs(t_lo, y_lo, a + da0, h_r, dw_r)
+        a1 = a + 0.5 * (da0 + da1)
+        p1 = jax.tree_util.tree_map(
+            lambda p, d0, d1: p + 0.5 * (d0 + d1), p_bar, dp0, dp1)
+        return (y_lo, a1, p1), None
+
+    zero_args = jax.tree_util.tree_map(jnp.zeros_like, args)
+    init = (y_end, jnp.zeros_like(y_end), zero_args)
+    xs = (ht[:-1], ht[1:], dws, i10s, cot_half[1:])
+    (y_start, a_final, args_bar), _ = jax.lax.scan(
+        back_half_step, init, xs, reverse=True)
+    y0_bar = a_final + cot_half[0] + cot[0]
+
+    import numpy as _np
+    ts_bar = jnp.zeros_like(ts)
+    key_bar = _np.zeros(_np.shape(key), dtype=jax.dtypes.float0)
+    st_bar = jnp.zeros_like(step_times)
+    na_bar = _np.zeros(_np.shape(naccept), dtype=jax.dtypes.float0)
+    return (y0_bar, ts_bar, key_bar, st_bar, na_bar, args_bar)
+
+
+_sdeint_adaptive_backsolve.defvjp(_ada_fwd, _ada_bwd)
+
+
+def sdeint_adjoint_adaptive(
+    drift: Callable,
+    diffusion: Callable,
+    y0,
+    ts: jax.Array,
+    key: jax.Array,
+    *args,
+    method: str = "sra1",
+    rtol: float = 1e-3,
+    atol: float = 1e-3,
+    dt0: float | None = None,
+    dt_min: float = 0.0,
+    max_steps: int = 16384,
+    levy_depth: int = 20,
+    controller: str = "pi",
+    select_drift: Callable | None = None,
+    select_diffusion: Callable | None = None,
+    select_args: tuple | None = None,
+    return_stats: bool = False,
+):
+    """Adaptive SDE integration whose gradient is the stochastic adjoint
+    run backward over the frozen accepted-step grid — torchsde's
+    ``sdeint_adjoint(..., adaptive=True)``.
+
+    Forward values equal ``sdeint_adaptive(..., differentiable=True)``
+    exactly (same selection pass, same replay over the frozen grid, same
+    Brownian path). The BACKWARD re-integrates state + adjoint + parameter
+    cotangents in reverse over the grid's half steps on the regenerated
+    path: memory is O(|state| + |outputs|), independent of how many steps
+    the controller accepted — where replay gradients store (or remat)
+    every accepted step and at chaotic scale require truncated BPTT
+    (``bptt_every``, RESULTS.md).
+
+    Validity: the pathwise reverse-time adjoint SDE is a Stratonovich
+    construction; the adaptive steppers here are Ito, so this path
+    requires ADDITIVE noise (where the calculi coincide) — the reference's
+    model class (all three column models have constant diffusion,
+    src/coupled_columns.py:239-249, 444-454, 790-800). The gradient is a
+    discretization of the continuous adjoint on the frozen grid: it
+    converges to the replay gradient as rtol/atol tighten (pinned in
+    tests/test_sde_adjoint.py) but is not bit-identical at finite
+    tolerance. Like every backsolve scheme, reverse-time state
+    reconstruction inherits the forward dynamics' conditioning: on
+    chaotic/stiff attractors the reconstructed y drifts from the forward
+    path and the adjoint degrades — measured honestly in RESULTS.md; use
+    replay + ``bptt_every`` there.
+
+    ``select_drift``/``select_diffusion``/``select_args`` override the
+    functions the SELECTION pass uses (e.g. bf16 weights), exactly as in
+    ``sdeint_adaptive``; values and gradients always use the
+    full-precision functions.
+    """
+    from columnflow.solvers.sde_adaptive import sde_select_grid
+
+    leaves = jax.tree_util.tree_leaves(y0)
+    if not (len(leaves) == 1 and y0 is leaves[0]):
+        from jax.flatten_util import ravel_pytree
+
+        flat_y0, unravel = ravel_pytree(y0)
+
+        def flat_fn(fn):
+            def g(t, y_flat, *a):
+                return ravel_pytree(fn(t, unravel(y_flat), *a))[0]
+            return g
+
+        out = sdeint_adjoint_adaptive(
+            flat_fn(drift), flat_fn(diffusion), flat_y0, ts, key, *args,
+            method=method, rtol=rtol, atol=atol, dt0=dt0, dt_min=dt_min,
+            max_steps=max_steps, levy_depth=levy_depth,
+            controller=controller, return_stats=return_stats)
+        if return_stats:
+            return jax.vmap(unravel)(out[0]), out[1]
+        return jax.vmap(unravel)(out)
+
+    y0 = jnp.asarray(y0)
+    if not jnp.issubdtype(y0.dtype, jnp.inexact):
+        y0 = y0.astype(jnp.float32)
+    ts = jnp.asarray(ts, dtype=y0.dtype)
+
+    grid = sde_select_grid(
+        drift if select_drift is None else select_drift,
+        diffusion if select_diffusion is None else select_diffusion,
+        y0, ts, key,
+        *(args if select_args is None else select_args),
+        method=method, rtol=rtol, atol=atol, dt0=dt0, dt_min=dt_min,
+        max_steps=max_steps, levy_depth=levy_depth, controller=controller)
+    ys = _sdeint_adaptive_backsolve(drift, diffusion, method, levy_depth,
+                                    y0, ts, key, grid.step_times,
+                                    grid.naccept, tuple(args))
+    if return_stats:
+        return ys, grid.stats
+    return ys

@@ -1235,3 +1235,54 @@ class TestDtMin:
         assert int(st_x.naccept) == int(st_k.naccept)
         np.testing.assert_allclose(np.asarray(ys_x), np.asarray(ys_k),
                                    rtol=1e-5)
+
+
+class TestFrozenGridAPI:
+    """``sde_select_grid`` + ``sdeint_replay`` compose to exactly
+    ``sdeint_adaptive(differentiable=True)`` — the explicit decomposition
+    the adaptive adjoint and the TP parity tests build on."""
+
+    def test_select_plus_replay_bit_exact(self):
+        from columnflow.solvers import (sde_select_grid, sdeint_adaptive,
+                                        sdeint_replay)
+
+        drift = lambda t, y, a: a * (1.0 - y)
+        diff = lambda t, y, a: 0.3 * jnp.ones_like(y)
+        y0 = jnp.zeros(3)
+        ts = jnp.linspace(0.0, 1.0, 7)
+        key = jax.random.PRNGKey(3)
+
+        ys_ref = sdeint_adaptive(drift, diff, y0, ts, key, 1.5,
+                                 method="sra1", differentiable=True,
+                                 max_steps=256)
+        grid = sde_select_grid(drift, diff, y0, ts, key, 1.5, method="sra1",
+                               max_steps=256)
+        assert int(grid.naccept) > 1
+        assert bool(grid.stats.success)
+        ys = sdeint_replay(drift, diff, y0, ts, key, grid, 1.5,
+                           method="sra1")
+        np.testing.assert_array_equal(np.asarray(ys), np.asarray(ys_ref))
+
+        g_ref = jax.grad(lambda a: sdeint_adaptive(
+            drift, diff, y0, ts, key, a, method="sra1", differentiable=True,
+            max_steps=256)[-1].sum())(1.5)
+        g = jax.grad(lambda a: sdeint_replay(
+            drift, diff, y0, ts, key, grid, a, method="sra1")[-1].sum())(1.5)
+        np.testing.assert_allclose(float(g), float(g_ref), rtol=1e-6)
+
+    def test_grid_reusable_across_drift_variants(self):
+        """A grid selected on one drift variant (here: perturbed params —
+        the bf16-selection pattern) replays the full-precision drift: the
+        replay must integrate the FULL-precision functions over that grid."""
+        from columnflow.solvers import sde_select_grid, sdeint_replay
+
+        drift = lambda t, y, a: a * (1.0 - y)
+        diff = lambda t, y, a: 0.3 * jnp.ones_like(y)
+        y0 = jnp.zeros(3)
+        ts = jnp.linspace(0.0, 1.0, 7)
+        key = jax.random.PRNGKey(3)
+        grid = sde_select_grid(drift, diff, y0, ts, key, 1.497,
+                               method="sra1", max_steps=256)
+        ys = sdeint_replay(drift, diff, y0, ts, key, grid, 1.5,
+                           method="sra1")
+        assert bool(jnp.all(jnp.isfinite(ys)))
