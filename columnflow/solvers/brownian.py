@@ -121,6 +121,13 @@ class BrownianInterval:
       h^3/12)), keyed per interval — consistent for a fixed partition (what
       a fixed-grid solve uses); for Chen-coupled refinement across
       partitions use ``solvers.levy``.
+    - ``levy_area_approximation="davie"`` / ``"foster"`` additionally
+      enable ``pack_levy(ts)`` -> (i1, a_levy), the space-space Levy-area
+      pack the log-ODE scheme consumes (``sdeint(..., bm=bm,
+      method="log_ode")`` calls it internally): Davie's conditional-mean
+      construction with the tail at the marginal (davie) or exact
+      (W, H)-conditional (foster) variance — see ``solvers.levy``.
+      Requires a 1-D shape (m,) (general-noise channels).
     - ``entropy`` seeds the path (torchsde's argument); pass ``key`` to
       seed from an existing JAX PRNG key instead.
     """
@@ -140,6 +147,11 @@ class BrownianInterval:
         k_w, k_u = jax.random.split(base)
         return k_w, k_u
 
+    def _key_a(self):
+        base = (self.key if self.key is not None
+                else jax.random.PRNGKey(self.entropy))
+        return jax.random.fold_in(base, 0xA12EA)
+
     def _tree(self):
         k_w, _ = self._keys()
         return VirtualBrownianTree(t0=self.t0, t1=self.t1, key=k_w,
@@ -154,7 +166,7 @@ class BrownianInterval:
 
     def space_time(self, ta, tb):
         """(W increment, space-time integral U) over [ta, tb]."""
-        if self.levy_area_approximation not in ("space-time", "davie"):
+        if self.levy_area_approximation not in ("space-time", "davie", "foster"):
             raise ValueError(
                 "space_time queries need "
                 "levy_area_approximation='space-time' (torchsde raises the "
@@ -184,7 +196,7 @@ class BrownianInterval:
         i1 = ws[1:] - ws[:-1]
         hs = ts[1:] - ts[:-1]
         hs_b = jnp.reshape(hs, (n,) + (1,) * len(shape))
-        if self.levy_area_approximation in ("space-time", "davie"):
+        if self.levy_area_approximation in ("space-time", "davie", "foster"):
             _, k_u = self._keys()
             z = jax.vmap(
                 lambda ta, tb: jax.random.normal(
@@ -196,6 +208,53 @@ class BrownianInterval:
         i11 = 0.5 * (i1 * i1 - hs_b)
         i111 = (i1 * i1 * i1 - 3.0 * hs_b * i1) / 6.0
         return i1, i10, i11, i111
+
+    def pack_levy(self, ts):
+        """(i1, a_levy) on grid ``ts`` — the pack ``sdeint(...,
+        method="log_ode")`` consumes (``bm=`` route). Increments come from
+        the same path as every other query; H from the per-interval
+        space-time draws; the A tail per the approximation level ("davie"
+        marginal h^2/12 | "foster" exact (W, H)-conditional variance
+        h^2/20 + (h/5)(H_j^2 + H_k^2) — see ``solvers.levy``), keyed per
+        interval so a fixed partition is reproducible."""
+        if self.levy_area_approximation not in ("davie", "foster"):
+            raise ValueError(
+                "pack_levy needs levy_area_approximation='davie' or "
+                "'foster' (torchsde raises the same way when the "
+                "approximation level is too low)")
+        if len(tuple(self.shape)) != 1:
+            raise ValueError(
+                "pack_levy needs a 1-D shape (m,): the log-ODE scheme is "
+                "for general (matrix) noise over m channels")
+        (m,) = tuple(self.shape)
+        ts = jnp.asarray(ts, self.dtype)
+        n = ts.shape[0] - 1
+        ws = jax.vmap(lambda t: self(t))(ts)
+        i1 = ws[1:] - ws[:-1]
+        hs = ts[1:] - ts[:-1]
+        _, k_u = self._keys()
+        z = jax.vmap(
+            lambda ta, tb: jax.random.normal(
+                _fold_time(_fold_time(k_u, ta), tb), (m,), self.dtype)
+        )(ts[:-1], ts[1:])
+        h_st = jnp.sqrt(hs[:, None] / 12.0) * z  # U/h - W/2 | W draw
+        b = jax.vmap(
+            lambda ta, tb: jax.random.normal(
+                _fold_time(_fold_time(self._key_a(), ta), tb), (m, m),
+                self.dtype)
+        )(ts[:-1], ts[1:])
+        lam0 = (b - jnp.swapaxes(b, -1, -2)) / jnp.sqrt(2.0)
+        h_col = hs[:, None, None]
+        if self.levy_area_approximation == "davie":
+            std = h_col / jnp.sqrt(12.0)
+        else:
+            h2 = h_st * h_st
+            std = jnp.sqrt(h_col * h_col / 20.0
+                           + (h_col / 5.0)
+                           * (h2[:, :, None] + h2[:, None, :]))
+        outer = h_st[:, :, None] * i1[:, None, :]
+        a = outer - jnp.swapaxes(outer, -1, -2) + lam0 * std
+        return i1, a
 
 
 def brownian_path(t0, t1, shape=(), entropy=0, key=None, depth=24,

