@@ -86,6 +86,9 @@ def odeint(
     dfactor: float | None = None,
     controller: str = "i",
     step_size: float | None = None,
+    first_step: float | None = None,
+    min_step: float | None = None,
+    max_step: float | None = None,
 ):
     """Integrate dy/dt = func(t, y, *args) and return states at ``ts``.
 
@@ -104,6 +107,14 @@ def odeint(
     ignore the parameter-adjoint block of the augmented state —
     torchdiffeq's ``adjoint_options=dict(norm="seminorm")``, typically
     fewer backward steps at equal parameter-gradient quality.
+
+    ``first_step`` — torchdiffeq's ``options=dict(first_step=...)``: the
+    initial step size, overriding Hairer's starting-step heuristic
+    (alias of ``dt0``; passing both is an error). ``min_step`` /
+    ``max_step`` — torchdiffeq's step-size bounds: proposed steps are
+    clamped into [min_step, max_step]; a step already at the floor is
+    accepted unconditionally (livelock-proof variant of torchdiffeq's
+    plain clamp — see dopri._adaptive_pass).
 
     Fixed-grid-method option: ``step_size`` — torchdiffeq's
     ``options=dict(step_size=...)``: internal steps of size <= step_size
@@ -125,11 +136,25 @@ def odeint(
                          "(choose 'i' — torchdiffeq's — or 'pi')")
     if (step_ts is not None or jump_ts is not None or norm is not None
             or safety is not None or ifactor is not None
-            or dfactor is not None or controller != "i") \
+            or dfactor is not None or controller != "i"
+            or first_step is not None or min_step is not None
+            or max_step is not None) \
             and method not in _ADAPTIVE:
         raise ValueError(
-            "step_ts/jump_ts/norm/safety/ifactor/dfactor apply to adaptive "
-            "methods only (fixed grids already step exactly on ts)")
+            "step_ts/jump_ts/norm/safety/ifactor/dfactor/first_step/"
+            "min_step/max_step apply to adaptive methods only (fixed "
+            "grids already step exactly on ts)")
+    if first_step is not None:
+        if dt0 is not None:
+            raise ValueError(
+                "first_step is torchdiffeq's name for dt0 — pass one, "
+                "not both")
+        dt0 = first_step
+    bounds = {}
+    if min_step is not None:
+        bounds["min_step"] = min_step
+    if max_step is not None:
+        bounds["max_step"] = max_step
 
     if step_size is not None:
         if method not in _FIXED and method not in _ADAMS:
@@ -210,10 +235,12 @@ def odeint(
                 raise ValueError(
                     "adjoint='backsolve' supports method='dopri5' only; "
                     "use adjoint='replay' for other adaptive methods")
-            if step_ts is not None or jump_ts is not None or norm is not None:
+            if (step_ts is not None or jump_ts is not None
+                    or norm is not None or bounds):
                 raise ValueError(
-                    "step_ts/jump_ts/norm are replay-path options; "
-                    "adjoint='backsolve' supports adjoint_seminorm only")
+                    "step_ts/jump_ts/norm/min_step/max_step are "
+                    "replay-path options; adjoint='backsolve' supports "
+                    "adjoint_seminorm only")
             ys = odeint_backsolve(f, rtol, atol, dt0, max_steps,
                                   adjoint_seminorm, flat_y0, ts, args)
         elif adjoint == "replay":
@@ -222,6 +249,7 @@ def odeint(
                 rtol=rtol, atol=atol, dt0=dt0, max_steps=max_steps,
                 differentiable=True, remat=remat,
                 norm=norm, step_ts=step_ts, jump_ts=jump_ts, **ctrl,
+                **bounds,
             )
         elif adjoint in (None, "none"):
             ys = odeint_adaptive(
@@ -229,6 +257,7 @@ def odeint(
                 rtol=rtol, atol=atol, dt0=dt0, max_steps=max_steps,
                 differentiable=False,
                 norm=norm, step_ts=step_ts, jump_ts=jump_ts, **ctrl,
+                **bounds,
             )
         else:
             raise ValueError(f"unknown adjoint mode: {adjoint!r}")

@@ -235,7 +235,7 @@ def _adaptive_pass(func, y0, t_start, t_end, rtol, atol, dt0, max_steps,
                    *args, tab=DOPRI5, dense_d=DOPRI5_DENSE_D, stop_fn=None,
                    step_impl=rk_step, norm=None, step_ts=None, jump_ts=None,
                    safety=_SAFETY, ifactor=_IFACTOR, dfactor=_DFACTOR,
-                   controller="i"):
+                   controller="i", min_step=0.0, max_step=None):
     """Integrate from t_start to t_end, recording the accepted step sequence.
 
     Returns the final carry; ``step_times``/``naccept`` describe the step
@@ -254,6 +254,13 @@ def _adaptive_pass(func, y0, t_start, t_end, rtol, atol, dt0, max_steps,
     just PAST the time (``nextafter``), so a drift discontinuous in t hands
     the next step its right-limit dynamics instead of a stale FSAL stage.
     ``norm`` replaces the RMS error norm (plain embedded pairs only).
+
+    ``min_step``/``max_step`` (torchdiffeq's ``options={'min_step',
+    'max_step'}``): hard bounds on the proposed step size. torchdiffeq
+    only clamps (so a rejected step AT the floor retries forever); here an
+    attempt whose step is already at the floor is accepted unconditionally
+    — the controller cannot reject-livelock, matching the SDE engine's
+    ``dt_min`` semantics (sde_adaptive.py).
     """
     fsal = is_fsal(tab)
     crit_ts = None
@@ -267,6 +274,9 @@ def _adaptive_pass(func, y0, t_start, t_end, rtol, atol, dt0, max_steps,
     else:
         h0 = jnp.asarray(dt0, dtype=y0.dtype)
     h0 = jnp.minimum(h0, t_end - t_start)
+    if max_step is not None:
+        h0 = jnp.minimum(h0, jnp.asarray(max_step, y0.dtype))
+    h0 = jnp.maximum(h0, jnp.asarray(min_step, y0.dtype))
 
     step_times = jnp.full((max_steps + 1,), t_end, dtype=y0.dtype)
     step_times = step_times.at[0].set(t_start)
@@ -305,7 +315,9 @@ def _adaptive_pass(func, y0, t_start, t_end, rtol, atol, dt0, max_steps,
             t_right = jnp.nextafter(s.t1 + h, jnp.asarray(jnp.inf, h.dtype))
             f1 = jnp.where(on_jump, func(t_right, y1, *args), f1)
         ratio = _step_error_ratio(tab, h, ks, rtol, atol, s.y1, y1, norm=norm)
-        accept = ratio <= 1.0
+        # A step already at the floor is accepted unconditionally (see
+        # docstring); min_step=0.0 (default) leaves behavior unchanged.
+        accept = (ratio <= 1.0) | (h <= min_step)
 
         t_new = jnp.where(accept, s.t1 + h, s.t1)
         y_new = jnp.where(accept, y1, s.y1)
@@ -322,6 +334,9 @@ def _adaptive_pass(func, y0, t_start, t_end, rtol, atol, dt0, max_steps,
             h, ratio, tab.order, safety=safety, ifactor=ifactor,
             dfactor=dfactor,
             ratio_prev=s.ratio_prev if controller == "pi" else None)
+        if max_step is not None:
+            h_next = jnp.minimum(h_next, jnp.asarray(max_step, h.dtype))
+        h_next = jnp.maximum(h_next, jnp.asarray(min_step, h.dtype))
         ratio_prev = jnp.where(accept, jnp.asarray(ratio, s.ratio_prev.dtype),
                                s.ratio_prev)
         return _StepCarry(
@@ -411,6 +426,8 @@ def odeint_adaptive(
     ifactor: float = _IFACTOR,
     dfactor: float = _DFACTOR,
     controller: str = "i",
+    min_step: float = 0.0,
+    max_step: float | None = None,
 ):
     """Adaptive embedded-RK solve returning states at ``ts`` (ys[0] == y0).
 
@@ -448,7 +465,7 @@ def odeint_adaptive(
             tab=tab, dense_d=dense_d, step_impl=step_impl, norm=norm,
             step_ts=step_ts, jump_ts=jump_ts,
             safety=safety, ifactor=ifactor, dfactor=dfactor,
-            controller=controller,
+            controller=controller, min_step=min_step, max_step=max_step,
         )
         step_times = jax.lax.stop_gradient(carry.step_times)
         naccept = jax.lax.stop_gradient(carry.naccept)
@@ -461,7 +478,8 @@ def odeint_adaptive(
                            step_impl=step_impl, norm=norm,
                            step_ts=step_ts, jump_ts=jump_ts,
                            safety=safety, ifactor=ifactor, dfactor=dfactor,
-                           controller=controller)
+                           controller=controller, min_step=min_step,
+                           max_step=max_step)
     return _replay_pass(func, y0, ts, carry.step_times, carry.naccept,
                         max_steps, *args, remat=remat, tab=tab,
                         dense_d=dense_d, dop853_dense=dop853_dense,
@@ -487,6 +505,8 @@ def odeint_stats(
     step_ts=None,
     jump_ts=None,
     controller: str = "i",
+    min_step: float = 0.0,
+    max_step: float | None = None,
 ) -> SolverStats:
     """Run the adaptive pass only and report solver statistics.
 
@@ -519,7 +539,8 @@ def odeint_stats(
                            max_steps, *args, tab=tab, dense_d=dense_d,
                            step_impl=step_impl, norm=norm,
                            step_ts=step_ts, jump_ts=jump_ts,
-                           controller=controller)
+                           controller=controller, min_step=min_step,
+                           max_step=max_step)
     nsteps = carry.naccept + carry.nreject
     s_new = tab.c.shape[0] - 1  # stage 0 reuses the carried derivative
     if step_impl is not rk_step:

@@ -41,8 +41,9 @@ import jax.numpy as jnp
 from jax.flatten_util import ravel_pytree
 
 from columnflow.solvers.api import odeint
-from columnflow.solvers.dopri import (_adaptive_pass, dense_eval)
-from columnflow.solvers.rk import ADAPTIVE_TABLEAUS, DOPRI5_DENSE_D
+from columnflow.solvers.dopri import (_adaptive_pass, _resolve_method,
+                                      dense_eval)
+from columnflow.solvers.rk import DOPRI5_DENSE_D
 
 
 def _sign(x):
@@ -75,11 +76,12 @@ def odeint_event(
     ``return_found=True`` a third boolean output reports whether a sign
     change actually occurred within the search bounds.
     """
-    if method not in ADAPTIVE_TABLEAUS:
-        raise ValueError(
-            f"odeint_event supports the adaptive methods "
-            f"{tuple(ADAPTIVE_TABLEAUS)}, got {method!r}")
-    tab = ADAPTIVE_TABLEAUS[method]
+    # Any adaptive method, explicit OR implicit: the ESDIRK pair
+    # (kvaerno3/5) makes event location on stiff systems practical — the
+    # explicit pairs grind at the stability limit there (an event on the
+    # column dynamics' tau_syn = 0.5 ms modes costs dopri5 ~10x the steps,
+    # tests/test_event.py::TestStiffEvents).
+    tab, step_impl = _resolve_method(method)
     dense_d = DOPRI5_DENSE_D if method == "dopri5" else None
 
     leaves = jax.tree_util.tree_leaves(y0)
@@ -125,7 +127,7 @@ def odeint_event(
 
     carry = _adaptive_pass(f, y0_ng, t0, t_end, rtol, atol, dt0, max_steps,
                            *args_ng, tab=tab, dense_d=dense_d,
-                           stop_fn=stop_fn)
+                           step_impl=step_impl, stop_fn=stop_fn)
     found = _sign(efn(carry.t1, carry.y1)) != sign0
 
     # --- bisection on the bracketing step's dense interpolant ------------
