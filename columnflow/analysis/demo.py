@@ -68,3 +68,21 @@ def load_demo_xor():
     params = load_checkpoint(XOR_DEMO_CHECKPOINT,
                              params_like=params)["params"]
     return params, net
+
+
+HOPF_DEMO_CHECKPOINT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "assets", "hopf_trained_demo")
+
+
+def load_demo_hopf():
+    """(params, task) with the packaged trained Hopf neural-ODE MLP
+    (reference protocol, scripts/bifurcation_ode.py:179-226: 5000 samples,
+    batch 32, RMSprop 1e-3 — trained with this repo's
+    ``python -m columnflow.tasks.bifurcation``)."""
+    from columnflow.tasks.bifurcation import build_task
+    from columnflow.train import load_checkpoint
+
+    task = build_task(jax.random.PRNGKey(0))
+    params = load_checkpoint(HOPF_DEMO_CHECKPOINT,
+                             params_like=task.params)["params"]
+    return params, task

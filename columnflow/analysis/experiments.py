@@ -301,43 +301,12 @@ def xor_timecourse(params, net, key, conditions=None, dt: float = 1e-3,
     return np.concatenate(rate_chunks), np.concatenate(stim_chunks)
 
 
-def main():
-    """CLI: run an analysis experiment on a trained WTA/XOR checkpoint and
-    write figures (reference entry point: scripts/plotting_results.py:652-667).
-
-    Without ``--checkpoint``, analyses the anatomical (untrained) weights.
-    """
-    import argparse
-
-    from columnflow.config import ColumnConfig
-
-    p = argparse.ArgumentParser(description=main.__doc__)
-    p.add_argument("experiment", choices=["coherence", "bistable",
-                                          "rivalry-sweep", "wta-timecourse",
-                                          "xor-timecourse", "ww-phase-plane"])
-    p.add_argument("--checkpoint", default=None,
-                   help="checkpoint path from the wta/xor task trainers")
-    p.add_argument("--demo", action="store_true",
-                   help="use the packaged trained-WTA demo checkpoint "
-                        "(the reference analysis script's hardcoded trained "
-                        "matrix, scripts/plotting_results.py:36-101)")
-    p.add_argument("--out-dir", default="results")
-    p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--iterations", type=int, default=10,
-                   help="bistable: number of chained 10 s segments")
-    p.add_argument("--mu", type=float, default=30.0,
-                   help="ww-phase-plane: mean external drive mu0")
-    p.add_argument("--coherence", type=float, default=0.0,
-                   help="ww-phase-plane: coherence bias in [-1, 1]")
-    args = p.parse_args()
-
+def _run_one(name, args, cfg, key):
     import os
 
     os.makedirs(args.out_dir, exist_ok=True)
-    cfg = ColumnConfig.load()
-    key = jax.random.PRNGKey(args.seed)
 
-    if args.experiment == "ww-phase-plane":
+    if name == "ww-phase-plane":
         from columnflow.analysis.phase_plane import wong_wang_phase_plane
         from columnflow.analysis.plots import plot_phase_plane
 
@@ -350,7 +319,38 @@ def main():
         print(f"wrote {args.out_dir}/ww_phase_plane.png")
         return
 
-    if args.experiment == "xor-timecourse":
+    if name == "hopf-spiral":
+        # Reference: the Hopf task's spiral figure
+        # (scripts/bifurcation_ode.py:23-64) — ground-truth supercritical-
+        # Hopf trajectories vs the neural-ODE rollout.
+        from columnflow.analysis.plots import plot_hopf
+        from columnflow.data import make_hopf_dataset
+        from columnflow.tasks.bifurcation import build_task, rollout
+
+        task = build_task(jax.random.PRNGKey(0))
+        if args.demo:
+            from columnflow.analysis.demo import load_demo_hopf
+
+            params, task = load_demo_hopf()
+        elif args.checkpoint:
+            from columnflow.train import load_checkpoint
+
+            params = load_checkpoint(args.checkpoint,
+                                     params_like=task.params)["params"]
+        else:
+            params = task.params
+        true = make_hopf_dataset(key, 1, task.ts)
+        pred = rollout(params, task, true[0, :, :2], true[:, :, 2],
+                       differentiable=False)
+        from columnflow.ops.losses import smooth_l1
+
+        val = float(smooth_l1(pred, true[:, :, :2]))
+        plot_hopf(true, pred, task.ts, val, val,
+                  f"{args.out_dir}/hopf_spiral.png")
+        print(f"wrote {args.out_dir}/hopf_spiral.png (smooth-l1 {val:.4f})")
+        return
+
+    if name == "xor-timecourse":
         from columnflow.analysis.plots import plot_timecourse
         from columnflow.models import build_xor_network
 
@@ -383,7 +383,7 @@ def main():
 
         params = load_checkpoint(args.checkpoint, params_like=params)["params"]
 
-    if args.experiment == "coherence":
+    if name == "coherence":
         from columnflow.analysis.plots import plot_coherence_sweep
 
         coherences = jnp.arange(0.0, 21.0, 2.0)
@@ -391,7 +391,7 @@ def main():
         plot_coherence_sweep(np.asarray(layers), np.asarray(coherences),
                              f"{args.out_dir}/coherence.png")
         print(f"wrote {args.out_dir}/coherence.png")
-    elif args.experiment == "rivalry-sweep":
+    elif name == "rivalry-sweep":
         from columnflow.analysis.plots import plot_dom_alt_heatmaps
 
         out = rivalry_sweep(params, area, key,
@@ -403,7 +403,7 @@ def main():
             extent=(mv[0], mv[-1], mv[0], mv[-1]),
         )
         print(f"wrote {args.out_dir}/rivalry_sweep.png")
-    elif args.experiment == "bistable":
+    elif name == "bistable":
         from columnflow.analysis.plots import plot_dominance_histogram
 
         out = bistable_perception(params, area, key,
@@ -420,6 +420,58 @@ def main():
         plot_timecourse(rates, stim, 1e-4,
                         f"{args.out_dir}/wta_timecourse.png")
         print(f"wrote {args.out_dir}/wta_timecourse.png")
+
+
+GALLERY = ("coherence", "bistable", "wta-timecourse", "xor-timecourse",
+           "hopf-spiral", "ww-phase-plane")
+
+
+def main(argv=None):
+    """CLI: run an analysis experiment on a trained WTA/XOR checkpoint and
+    write figures (reference entry point: scripts/plotting_results.py:652-667).
+
+    ``all`` generates the full CCN-style figure gallery (coherence sweep,
+    bistable dominance histogram, WTA/XOR timecourses, Hopf spiral,
+    Wong-Wang phase plane) from the packaged demo checkpoints in one
+    headless run:
+
+        python -m columnflow.analysis.experiments all --demo \
+            --out-dir docs/figures
+
+    Without ``--checkpoint``/``--demo``, analyses the anatomical
+    (untrained) weights.
+    """
+    import argparse
+
+    from columnflow.config import ColumnConfig
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("experiment", choices=["coherence", "bistable",
+                                          "rivalry-sweep", "wta-timecourse",
+                                          "xor-timecourse", "ww-phase-plane",
+                                          "hopf-spiral", "all"])
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint path from the wta/xor task trainers")
+    p.add_argument("--demo", action="store_true",
+                   help="use the packaged trained demo checkpoints "
+                        "(the reference analysis script's hardcoded trained "
+                        "matrix, scripts/plotting_results.py:36-101)")
+    p.add_argument("--out-dir", default="results")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--iterations", type=int, default=10,
+                   help="bistable: number of chained 10 s segments")
+    p.add_argument("--mu", type=float, default=30.0,
+                   help="ww-phase-plane: mean external drive mu0")
+    p.add_argument("--coherence", type=float, default=0.0,
+                   help="ww-phase-plane: coherence bias in [-1, 1]")
+    args = p.parse_args(argv)
+
+    cfg = ColumnConfig.load()
+    key = jax.random.PRNGKey(args.seed)
+
+    names = GALLERY if args.experiment == "all" else (args.experiment,)
+    for name in names:
+        _run_one(name, args, cfg, key)
 
 
 if __name__ == "__main__":
