@@ -35,7 +35,8 @@ from columnflow.solvers.sde import sdeint
 from columnflow.solvers.sde_adjoint import (sdeint_adjoint,
                                             sdeint_adjoint_adaptive)
 from columnflow.solvers.sde_logqp import sdeint_logqp
-from columnflow.solvers.sde_reversible import sdeint_reversible
+from columnflow.solvers.sde_reversible import (sdeint_reversible,
+                                               sdeint_reversible_adaptive)
 from columnflow.solvers.sde_adaptive import (FrozenGrid,
                                              sde_select_grid,
                                              sdeint_adaptive,
@@ -61,6 +62,7 @@ __all__ = [
     "sdeint_adjoint_adaptive",
     "sdeint_logqp",
     "sdeint_reversible",
+    "sdeint_reversible_adaptive",
     "sdeint_fused",
     "FrozenGrid",
     "sde_select_grid",

@@ -268,49 +268,95 @@ def _adaptive_fine_grid(step_times):
          step_times[-1:]])
 
 
-def _interp_cotangents(cot, ts, step_times, naccept, max_steps):
-    """Pull output cotangents back through the linear interpolation onto the
-    accepted points: ys = W @ ys_acc with W the (T, max_steps+1) interp
-    matrix of ``_interp_accepted`` -> cot_acc = W^T @ cot. Output 0 is
-    excluded (``_interp_accepted`` overwrites ys[0] with y0 exactly; its
-    cotangent flows straight to y0)."""
+def _interp_weights(ts, step_times, naccept):
+    """(idx, theta) of ``_interp_accepted``'s linear map ys = W @ ys_acc:
+    output i draws (1 - theta_i) from accepted point idx_i and theta_i
+    from idx_i + 1."""
     idx = jnp.clip(
         jnp.searchsorted(step_times, ts, side="right") - 1, 0, naccept - 1
     ).astype(jnp.int32)
     t0s = step_times[idx]
     hs = step_times[idx + 1] - t0s
     theta = jnp.where(hs > 0, (ts - t0s) / jnp.where(hs > 0, hs, 1.0), 0.0)
-    theta = theta.reshape(theta.shape + (1,) * (cot.ndim - 1))
-    cot_acc = jnp.zeros((max_steps + 1,) + cot.shape[1:], cot.dtype)
-    cot_acc = cot_acc.at[idx[1:]].add((1.0 - theta[1:]) * cot[1:])
-    cot_acc = cot_acc.at[idx[1:] + 1].add(theta[1:] * cot[1:])
-    return cot_acc
+    return idx, theta
+
+
+def _lean_forward(stepper, with_i10, drift, diffusion, y0, ts, step_times,
+                  naccept, max_steps, tree, i10_draw, args):
+    """The frozen-grid replay with O(|outputs| + |state|) memory: instead
+    of stacking every accepted state ((max_steps+1) x |state| — 163 MB at
+    the 104-column budget) and interpolating afterwards, the scan carries
+    the (T, |state|) output buffer and accumulates each accepted state's
+    interpolation contribution as it passes (idx is monotone, so accepted
+    point m touches only outputs bracketing it). Values equal
+    ``_replay_pass``'s bit-exactly; also returns the final accepted state
+    (the adjoint backward's seed)."""
+    dtype = y0.dtype
+    idx, theta = _interp_weights(ts, step_times, naccept)
+    bshape = (ts.shape[0],) + (1,) * y0.ndim
+    theta_b = theta.reshape(bshape)
+
+    def contrib(m):
+        # W^T column m: (1-theta) where idx == m, theta where idx == m-1.
+        w = (jnp.where(idx == m, 1.0 - theta, 0.0)
+             + jnp.where(idx == m - 1, theta, 0.0))
+        return w.reshape(bshape).astype(dtype)
+
+    def body(carry, m):
+        y, w0, out = carry
+        out = out + contrib(m) * y[None]
+        t0 = step_times[m]
+        h = step_times[m + 1] - t0
+        from columnflow.solvers.sde_adaptive import _half_noise
+
+        dw_a, dw_b, i10_a, i10_b, _, w1 = _half_noise(
+            tree, i10_draw, t0, h, dtype, with_i10, w0=w0)
+        y_half = stepper(drift, diffusion, t0, y, 0.5 * h, dw_a, i10_a,
+                         args)
+        y1 = stepper(drift, diffusion, t0 + 0.5 * h, y_half, 0.5 * h, dw_b,
+                     i10_b, args)
+        return (y1, w1, out), None
+
+    out0 = jnp.zeros((ts.shape[0],) + y0.shape, dtype)
+    (y_end, _, out), _ = jax.lax.scan(
+        body, (y0, tree.evaluate(step_times[0]), out0),
+        jnp.arange(max_steps, dtype=jnp.int32))
+    # The loop adds point m's contribution BEFORE stepping m -> m+1, so
+    # point max_steps itself is only reached here (nonzero weight only if
+    # naccept == max_steps; padded points carry y_end anyway, h == 0).
+    out = out + contrib(jnp.asarray(max_steps, jnp.int32)) * y_end[None]
+    return out, y_end
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
 def _sdeint_adaptive_backsolve(drift, diffusion, method, levy_depth,
                                y0, ts, key, step_times, naccept, args):
-    from columnflow.solvers.sde_adaptive import _replay_pass, _setup
+    from columnflow.solvers.sde_adaptive import _setup
 
     (stepper, _, with_i10, _, ts_, _, _, tree, i10_draw, _) = _setup(
         method, y0, ts, key, None, levy_depth)
     max_steps = step_times.shape[0] - 1
-    return _replay_pass(stepper, with_i10, drift, diffusion, y0, ts_,
-                        step_times, naccept, max_steps, tree, i10_draw,
-                        args, remat=False)
+    ys, _ = _lean_forward(stepper, with_i10, drift, diffusion, y0, ts_,
+                          step_times, naccept, max_steps, tree, i10_draw,
+                          args)
+    return ys
 
 
 def _ada_fwd(drift, diffusion, method, levy_depth,
              y0, ts, key, step_times, naccept, args):
-    ys = _sdeint_adaptive_backsolve(drift, diffusion, method, levy_depth,
-                                    y0, ts, key, step_times, naccept, args)
-    # ys[-1] IS the final accepted state (ts[-1] == step_times[naccept],
-    # interpolation theta == 1): the only state the backward needs.
-    return ys, (ys[-1], ts, key, step_times, naccept, args)
+    from columnflow.solvers.sde_adaptive import _setup
+
+    (stepper, _, with_i10, _, ts_, _, _, tree, i10_draw, _) = _setup(
+        method, y0, ts, key, None, levy_depth)
+    max_steps = step_times.shape[0] - 1
+    ys, y_end = _lean_forward(stepper, with_i10, drift, diffusion, y0, ts_,
+                              step_times, naccept, max_steps, tree,
+                              i10_draw, args)
+    return ys, (y_end, ts, key, step_times, naccept, args)
 
 
 def _ada_bwd(drift, diffusion, method, levy_depth, res, cot):
-    from columnflow.solvers.sde_adaptive import _STEPPERS, _half_noise, _setup
+    from columnflow.solvers.sde_adaptive import _STEPPERS, _setup
 
     y_end, ts, key, step_times, naccept, args = res
     y0_shape_dummy = jnp.zeros_like(y_end)
@@ -331,11 +377,33 @@ def _ada_bwd(drift, diffusion, method, levy_depth, res, cot):
     else:
         i10s = jnp.zeros_like(dws)
 
-    cot_acc = _interp_cotangents(cot, ts_, step_times, naccept, max_steps)
-    # Injection schedule on the half-step grid: accepted point m sits at
-    # fine index 2m; odd (midpoint) indices inject nothing.
-    cot_half = jnp.zeros((2 * max_steps + 1,) + y_end.shape, dtype)
-    cot_half = cot_half.at[::2].set(cot_acc)
+    # Cotangent injection through the interpolation transpose WITHOUT
+    # materializing a (max_steps+1, |state|) buffer (would be 163 MB at
+    # the 104-column step budget — measured, benchmarks/adjoint_memory.py):
+    # accepted point m's injection is a contiguous output range (idx is
+    # monotone), so two (T+1, |state|) prefix-sum tables + per-m
+    # searchsorted bounds give each injection as four O(|state|) gathers.
+    idx, theta = _interp_weights(ts_, step_times, naccept)
+    bshape = (ts_.shape[0],) + (1,) * y_end.ndim
+    theta_b = theta.reshape(bshape)
+    c0 = (1.0 - theta_b) * cot      # weight toward accepted point idx
+    c1 = theta_b * cot              # weight toward accepted point idx + 1
+    # Output 0 is y0 exactly (``_interp_accepted`` semantics): its
+    # cotangent bypasses the interpolation and flows straight to y0.
+    c0 = c0.at[0].set(0.0)
+    c1 = c1.at[0].set(0.0)
+    zrow = jnp.zeros((1,) + cot.shape[1:], dtype)
+    s0 = jnp.concatenate([zrow, jnp.cumsum(c0, axis=0)])   # (T+1,) + state
+    s1 = jnp.concatenate([zrow, jnp.cumsum(c1, axis=0)])
+    marange = jnp.arange(max_steps + 1, dtype=jnp.int32)
+    lo = jnp.searchsorted(idx, marange, side="left").astype(jnp.int32)
+    hi = jnp.searchsorted(idx, marange, side="right").astype(jnp.int32)
+
+    def inj_at(m):
+        a0 = s0[hi[m]] - s0[lo[m]]
+        m1 = jnp.maximum(m - 1, 0)
+        a1 = jnp.where(m >= 1, s1[hi[m1]] - s1[lo[m1]], 0.0)
+        return a0 + a1
 
     def aug_coeffs(t, y, a, h_r, dw_r):
         f, vjp_f = jax.vjp(lambda y_, p_: drift(t, y_, *p_), y, args)
@@ -358,9 +426,9 @@ def _ada_bwd(drift, diffusion, method, levy_depth, res, cot):
     # (Valid pathwise for additive noise — the adjoint path's validity
     # domain.) Using the forward scheme (SRA1 for method="sra1") keeps the
     # reconstruction at the forward pass's strong order — a plain
-    # reverse-Heun y drops the space-time integrals (O(h^1.5) per-step
-    # path error), which measurably biased the parameter adjoint on
-    # stochastic problems.
+    # reverse-Heun reconstruction drops the space-time integrals
+    # (O(h^1.5) per-step path error), which measurably biased parameter
+    # gradients on stochastic problems.
     def reconstruct(t_lo, t_hi, y_hi, h, dw, i10):
         f_r = lambda s, y_, *a_: -drift(-s, y_, *a_)
         g_r = lambda s, y_, *a_: diffusion(-s, y_, *a_)
@@ -371,10 +439,11 @@ def _ada_bwd(drift, diffusion, method, levy_depth, res, cot):
         reconstructed with the forward scheme (nothing stored), the
         (a, p) adjoint integrated with stochastic Heun on the
         reconstructed endpoints, cotangent injected at the interval's top
-        point. Padding intervals (h == 0, dw == 0) are exact no-ops."""
+        point (even fine indices are accepted points). Padding intervals
+        (h == 0, dw == 0) are exact no-ops."""
         y, a, p_bar = carry
-        t_lo, t_hi, dw, i10, inj = xs
-        a = a + inj
+        t_lo, t_hi, dw, i10, j_top = xs
+        a = a + jnp.where(j_top % 2 == 0, inj_at(j_top // 2), 0.0)
         h = t_hi - t_lo
         h_r = -h
         dw_r = -dw
@@ -388,10 +457,11 @@ def _ada_bwd(drift, diffusion, method, levy_depth, res, cot):
 
     zero_args = jax.tree_util.tree_map(jnp.zeros_like, args)
     init = (y_end, jnp.zeros_like(y_end), zero_args)
-    xs = (ht[:-1], ht[1:], dws, i10s, cot_half[1:])
+    xs = (ht[:-1], ht[1:], dws, i10s,
+          jnp.arange(1, 2 * max_steps + 1, dtype=jnp.int32))
     (y_start, a_final, args_bar), _ = jax.lax.scan(
         back_half_step, init, xs, reverse=True)
-    y0_bar = a_final + cot_half[0] + cot[0]
+    y0_bar = a_final + inj_at(jnp.zeros((), jnp.int32)) + cot[0]
 
     import numpy as _np
     ts_bar = jnp.zeros_like(ts)

@@ -170,3 +170,94 @@ def sdeint_reversible(
     t0s = ts[:-1]
     return _solve(drift, diffusion, mul, y0, t0s,
                   jax.lax.stop_gradient(hs), jax.lax.stop_gradient(i1), args)
+
+
+def sdeint_reversible_adaptive(
+    drift: Callable,
+    diffusion: Callable,
+    y0,
+    ts: jax.Array,
+    key: jax.Array,
+    *args,
+    select_method: str = "sra1",
+    rtol: float = 1e-3,
+    atol: float = 1e-3,
+    dt0: float | None = None,
+    dt_min: float = 0.0,
+    max_steps: int = 16384,
+    levy_depth: int = 20,
+    controller: str = "pi",
+    return_stats: bool = False,
+):
+    """Reversible Heun over an adaptively selected step grid: torchsde's
+    ``adaptive=True`` + ``adjoint_method='adjoint_reversible_heun'``
+    combination — EXACT O(1)-state-memory gradients on an adaptive grid.
+
+    The selection pass (``sde_select_grid``, stepper ``select_method``)
+    freezes the accepted-step sequence; the value is then the reversible
+    Heun integration over that grid's half steps (Brownian increments from
+    the same ``VirtualBrownianTree`` path), whose reverse-mode gradient is
+    the algebraic-reversal adjoint of ``sdeint_reversible`` — equal to
+    backprop-through-the-solver to machine precision, with only the final
+    extended state stored. Where ``sdeint_adjoint_adaptive``'s continuous
+    adjoint carries an O(h) discretization mismatch, this path's gradient
+    is exact FOR ITS OWN forward; the forward is a (Stratonovich)
+    reversible-Heun solution on the same grid — identical in law to the
+    selection stepper's for ADDITIVE noise (the reference's model class),
+    which is the intended domain.
+
+    Scalar noise (one shared Brownian path — the adaptive engine's
+    contract). Returns ys (len(ts),) + y0.shape; with
+    ``return_stats=True`` also the controller's ``SDESolverStats``.
+    """
+    from columnflow.solvers.sde_adaptive import (_interp_accepted,
+                                                 sde_select_grid)
+    from columnflow.solvers.sde_adjoint import _adaptive_fine_grid
+
+    leaves = jax.tree_util.tree_leaves(y0)
+    if not (len(leaves) == 1 and y0 is leaves[0]):
+        from jax.flatten_util import ravel_pytree
+
+        flat_y0, unravel = ravel_pytree(y0)
+
+        def flat_fn(fn):
+            def g(t, y_flat, *a):
+                return ravel_pytree(fn(t, unravel(y_flat), *a))[0]
+            return g
+
+        out = sdeint_reversible_adaptive(
+            flat_fn(drift), flat_fn(diffusion), flat_y0, ts, key, *args,
+            select_method=select_method, rtol=rtol, atol=atol, dt0=dt0,
+            dt_min=dt_min, max_steps=max_steps, levy_depth=levy_depth,
+            controller=controller, return_stats=return_stats)
+        if return_stats:
+            return jax.vmap(unravel)(out[0]), out[1]
+        return jax.vmap(unravel)(out)
+
+    y0 = jnp.asarray(y0)
+    if not jnp.issubdtype(y0.dtype, jnp.inexact):
+        y0 = y0.astype(jnp.float32)
+    ts = jnp.asarray(ts, dtype=y0.dtype)
+
+    grid = sde_select_grid(drift, diffusion, y0, ts, key, *args,
+                           method=select_method, rtol=rtol, atol=atol,
+                           dt0=dt0, dt_min=dt_min, max_steps=max_steps,
+                           levy_depth=levy_depth, controller=controller)
+    max_steps_eff = grid.step_times.shape[0] - 1
+
+    from columnflow.solvers.brownian import VirtualBrownianTree
+
+    tree = VirtualBrownianTree(t0=ts[0], t1=ts[-1], key=key,
+                               depth=levy_depth, dtype=y0.dtype)
+    ht = _adaptive_fine_grid(grid.step_times)     # (2*max_steps + 1,)
+    w = jax.vmap(tree.evaluate)(ht)
+    i1 = jax.lax.stop_gradient(w[1:] - w[:-1])
+    hs = jax.lax.stop_gradient(ht[1:] - ht[:-1])
+
+    ys_fine = _solve(drift, diffusion, _mul_elem, y0, ht[:-1], hs, i1,
+                     tuple(args))                 # (2*max_steps + 1,) + S
+    ys = _interp_accepted(ys_fine[::2], y0, ts, grid.step_times,
+                          grid.naccept)
+    if return_stats:
+        return ys, grid.stats
+    return ys

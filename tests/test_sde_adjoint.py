@@ -300,7 +300,11 @@ class TestAdaptiveAdjoint:
         ys_r = sdeint_adaptive(drift, diff, y0, ts, key, 0.9, method="sra1",
                                rtol=1e-3, atol=1e-3, max_steps=2048,
                                differentiable=True)
-        np.testing.assert_array_equal(np.asarray(ys_a), np.asarray(ys_r))
+        # same grid, same noise, same stepper; the adjoint's memory-lean
+        # forward accumulates the output interpolation in a different
+        # association (one ulp)
+        np.testing.assert_allclose(np.asarray(ys_a), np.asarray(ys_r),
+                                   rtol=0, atol=2e-7)
 
     def test_param_grad_converges_to_fine_replay(self):
         """Both the adjoint and the replay gradient discretize the same

@@ -151,3 +151,89 @@ class TestReversibleAdjoint:
                                                 k)["a"][-1])
         )(jnp.float32(0.9))
         assert np.isfinite(float(g))
+
+
+class TestReversibleAdaptive:
+    """Reversible Heun over an adaptively selected frozen grid
+    (``sdeint_reversible_adaptive``): torchsde's ``adaptive=True`` +
+    ``adjoint_reversible_heun`` combination — exact O(1)-state-memory
+    gradients on the adaptive grid."""
+
+    @staticmethod
+    def _prob():
+        drift = lambda t, y, th: th * (1.2 - y)
+        diff = lambda t, y, th: 0.3 * jnp.ones_like(y)
+        return (drift, diff, jnp.zeros(3), jnp.linspace(0.0, 1.0, 7),
+                jax.random.PRNGKey(2))
+
+    def test_values_match_explicit_reversible_on_fine_grid(self):
+        """The adaptive wrapper's values equal plain reversible Heun run
+        over the same frozen half-step grid with the same tree increments
+        (interpolated onto ts)."""
+        from columnflow.solvers import (sde_select_grid, sdeint_reversible,
+                                        sdeint_reversible_adaptive)
+        from columnflow.solvers.brownian import VirtualBrownianTree
+        from columnflow.solvers.sde_adaptive import _interp_accepted
+        from columnflow.solvers.sde_adjoint import _adaptive_fine_grid
+
+        drift, diff, y0, ts, key = self._prob()
+        ys = sdeint_reversible_adaptive(drift, diff, y0, ts, key, 0.9,
+                                        max_steps=256)
+        grid = sde_select_grid(drift, diff, y0, ts, key, 0.9,
+                               method="sra1", max_steps=256)
+        tree = VirtualBrownianTree(t0=ts[0], t1=ts[-1], key=key, depth=20)
+        ht = _adaptive_fine_grid(grid.step_times)
+        w = jax.vmap(tree.evaluate)(ht)
+        ys_fine = sdeint_reversible(drift, diff, y0, ht, key, 0.9,
+                                    noise_pack=(w[1:] - w[:-1],))
+        want = _interp_accepted(ys_fine[::2], y0, ts, grid.step_times,
+                                grid.naccept)
+        np.testing.assert_allclose(np.asarray(ys), np.asarray(want),
+                                   rtol=1e-6, atol=1e-7)
+
+    def test_gradients_equal_autodiff_through_scan(self):
+        """The algebraic-reversal gradient on the frozen grid equals
+        backprop through a plain differentiable scan of the SAME scheme on
+        the SAME grid and noise — the 'exact' in exact O(1)-memory
+        gradients."""
+        from columnflow.solvers import (sde_select_grid, sdeint,
+                                        sdeint_reversible_adaptive)
+        from columnflow.solvers.brownian import VirtualBrownianTree
+        from columnflow.solvers.sde_adaptive import _interp_accepted
+        from columnflow.solvers.sde_adjoint import _adaptive_fine_grid
+
+        drift, diff, y0, ts, key = self._prob()
+        grid = sde_select_grid(drift, diff, y0, ts, key, 0.9,
+                               method="sra1", max_steps=256)
+        tree = VirtualBrownianTree(t0=ts[0], t1=ts[-1], key=key, depth=20)
+        ht = _adaptive_fine_grid(grid.step_times)
+        w = jax.vmap(tree.evaluate)(ht)
+        pack = (w[1:] - w[:-1], None, None, None)
+
+        def loss_rev(a):
+            return sdeint_reversible_adaptive(
+                drift, diff, y0, ts, key, a, max_steps=256)[-1].sum()
+
+        def loss_scan(a):
+            ys_fine = sdeint(drift, diff, y0, ht, key, a,
+                             method="reversible_heun",
+                             sde_type="stratonovich", noise="scalar",
+                             noise_pack=pack)
+            return _interp_accepted(ys_fine[::2], y0, ts, grid.step_times,
+                                    grid.naccept)[-1].sum()
+
+        g_rev = float(jax.grad(loss_rev)(0.9))
+        g_scan = float(jax.grad(loss_scan)(0.9))
+        np.testing.assert_allclose(g_rev, g_scan, rtol=1e-5)
+
+    def test_stats_and_pytree(self):
+        from columnflow.solvers import sdeint_reversible_adaptive
+
+        drift = lambda t, y, th: {"x": th * (1.0 - y["x"])}
+        diff = lambda t, y, th: {"x": 0.2 * jnp.ones_like(y["x"])}
+        ys, st = sdeint_reversible_adaptive(
+            drift, diff, {"x": jnp.zeros(2)}, jnp.linspace(0, 1, 5),
+            jax.random.PRNGKey(1), 0.7, max_steps=128, return_stats=True)
+        assert ys["x"].shape == (5, 2)
+        assert bool(st.success)
+        assert int(st.naccept) >= 2
