@@ -289,12 +289,11 @@ def _lean_forward(stepper, with_i10, drift, diffusion, y0, ts, step_times,
     the (T, |state|) output buffer and accumulates each accepted state's
     interpolation contribution as it passes (idx is monotone, so accepted
     point m touches only outputs bracketing it). Values equal
-    ``_replay_pass``'s bit-exactly; also returns the final accepted state
+    ``_replay_pass``'s to 1 ulp (accumulation order); also returns the final accepted state
     (the adjoint backward's seed)."""
     dtype = y0.dtype
     idx, theta = _interp_weights(ts, step_times, naccept)
     bshape = (ts.shape[0],) + (1,) * y0.ndim
-    theta_b = theta.reshape(bshape)
 
     def contrib(m):
         # W^T column m: (1-theta) where idx == m, theta where idx == m-1.

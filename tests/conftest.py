@@ -63,6 +63,10 @@ SMOKE_NODE_PREFIXES = (
     "tests/test_sde_reversible.py::TestReversibleHeunMethod::test_gbm_pathwise_exact",
     "tests/test_sde_implicit.py::TestLinearClosedForm::test_one_step_matches_backward_euler_formula",
     "tests/test_brownian.py::TestVBT::test_deterministic_queries",
+    "tests/test_sde_adaptive.py::TestFrozenGridAPI::test_select_plus_replay_bit_exact",
+    "tests/test_sde_adjoint.py::TestAdaptiveAdjoint::test_forward_matches_adaptive_replay_exactly",
+    "tests/test_sde_logode.py::TestApproximationLevels::test_space_time_level",
+    "tests/test_odeint_options.py::TestStepBounds::test_first_step_aliases_dt0",
     "tests/test_brownian_interval.py::TestPathConsistency::test_additivity",
     "tests/test_krng.py::TestThreefry::test_matches_jax_threefry",
     # L3 kernels (interpret mode)
