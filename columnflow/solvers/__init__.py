@@ -24,6 +24,15 @@ scripts/parity_ode.py:10-11, scripts/bifurcation_ode.py:12):
   capability, Li et al. 2020) — the backward pass re-integrates state +
   adjoint in reverse on the SAME Brownian path, regenerated from the
   counter-based key instead of torchsde's C++ Brownian-interval cache.
+  ``adaptive=True`` composes it with the adaptive controller: the adjoint
+  runs backward over the frozen accepted grid at O(|state| + |outputs|)
+  memory (``sdeint_adjoint_adaptive``); ``sdeint_reversible_adaptive`` is
+  the exact-gradient (algebraic-reversal) alternative on the same grid.
+- the frozen accepted-step grid is a public object: ``sde_select_grid``
+  -> ``FrozenGrid`` -> ``sdeint_replay`` compose bit-exactly to
+  ``sdeint_adaptive(differentiable=True)``.
+- Levy areas at torchsde's three approximation levels ("space-time",
+  "davie", "foster") on ``levy_pack``/``BrownianInterval``/``log_ode``.
 - ``sdeint_logqp``: the Girsanov KL path against a prior drift (torchsde's
   ``logqp=True``, the latent-SDE training signal) by state augmentation —
   rides every method, noise kind, and gradient path.
