@@ -101,11 +101,13 @@ _SRIW1_BETA4 = (-2.0, 5 / 3, -2 / 3, 1.0)
 
 
 def _sriw1_step(drift, diffusion, t, y, h, i1, i10, i11, i111, args):
-    """One SRIW1 step (4 drift + 4 diffusion evaluations)."""
-    sqrt_h = jnp.sqrt(h)
-    i10_h = i10 / h
+    """One SRIW1 step (4 drift + 4 diffusion evaluations). h == 0 safe
+    (an exact no-op — zero-width padding intervals carry zero noise)."""
+    h_safe = jnp.where(h > 0, h, 1.0)
+    sqrt_h = jnp.sqrt(h_safe)
+    i10_h = i10 / h_safe
     i11_s = i11 / sqrt_h
-    i111_h = i111 / h
+    i111_h = i111 / h_safe
 
     f_stages = []
     g_stages = []
@@ -129,8 +131,9 @@ def _sriw1_step(drift, diffusion, t, y, h, i1, i10, i11, i111, args):
 
 
 def _sra1_step(drift, diffusion, t, y, h, i1, i10, args):
-    """One SRA1 step (2 drift + 2 diffusion evaluations), additive noise."""
-    i10_h = i10 / h
+    """One SRA1 step (2 drift + 2 diffusion evaluations), additive noise.
+    h == 0 safe (exact no-op, like the adaptive variant's)."""
+    i10_h = i10 / jnp.where(h > 0, h, 1.0)
     g_end = diffusion(t + h, y, *args)
     g_start = diffusion(t, y, *args)
     f1 = drift(t, y, *args)
@@ -420,10 +423,10 @@ def sdeint(
         # construction needs increasing time anyway — sqrt(h) of a negative
         # interval is NaN, torchsde likewise requires ascending ts). A
         # single output time has no intervals to refine.
-        if ts_c.size >= 2 and np.any(np.diff(ts_c) <= 0):
+        if ts_c.size >= 2 and np.any(np.diff(ts_c) < 0):
             raise ValueError(
-                "sdeint requires strictly increasing ts (Brownian "
-                "increments are defined forward in time)")
+                "sdeint requires non-decreasing ts (Brownian increments "
+                "are defined forward in time)")
         k = 1 if ts_c.size < 2 else max(
             1, int(np.ceil(float(np.max(np.diff(ts_c))) / float(dt)
                            - 1e-12)))
@@ -457,12 +460,28 @@ def sdeint(
         ys = sdeint(flat_fn(drift), flat_fn(diffusion), flat_y0, ts, key,
                     *args, method=method, noise=noise, additive=additive,
                     sde_type=sde_type, remat=remat, noise_pack=noise_pack,
-                    bm=bm)
+                    grad_free=grad_free, bm=bm,
+                    levy_area_approximation=levy_area_approximation)
         return jax.vmap(unravel)(ys)
 
     y0 = jnp.asarray(y0)
     if not jnp.issubdtype(y0.dtype, jnp.inexact):
         y0 = y0.astype(jnp.float32)
+    # Brownian increments are defined forward in time (sqrt(h) of a
+    # negative interval is silently NaN); reject decreasing concrete
+    # grids loudly, like torchsde. Zero-width intervals are ALLOWED (h=0
+    # steps are exact no-ops — the padded-grid pattern the adaptive
+    # engines rely on). Traced ts passes through (the usual jit case —
+    # callers control the grid).
+    try:
+        ts_host = np.asarray(ts, dtype=np.float64)
+        if ts_host.ndim == 1 and ts_host.size >= 2 \
+                and bool(np.any(np.diff(ts_host) < 0)):
+            raise ValueError(
+                "sdeint requires non-decreasing ts (Brownian increments "
+                "are defined forward in time)")
+    except (TypeError, jax.errors.TracerArrayConversionError):
+        pass
     ts = jnp.asarray(ts, dtype=y0.dtype)
     if noise == "scalar":
         noise_shape: tuple = ()

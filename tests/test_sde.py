@@ -361,7 +361,48 @@ class TestDtSubstep:
 
         drift = lambda t, y: -0.5 * y
         diffusion = lambda t, y: jnp.zeros_like(y)
-        with pytest.raises(ValueError, match="increasing"):
+        with pytest.raises(ValueError, match="decreasing"):
             sdeint(drift, diffusion, jnp.ones(()), jnp.linspace(1.0, 0.0, 5),
                    jax.random.PRNGKey(0), method="euler", noise="scalar",
                    dt=0.01)
+
+
+class TestInputValidation:
+    def test_decreasing_ts_rejected_base_path(self):
+        """Round-3 hardening: the base path (no dt=) also rejects
+        decreasing grids instead of silently NaN-ing in sqrt(h)."""
+        import pytest
+
+        with pytest.raises(ValueError, match="decreasing"):
+            sdeint(lambda t, y: -y, lambda t, y: jnp.zeros_like(y),
+                   jnp.ones(2), jnp.linspace(1.0, 0.0, 5),
+                   jax.random.PRNGKey(0), noise="scalar")
+
+    def test_pytree_grad_free_honored(self):
+        """Round-3 hardening: the pytree-state recursion forwards
+        grad_free (it used to drop it, silently using the jvp Milstein)."""
+        drift = lambda t, y: {"x": -y["x"]}
+        diffn = lambda t, y: {"x": 0.3 * y["x"]}
+        ts = jnp.linspace(0.0, 1.0, 9)
+        key = jax.random.PRNGKey(1)
+        a = sdeint(drift, diffn, {"x": jnp.ones(2)}, ts, key,
+                   method="milstein", noise="diagonal", grad_free=True)
+        b = sdeint(lambda t, y: -y, lambda t, y: 0.3 * y, jnp.ones(2), ts,
+                   key, method="milstein", noise="diagonal", grad_free=True)
+        np.testing.assert_allclose(np.asarray(a["x"]), np.asarray(b),
+                                   rtol=1e-6)
+
+    def test_srk_zero_width_intervals_are_noops(self):
+        """Round-3 hardening: h == 0 padding intervals are exact no-ops
+        for SRA1/SRIW1 too (they divide by h internally; the adaptive
+        variants were already guarded)."""
+        ts = jnp.concatenate([jnp.linspace(0.0, 1.0, 5),
+                              jnp.asarray([1.0, 1.0])])
+        for additive in (True, False):
+            ys = sdeint(lambda t, y: -y,
+                        lambda t, y: 0.1 * jnp.ones_like(y), jnp.ones(2),
+                        ts, jax.random.PRNGKey(0), method="srk",
+                        noise="scalar", additive=additive)
+            assert bool(jnp.all(jnp.isfinite(ys)))
+            np.testing.assert_array_equal(np.asarray(ys[4]),
+                                          np.asarray(ys[6]))
