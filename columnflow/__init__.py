@@ -27,12 +27,34 @@ __version__ = "0.1.0"
 # function of (key, location) ONLY within one threefry partitioning regime.
 # JAX has flipped this default across releases; without the pin, tests
 # (tests/conftest.py sets it) and production runs (bench.py, task CLIs) could
-# generate different paths for the same key. Setting jax.config here does not
-# initialize any backend. tests/test_brownian.py pins that this production
-# default matches the test regime.
+# generate different paths for the same key. tests/test_brownian.py pins that
+# this production default matches the test regime.
+#
+# Advisor-hardened (round 4): the pin no longer OVERRIDES a host
+# application's explicit opt-out. On modern JAX the library default is
+# already True, so this is a no-op there; if the embedding program (env var
+# JAX_THREEFRY_PARTITIONABLE=0 or jax.config.update before importing
+# columnflow) selected the legacy regime, we respect it and warn once that
+# columnflow's path-reproducibility contract (same key -> same Brownian
+# path across releases) does not hold in that regime. Documented in
+# README.md / docs/MIGRATING.md.
 import jax as _jax
 
-_jax.config.update("jax_threefry_partitionable", True)
+if _jax.config.jax_threefry_partitionable:
+    pass  # library default on modern JAX — nothing to mutate
+else:
+    import warnings as _warnings
+
+    _warnings.warn(
+        "columnflow: jax_threefry_partitionable is False (legacy "
+        "key-derivation regime, set by the host application or an old JAX "
+        "default). columnflow's Brownian paths are reproducible only under "
+        "the partitionable regime; set "
+        "jax.config.update('jax_threefry_partitionable', True) for the "
+        "supported contract.",
+        stacklevel=2,
+    )
+    del _warnings
 del _jax
 
 from columnflow.config import load_config, ColumnConfig

@@ -203,8 +203,16 @@ def sdeint_adjoint(
             raise ValueError(
                 "dt= needs concrete ts (the substep count per interval is "
                 "a static compile-time quantity)") from e
+        # Same hardening as sdeint's dt= path (solvers/sde.py): a
+        # decreasing grid must fail loudly here too, not proceed into the
+        # Brownian construction where sqrt of a negative interval NaNs
+        # silently.
+        if ts_c.size >= 2 and np.any(np.diff(ts_c) < 0):
+            raise ValueError(
+                "sdeint requires non-decreasing ts (Brownian increments "
+                "are defined forward in time)")
         k = 1 if ts_c.size < 2 else max(
-            1, int(np.ceil(float(np.max(np.abs(np.diff(ts_c)))) / float(dt)
+            1, int(np.ceil(float(np.max(np.diff(ts_c))) / float(dt)
                            - 1e-12)))
         if k > 1:
             tsj = jnp.asarray(ts)
@@ -364,17 +372,42 @@ def _ada_bwd(drift, diffusion, method, levy_depth, res, cot):
     max_steps = step_times.shape[0] - 1
     dtype = y_end.dtype
 
-    ht = _adaptive_fine_grid(step_times)              # (2*max_steps + 1,)
-    w = jax.vmap(tree.evaluate)(ht)
-    dws = w[1:] - w[:-1]                              # per half step
+    # Regenerate the per-half-step Brownian data with EXACTLY the query
+    # times the forward (_lean_forward -> _half_noise) used: interval m has
+    # t0 = step_times[m] (the array value), h = step_times[m+1] - t0, and
+    # queries t0, t0 + 0.5*h, t0 + h — the top is the COMPUTED t0 + h, not
+    # step_times[m+1] (fl(a + fl(b - a)) == b is not guaranteed, so keying
+    # draws on the array value could re-integrate a different
+    # interval-keyed normal than the forward consumed). The forward also
+    # carries W(t0 + h) as the next interval's W(t0+1), which the
+    # interleaved bottom sequence below reproduces.
+    def _ilv(a, b):
+        return jnp.stack([a, b], axis=1).reshape(-1)
+
+    hs = step_times[1:] - step_times[:-1]             # (max_steps,)
+    mids = step_times[:-1] + 0.5 * hs
+    tops = step_times[:-1] + hs                       # forward's t0 + h
+    w_mid = jax.vmap(tree.evaluate)(mids)
+    w_top = jax.vmap(tree.evaluate)(tops)
+    w_bot = jnp.concatenate(
+        [tree.evaluate(step_times[0])[None], w_top[:-1]])
+    dw_a, dw_b = w_mid - w_bot, w_top - w_mid
     if with_i10:
         # The forward replay's exact space-time-integral draws, regenerated
         # from the counter-based key (interval-endpoint-keyed).
-        za = jax.vmap(i10_draw)(ht[:-1], ht[1:]).astype(dtype)
-        hh = ht[1:] - ht[:-1]
-        i10s = hh * (0.5 * dws + jnp.sqrt(hh / 12.0) * za)
+        za = jax.vmap(i10_draw)(step_times[:-1], mids).astype(dtype)
+        zb = jax.vmap(i10_draw)(mids, tops).astype(dtype)
+        hh = 0.5 * hs
+        root = jnp.sqrt(hh / 12.0)
+        i10_a = hh * (0.5 * dw_a + root * za)
+        i10_b = hh * (0.5 * dw_b + root * zb)
     else:
-        i10s = jnp.zeros_like(dws)
+        i10_a = i10_b = jnp.zeros_like(dw_a)
+    lo_t = _ilv(step_times[:-1], mids)                # (2*max_steps,)
+    hi_t = _ilv(mids, tops)
+    h_half = _ilv(0.5 * hs, 0.5 * hs)
+    dws = _ilv(dw_a, dw_b)
+    i10s = _ilv(i10_a, i10_b)
 
     # Cotangent injection through the interpolation transpose WITHOUT
     # materializing a (max_steps+1, |state|) buffer (would be 163 MB at
@@ -434,16 +467,15 @@ def _ada_bwd(drift, diffusion, method, levy_depth, res, cot):
         return stepper(f_r, g_r, -t_hi, y_hi, h, -dw, i10 - h * dw, args)
 
     def back_half_step(carry, xs):
-        """One frozen half interval [ht[j], ht[j+1]] in reverse: y
-        reconstructed with the forward scheme (nothing stored), the
-        (a, p) adjoint integrated with stochastic Heun on the
-        reconstructed endpoints, cotangent injected at the interval's top
-        point (even fine indices are accepted points). Padding intervals
-        (h == 0, dw == 0) are exact no-ops."""
+        """One frozen half interval in reverse: y reconstructed with the
+        forward scheme (nothing stored), the (a, p) adjoint integrated
+        with stochastic Heun on the reconstructed endpoints, cotangent
+        injected at the interval's top point (even fine indices are
+        accepted points). Padding intervals (h == 0, dw == 0) are exact
+        no-ops."""
         y, a, p_bar = carry
-        t_lo, t_hi, dw, i10, j_top = xs
+        t_lo, t_hi, h, dw, i10, j_top = xs
         a = a + jnp.where(j_top % 2 == 0, inj_at(j_top // 2), 0.0)
-        h = t_hi - t_lo
         h_r = -h
         dw_r = -dw
         y_lo = reconstruct(t_lo, t_hi, y, h, dw, i10)
@@ -456,7 +488,7 @@ def _ada_bwd(drift, diffusion, method, levy_depth, res, cot):
 
     zero_args = jax.tree_util.tree_map(jnp.zeros_like, args)
     init = (y_end, jnp.zeros_like(y_end), zero_args)
-    xs = (ht[:-1], ht[1:], dws, i10s,
+    xs = (lo_t, hi_t, h_half, dws, i10s,
           jnp.arange(1, 2 * max_steps + 1, dtype=jnp.int32))
     (y_start, a_final, args_bar), _ = jax.lax.scan(
         back_half_step, init, xs, reverse=True)
@@ -542,7 +574,13 @@ def sdeint_adjoint_adaptive(
             flat_fn(drift), flat_fn(diffusion), flat_y0, ts, key, *args,
             method=method, rtol=rtol, atol=atol, dt0=dt0, dt_min=dt_min,
             max_steps=max_steps, levy_depth=levy_depth,
-            controller=controller, return_stats=return_stats)
+            controller=controller,
+            select_drift=(None if select_drift is None
+                          else flat_fn(select_drift)),
+            select_diffusion=(None if select_diffusion is None
+                              else flat_fn(select_diffusion)),
+            select_args=select_args,
+            return_stats=return_stats)
         if return_stats:
             return jax.vmap(unravel)(out[0]), out[1]
         return jax.vmap(unravel)(out)

@@ -83,3 +83,30 @@ class TestNoiseRegimePin:
             t0=0.0, t1=1.0, key=jax.random.PRNGKey(7), depth=10
         ).evaluate(jnp.asarray(0.37)))
         np.testing.assert_allclose(sub_val, here_val, rtol=0, atol=0)
+
+    def test_host_opt_out_respected_with_warning(self):
+        """Advisor round 3: importing columnflow must not OVERRIDE a host
+        application's explicit legacy-regime opt-out — it warns instead
+        (columnflow/__init__.py)."""
+        import subprocess
+        import sys
+
+        code = (
+            "import warnings\n"
+            "with warnings.catch_warnings(record=True) as rec:\n"
+            "    warnings.simplefilter('always')\n"
+            "    import columnflow, jax\n"
+            "assert not jax.config.jax_threefry_partitionable, "
+            "'host opt-out must be respected'\n"
+            "assert any('threefry' in str(w.message) for w in rec), "
+            "'import must warn about the unsupported regime'\n"
+            "print('ok')\n"
+        )
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True,
+            env={"PATH": "/usr/local/bin:/usr/bin:/bin", "HOME": "/root",
+                 "JAX_PLATFORMS": "cpu",
+                 "JAX_THREEFRY_PARTITIONABLE": "0"})
+        assert out.returncode == 0, out.stderr
+        assert out.stdout.strip().splitlines()[-1] == "ok"

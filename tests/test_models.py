@@ -355,6 +355,50 @@ def test_random_fan_in_network_builds_and_runs():
     assert bool(jnp.all(jnp.isfinite(dy)))
 
 
+def test_random_fan_in_rng_regimes():
+    """Round-4 RNG unification: fan-in mask draws ride the counter-based
+    jax.random contract by default; ``legacy_host_rng=True`` reinstates the
+    pre-round-4 host-numpy draws (models/network.py). Both regimes are
+    per-seed deterministic and satisfy the fan-in structure; the legacy
+    flag reproduces the old regime's exact masks."""
+    import jax
+    import numpy as np
+
+    from columnflow.config import ColumnConfig
+    from columnflow.models import build_column_network
+    from columnflow.models.network import make_mask_fan_in_random
+
+    cfg = ColumnConfig.load()
+    kw = dict(columns_per_area=(4, 2, 1), n_inputs=2, random_fan_in=True)
+    _, a1 = build_column_network(cfg, jax.random.PRNGKey(5), **kw)
+    _, a2 = build_column_network(cfg, jax.random.PRNGKey(5), **kw)
+    np.testing.assert_array_equal(np.asarray(a1.input_mask),
+                                  np.asarray(a2.input_mask))
+
+    _, l1 = build_column_network(cfg, jax.random.PRNGKey(5),
+                                 legacy_host_rng=True, **kw)
+    _, l2 = build_column_network(cfg, jax.random.PRNGKey(5),
+                                 legacy_host_rng=True, **kw)
+    np.testing.assert_array_equal(np.asarray(l1.input_mask),
+                                  np.asarray(l2.input_mask))
+
+    # The legacy path IS the old algorithm: host Generator seeded from the
+    # key exactly as pre-round-4 builds did.
+    key = jax.random.PRNGKey(5)
+    key, *_ = jax.random.split(key, 5)
+    rng = np.random.default_rng(
+        int(jax.random.randint(key, (), 0, 2**31 - 1)))
+    base = np.tile(np.asarray(cfg.connection_masks["input"]), (4, 2))
+    want = make_mask_fan_in_random(base, rng, source_is_input=True)
+    np.testing.assert_array_equal(np.asarray(l1.input_mask)[:32], want)
+
+    # Both regimes: every first-area column receives >= 2 input units.
+    for net in (a1, l1):
+        im = np.asarray(net.input_mask)[: 4 * 8]
+        per_col = (im.reshape(4, 8, 2).sum(axis=1) > 0).sum(axis=1)
+        assert (per_col >= 2).all(), per_col
+
+
 def test_all_toml_areas_build():
     """Every cortical area in config/model.toml (v1..fst) must build a
     valid ColumnArea parameter set (reference supports the same set,

@@ -405,3 +405,61 @@ class TestAdaptiveAdjointBatch:
         np.testing.assert_allclose(np.asarray(ys_b[0]), np.asarray(ys_0),
                                    rtol=1e-5, atol=1e-6)
         assert np.isfinite(g)
+
+
+class TestAdaptiveAdjointAdvisorRegressions:
+    """Round-3 advisor findings (ADVICE.md): select_* overrides must survive
+    the pytree-state recursion, and the dt= path must reject decreasing
+    grids like sdeint's."""
+
+    def test_pytree_state_forwards_select_overrides(self):
+        """A pytree y0 + select_drift/select_diffusion overrides: the
+        selection pass must use the OVERRIDE functions (here: a 40x
+        stiffer drift that forces ~10x more accepted steps) — previously
+        the pytree recursion silently dropped them and selected on the
+        full-precision functions. Proven via solver stats (bit-identical
+        grids between the flat and wrapped programs are not guaranteed:
+        the wrappers compile to different fusion/rounding)."""
+        from columnflow.solvers.sde_adjoint import sdeint_adjoint_adaptive
+
+        # Pytree-aware functions (they receive the unraveled dict state).
+        drift = lambda t, y, th: jax.tree.map(lambda v: th * (1.2 - v), y)
+        diff = lambda t, y, th: jax.tree.map(
+            lambda v: 0.3 * jnp.ones_like(v), y)
+        sel_drift = lambda t, y, th: jax.tree.map(
+            lambda v: 40.0 * th * (1.2 - v), y)
+        ts = jnp.linspace(0.0, 1.0, 7)
+        key = jax.random.PRNGKey(3)
+        y0 = {"a": jnp.zeros(2), "b": jnp.zeros(2)}
+
+        _, s_plain = sdeint_adjoint_adaptive(
+            drift, diff, y0, ts, key, 0.9, rtol=1e-3, atol=1e-3,
+            max_steps=1024, return_stats=True)
+        ys, s_sel = sdeint_adjoint_adaptive(
+            drift, diff, y0, ts, key, 0.9, rtol=1e-3, atol=1e-3,
+            max_steps=1024, select_drift=sel_drift, select_diffusion=diff,
+            return_stats=True)
+        # Override used -> the stiff selection drift forces a much denser
+        # accepted grid (measured: 9 -> 92).
+        assert int(s_sel.naccept) > 3 * int(s_plain.naccept), (
+            int(s_plain.naccept), int(s_sel.naccept))
+        # Values are still the full-precision functions' (the override
+        # only steers step selection): finite, and roughly the same OU
+        # solution (different grids query the Brownian tree at different
+        # points, so pathwise agreement is loose).
+        ys_plain = sdeint_adjoint_adaptive(
+            drift, diff, y0, ts, key, 0.9, rtol=1e-3, atol=1e-3,
+            max_steps=1024)
+        for k in ("a", "b"):
+            assert np.all(np.isfinite(np.asarray(ys[k])))
+            np.testing.assert_allclose(np.asarray(ys[k]),
+                                       np.asarray(ys_plain[k]), atol=0.25)
+
+    def test_dt_decreasing_ts_raises(self):
+        drift = lambda t, y: -y
+        diff = lambda t, y: jnp.ones_like(y)
+        ts = jnp.asarray([0.0, 0.5, 0.3, 1.0])
+        with pytest.raises(ValueError, match="non-decreasing"):
+            sdeint_adjoint(drift, diff, jnp.ones(2), ts,
+                           jax.random.PRNGKey(0), additive=True,
+                           sde_type="ito", dt=0.01)
