@@ -12,21 +12,90 @@ Prints ONE JSON line:
 ``vs_baseline`` is the speedup over a torch-CPU implementation of the same
 iteration written the way the reference runs it (sequential per-sample
 torchsde-style stepping, backprop through the step graph). The baseline is
-measured once and cached in benchmarks/baseline_torch_cpu.json; delete that
+measured once and cached in benchmarks/baseline_torch_cpu.json with a
+machine/torch-version fingerprint and measurement date; bench warns on
+stderr when the fingerprint no longer matches this machine. Delete the
 file to re-measure. Set COLUMNFLOW_BENCH_SKIP_BASELINE=1 to skip (then
 vs_baseline uses the cached/default value).
+
+Both metrics carry absolute-utilization fields (``mfu_pct``,
+``hbm_roofline_pct``) computed from the analytic model-FLOP / minimum
+HBM-byte accounting documented in BASELINE.md ("Utilization accounting"),
+against the chip peaks in ``CHIP_PEAKS``.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 BATCH = 16  # reference batch size; 15 train + 1 held out
 TIME_STEPS = 1500
 BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "benchmarks", "baseline_torch_cpu.json")
+
+# Documented single-chip peaks (BASELINE.md "Utilization accounting").
+# MFU follows the standard convention: model FLOPs / (wall time x bf16
+# matmul peak). HBM percentages use the analytic MINIMUM traffic model, so
+# they are lower bounds of true bandwidth utilization.
+CHIP_PEAKS = {
+    # TPU v5e (jax device_kind "TPU v5 lite"): 197 TFLOP/s bf16 MXU peak,
+    # 819 GB/s HBM.
+    "TPU v5 lite": {"flops_bf16": 197e12, "hbm_bytes_per_s": 819e9},
+    "TPU v5e": {"flops_bf16": 197e12, "hbm_bytes_per_s": 819e9},
+}
+
+
+def _chip_peaks():
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    return kind, CHIP_PEAKS.get(kind)
+
+
+def _utilization(flops_per_iter, bytes_per_iter, iters_per_sec, peaks):
+    if peaks is None or not iters_per_sec or iters_per_sec != iters_per_sec:
+        return {"mfu_pct": None, "hbm_roofline_pct": None}
+    return {
+        "mfu_pct": round(
+            100.0 * flops_per_iter * iters_per_sec / peaks["flops_bf16"], 4),
+        "hbm_roofline_pct": round(
+            100.0 * bytes_per_iter * iters_per_sec
+            / peaks["hbm_bytes_per_s"], 4),
+    }
+
+
+def wta_accounting():
+    """Model FLOPs and minimum HBM bytes of ONE WTA training iteration
+    (formulas audited in BASELINE.md). n=16 populations, S=48 state,
+    B=15 lanes, 1499 sequential SRA1 steps; backward ~= 2x forward."""
+    n, S, B, steps = 16, 48, BATCH - 1, TIME_STEPS - 1
+    drift_flops = 2 * n * n + 35 * n          # matvec + elementwise
+    step_flops = 2 * drift_flops + 12 * S     # 2 drift evals + SRA1 combos
+    fwd = B * steps * step_flops
+    flops = 3 * fwd                           # fwd + bwd (~2x fwd)
+    # Minimum traffic: targets in, predicted trajectories out (+bwd reread),
+    # parameters/optimizer state. Everything else is VMEM-resident.
+    bytes_ = 3 * (B * TIME_STEPS * 2 * 4) * 2 + 3 * (n * n * 4)
+    return flops, bytes_
+
+
+def parity104_accounting(naccept, nreject, batch=4, time_steps=1000):
+    """Model FLOPs and minimum HBM bytes of ONE 104-column adaptive
+    stochastic training iteration (BASELINE.md "Utilization accounting").
+    P=832 populations; step-doubling selection = 6 drift evals per
+    controller iteration, frozen-grid replay = 4 per accepted step,
+    backward ~= 2x replay."""
+    P, S = 832, 2496
+    drift_flops = 2 * P * P + 35 * P
+    evals = 6.0 * (naccept + nreject) + 12.0 * naccept
+    flops = batch * evals * drift_flops
+    # Minimum traffic: replay output buffer written + re-read by the loss/
+    # backward, plus ~4 weight-matrix loads (selection, replay, 2 in bwd).
+    bytes_ = batch * time_steps * S * 4 * 2 + 4 * (P * P * 4)
+    return flops, bytes_
 
 
 def bench_columnflow(iters: int = 100):
@@ -140,19 +209,63 @@ def bench_torch_baseline(n_samples: int = 3):
     return 1.0 / (dt_wall * (BATCH - 1) / n_samples)
 
 
-def get_baseline():
-    if os.path.exists(BASELINE_PATH):
-        with open(BASELINE_PATH) as f:
-            return json.load(f)["iters_per_sec"]
-    if os.environ.get("COLUMNFLOW_BENCH_SKIP_BASELINE"):
-        return None
+def _baseline_fingerprint():
+    """Environment identity of a torch-CPU baseline measurement: the
+    numbers are only comparable on the same machine/torch build."""
+    import platform
+
+    import torch
+
+    return {
+        "torch": torch.__version__,
+        "python": platform.python_version(),
+        "machine": platform.machine(),
+        "cpu_count": os.cpu_count(),
+        "platform": platform.platform(),
+    }
+
+
+def measure_and_cache_baseline():
     ips = bench_torch_baseline()
     os.makedirs(os.path.dirname(BASELINE_PATH), exist_ok=True)
     with open(BASELINE_PATH, "w") as f:
-        json.dump({"iters_per_sec": ips, "note":
-                   "torch CPU, sequential per-sample, extrapolated to 15 "
-                   "samples"}, f)
+        json.dump({
+            "iters_per_sec": ips,
+            "note": "torch CPU, sequential per-sample, extrapolated to 15 "
+                    "samples",
+            "measured_date": time.strftime("%Y-%m-%d"),
+            "fingerprint": _baseline_fingerprint(),
+        }, f, indent=1)
     return ips
+
+
+def get_baseline():
+    """Cached torch-CPU baseline with staleness detection: warns on stderr
+    (never pollutes the stdout JSON line) when the cached record has no
+    fingerprint or was measured on a different machine/torch build."""
+    if os.path.exists(BASELINE_PATH):
+        with open(BASELINE_PATH) as f:
+            rec = json.load(f)
+        fp = rec.get("fingerprint")
+        if fp is None:
+            print("bench: baseline cache has no fingerprint (pre-round-4 "
+                  "record) — delete benchmarks/baseline_torch_cpu.json to "
+                  "re-measure", file=sys.stderr)
+        else:
+            try:
+                cur = _baseline_fingerprint()
+            except Exception:
+                cur = None
+            if cur is not None and cur != fp:
+                diffs = {k: (fp.get(k), cur.get(k)) for k in cur
+                         if fp.get(k) != cur.get(k)}
+                print(f"bench: baseline fingerprint is STALE {diffs} — "
+                      "delete benchmarks/baseline_torch_cpu.json to "
+                      "re-measure", file=sys.stderr)
+        return rec["iters_per_sec"], rec.get("measured_date")
+    if os.environ.get("COLUMNFLOW_BENCH_SKIP_BASELINE"):
+        return None, None
+    return measure_and_cache_baseline(), time.strftime("%Y-%m-%d")
 
 
 def bench_parity_adaptive(iters: int = 5):
@@ -201,15 +314,68 @@ def bench_parity_adaptive(iters: int = 5):
     for k in keys:
         params, opt_state, loss, *_ = one(params, opt_state, k)
     loss.block_until_ready()
-    return (time.perf_counter() - t0) / iters
+    s_per_iter = (time.perf_counter() - t0) / iters
+
+    # Controller-iteration counts for the FLOP accounting: probe the SAME
+    # selection configuration the step trains with (bf16 selection drift,
+    # jax Brownian backend) over one representative batch.
+    from columnflow.models import Stimulus
+    from columnflow.models.network import (network_diffusion, network_drift,
+                                           network_drift_select16,
+                                           select_weights_bf16)
+    from columnflow.solvers import sdeint_adaptive
+
+    stims = make_parity_batch(jax.random.PRNGKey(3), 4, 4)
+    y0 = jnp.zeros(3 * task.net.num_pops)
+    w16, iw16 = select_weights_bf16(params, task.net)
+
+    def stats_one(stim_raw, k):
+        from columnflow.data import parity_stim_table
+
+        table = parity_stim_table(stim_raw, 1000)
+        stim = Stimulus(0.0, task.dt, table)
+        _, st = sdeint_adaptive(
+            lambda t, y: network_drift(t, y, params, task.net, stim),
+            lambda t, y: network_diffusion(t, y, params, task.net, stim),
+            y0, task.ts, k, method="sra1", rtol=1e-3, atol=1e-3,
+            max_steps=task.max_steps, return_stats=True,
+            select_drift=lambda t, y: network_drift_select16(
+                t, y, w16, iw16, task.net, stim))
+        return st
+
+    ks = jax.random.split(jax.random.PRNGKey(4), 4)
+    st = jax.jit(jax.vmap(stats_one))(stims, ks)
+    na = float(jnp.mean(st.naccept))
+    nr = float(jnp.mean(st.nreject))
+    return s_per_iter, na, nr
 
 
 def main():
     value = bench_columnflow()
-    baseline = get_baseline()
+    baseline, baseline_date = get_baseline()
     vs = value / baseline if baseline else float("nan")
+    kind, peaks = _chip_peaks()
+
+    # WTA utilization: the chain is 1499 SEQUENTIAL solver steps per
+    # iteration, so MFU is intrinsically tiny — the informative absolute
+    # number is the serial-chain step latency (BASELINE.md).
+    w_flops, w_bytes = wta_accounting()
+    wta_util = _utilization(w_flops, w_bytes, value, peaks)
+    chain_steps = value * (TIME_STEPS - 1) * 3  # fwd + ~2x bwd traversals
+    wta_util.update({
+        "latency_bound": True,
+        "why_low_mfu": "serial chain of 1499 dependent solver steps per "
+                       "iteration (16-pop matvecs); see BASELINE.md "
+                       "'Utilization accounting'",
+        "serial_chain_steps_per_sec": round(chain_steps),
+        "serial_step_latency_ns": round(1e9 / chain_steps)
+        if chain_steps else None,
+    })
+
     try:
-        flagship_s = bench_parity_adaptive()
+        flagship_s, na, nr = bench_parity_adaptive()
+        f_flops, f_bytes = parity104_accounting(na, nr)
+        f_util = _utilization(f_flops, f_bytes, 1.0 / flagship_s, peaks)
         # vs the measured 3.4 s/iter XLA-path baseline of the same step on
         # the same chip (RESULTS.md round 2) — the reference itself never
         # attempts this configuration, so there is no torch-CPU number.
@@ -218,6 +384,10 @@ def main():
             "value": round(flagship_s, 4),
             "unit": "s/iter",
             "vs_xla_path": round(3.4 / flagship_s, 2),
+            "naccept_mean": round(na, 1),
+            "nreject_mean": round(nr, 1),
+            "model_tflops_per_iter": round(f_flops / 1e12, 3),
+            **f_util,
         }]
     except Exception as e:  # keep the primary metric robust
         extra = [{"metric": "parity104_adaptive_train_s_per_iter",
@@ -227,6 +397,9 @@ def main():
         "value": round(value, 4),
         "unit": "iters/sec",
         "vs_baseline": round(vs, 2) if vs == vs else None,
+        "baseline_date": baseline_date,
+        "device_kind": kind,
+        "utilization": wta_util,
         "extra_metrics": extra,
     }))
 
