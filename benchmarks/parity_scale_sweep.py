@@ -53,18 +53,30 @@ def main():
         step = par.make_train_step(task, use_fused=args.fused)
         opt_state = task.optimizer.init(task.params)
         stims = make_parity_batch(jax.random.PRNGKey(1), 4, args.batch)
+        path = "fused" if args.fused else "xla"
+        if args.fused:
+            # Same graceful fallback the trainer applies: past the VMEM
+            # ceiling the row records the XLA-fallback timing instead of a
+            # raw Mosaic error (BASELINE.md "Single-chip scale ceiling").
+            from columnflow.solvers.fused import compile_or_fallback
+
+            step, used_fused = compile_or_fallback(
+                step, lambda: par.make_train_step(task, use_fused=False),
+                (task.params, opt_state, stims),
+                what=f"parity fused step at {sum(cpa)} columns")
+            path = "fused" if used_fused else "xla-fallback"
         try:
             ms = time_step(step, task.params, opt_state, stims,
                            iters=args.iters)
             rec = {"scale": s, "columns": sum(cpa),
                    "state_dim": 3 * task.net.num_pops,
                    "ms_per_step": round(ms, 2),
-                   "path": "fused" if args.fused else "xla"}
+                   "path": path}
         except Exception as e:  # noqa: BLE001 - report and continue the sweep
             rec = {"scale": s, "columns": sum(cpa),
                    "state_dim": 3 * task.net.num_pops,
                    "error": f"{type(e).__name__}: {str(e)[:200]}",
-                   "path": "fused" if args.fused else "xla"}
+                   "path": path}
         print(json.dumps(rec), flush=True)
 
 

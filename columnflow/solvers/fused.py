@@ -58,6 +58,38 @@ from columnflow.solvers.rk import DOPRI5, DOPRI5_DENSE_D
 _SAFETY, _IFACTOR, _DFACTOR, _ORDER = 0.9, 10.0, 0.2, 5
 
 
+def compile_or_fallback(fused_fn, fallback_thunk, example_args,
+                        what="fused engine"):
+    """AOT-compile a jitted fused-engine program; on backend compile
+    failure, warn and return the fallback instead.
+
+    Past the fused engine's VMEM ceiling (e.g. the deterministic parity
+    step at >= 208 columns, BASELINE.md "Single-chip scale ceiling"),
+    Mosaic refuses the kernel — previously surfaced to the user as a raw
+    backend error (an opaque remote-compile HTTP 500 on the axon tunnel).
+    Callers wrap their fused program here: a successful probe costs
+    nothing (``lower().compile()`` populates the same jit cache the real
+    call hits), and a failed probe routes to ``fallback_thunk()`` (built
+    lazily — typically the XLA engine) with a ``RuntimeWarning`` naming
+    the likely ceiling.
+
+    Returns ``(fn, used_fused)``.
+    """
+    import warnings
+
+    try:
+        fused_fn.lower(*example_args).compile()
+        return fused_fn, True
+    except Exception as e:  # Mosaic/VMEM errors arrive as backend exceptions
+        warnings.warn(
+            f"{what}: fused kernel compilation failed "
+            f"({type(e).__name__}: {str(e)[:200]}); falling back to the "
+            "XLA engine. At large model scales this is the fused VMEM "
+            "ceiling (BASELINE.md 'Single-chip scale ceiling').",
+            RuntimeWarning, stacklevel=2)
+        return fallback_thunk(), False
+
+
 def _pow(x, p: float):
     """x**p for positive x via exp/log (Mosaic does not legalize powf)."""
     return jnp.exp(p * jnp.log(x))

@@ -813,6 +813,28 @@ def train_parity(
         checkpoint_every if checkpoint_path else 25,
         plot_every if plot_dir else 25,
     ))
+    if use_fused:
+        # Graceful scale fallback (BASELINE.md "Single-chip scale
+        # ceiling"): past the fused engine's VMEM ceiling Mosaic refuses
+        # the kernels; probe-compile the EXACT scan program the loop
+        # dispatches (a successful probe is free — same jit cache) and
+        # auto-route to the XLA engine with a warning instead of
+        # surfacing a raw backend error.
+        from columnflow.solvers.fused import compile_or_fallback
+
+        scan_fn, use_fused = compile_or_fallback(
+            scan_fn,
+            lambda: make_train_scan(
+                task, use_fused=False, n_inputs=n_inputs,
+                batch_size=batch_size, fixed_position=fixed_position,
+                stochastic=stochastic, adaptive=adaptive,
+                reference_rails=reference_rails, loss_scale=loss_scale,
+                bptt_every=bptt_every, clip_grad_norm=clip_grad_norm,
+                select_bf16=select_bf16, fused_pass=fused_pass,
+                grad_bf16=grad_bf16),
+            (params, opt_state, best,
+             jax.random.split(jax.random.PRNGKey(0), block)),
+            what="parity --fused")
     for it0 in range(start_iter, n_iters, block):
         profiler.step(it0)
         k = block if it0 + block <= n_iters else n_iters - it0

@@ -741,3 +741,35 @@ class TestVjpDriftSubstitute:
                          method="euler", noise_pack=(i1, i10), ts_steps=st,
                          interpret=True, arg_grads="kernel",
                          vjp_drift=self.drift16, vjp_diffusion=self.diff)
+
+
+class TestCompileOrFallback:
+    """Graceful scale fallback (round-4 VERDICT #1): past the fused VMEM
+    ceiling, ``compile_or_fallback`` routes to the XLA engine with a
+    RuntimeWarning instead of surfacing a raw Mosaic/backend error
+    (BASELINE.md "Single-chip scale ceiling")."""
+
+    def test_success_path_returns_fused(self):
+        from columnflow.solvers.fused import compile_or_fallback
+
+        fused = jax.jit(lambda x: x * 2.0)
+        fn, used = compile_or_fallback(
+            fused, lambda: (_ for _ in ()).throw(AssertionError(
+                "fallback must not be built on success")),
+            (jnp.ones(3),))
+        assert used and fn is fused
+        np.testing.assert_allclose(np.asarray(fn(jnp.ones(3))), 2.0)
+
+    def test_failure_routes_to_fallback_with_warning(self):
+        from columnflow.solvers.fused import compile_or_fallback
+
+        class BoomProgram:
+            def lower(self, *a):
+                raise RuntimeError("RESOURCE_EXHAUSTED: vmem limit")
+
+        fallback = jax.jit(lambda x: x + 1.0)
+        with pytest.warns(RuntimeWarning, match="falling back to the XLA"):
+            fn, used = compile_or_fallback(BoomProgram(), lambda: fallback,
+                                           (jnp.ones(3),))
+        assert not used and fn is fallback
+        np.testing.assert_allclose(np.asarray(fn(jnp.ones(3))), 2.0)

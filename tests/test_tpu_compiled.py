@@ -412,3 +412,35 @@ class TestCompiledBatchedFusedReplay:
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(gb), np.asarray(gv),
                                    rtol=1e-3, atol=1e-5)
+
+
+class TestScaleFallback:
+    """``--fused`` past the VMEM ceiling must COMPLETE (round-4 VERDICT
+    #1): at 208 columns the deterministic fused kernels exceed VMEM and
+    Mosaic refuses them; the trainer's compile_or_fallback probe must
+    catch that and run the step on the XLA engine. Short horizon — the
+    ceiling is set by the (P, P) weight operands, not the step count."""
+
+    def test_over_ceiling_fused_step_completes(self):
+        import warnings
+
+        from columnflow.data import make_parity_batch
+        from columnflow.solvers.fused import compile_or_fallback
+        from columnflow.tasks import parity as par
+
+        task = par.build_task(CFG, jax.random.PRNGKey(0),
+                              columns_per_area=(128, 64, 16),
+                              time_steps=50, max_steps=256)
+        step = par.make_train_step(task, use_fused=True)
+        opt_state = task.optimizer.init(task.params)
+        stims = make_parity_batch(jax.random.PRNGKey(1), 4, 2)
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            step, used_fused = compile_or_fallback(
+                step, lambda: par.make_train_step(task, use_fused=False),
+                (task.params, opt_state, stims),
+                what="208-column fused step")
+        params, opt_state, loss, *_ = step(task.params, opt_state, stims)
+        assert np.isfinite(float(loss))
+        if not used_fused:
+            assert any("falling back" in str(w.message) for w in rec)
