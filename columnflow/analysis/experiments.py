@@ -319,6 +319,24 @@ def _run_one(name, args, cfg, key):
         print(f"wrote {args.out_dir}/ww_phase_plane.png")
         return
 
+    if name == "latent-sde":
+        # Latent SDE trained by ELBO on the Girsanov KL path
+        # (tasks/latent_sde.py; torchsde's flagship application). Trains
+        # in-process — the model is small enough that the demo trains in
+        # about a minute headless.
+        from columnflow.tasks.latent_sde import (plot_latent_sde,
+                                                 train_latent_sde)
+
+        iters = 300 if args.demo else 800
+        params, task, hist = train_latent_sde(
+            iters=iters, seed=args.seed, time_points=32, n_samples=6,
+            kl_anneal=80)
+        plot_latent_sde(params, task, jax.random.PRNGKey(args.seed + 1),
+                        f"{args.out_dir}/latent_sde.png")
+        print(f"-ELBO {hist[0]['loss']:.1f} -> {hist[-1]['loss']:.1f}; "
+              f"wrote {args.out_dir}/latent_sde.png")
+        return
+
     if name == "hopf-spiral":
         # Reference: the Hopf task's spiral figure
         # (scripts/bifurcation_ode.py:23-64) — ground-truth supercritical-
@@ -423,7 +441,7 @@ def _run_one(name, args, cfg, key):
 
 
 GALLERY = ("coherence", "bistable", "wta-timecourse", "xor-timecourse",
-           "hopf-spiral", "ww-phase-plane")
+           "hopf-spiral", "ww-phase-plane", "latent-sde")
 
 
 def main(argv=None):
@@ -449,7 +467,8 @@ def main(argv=None):
     p.add_argument("experiment", choices=["coherence", "bistable",
                                           "rivalry-sweep", "wta-timecourse",
                                           "xor-timecourse", "ww-phase-plane",
-                                          "hopf-spiral", "all"])
+                                          "hopf-spiral", "latent-sde",
+                                          "all"])
     p.add_argument("--checkpoint", default=None,
                    help="checkpoint path from the wta/xor task trainers")
     p.add_argument("--demo", action="store_true",

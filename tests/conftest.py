@@ -79,6 +79,7 @@ SMOKE_NODE_PREFIXES = (
     "tests/test_native.py::TestPhiloxRNG::test_deterministic",
     # L4 tasks + L5 analysis
     "tests/test_tasks.py::TestXORTask::test_smoke",
+    "tests/test_tasks.py::TestLatentSDETask",
     "tests/test_analysis.py::TestStats::test_dominance_time_alternating_signal",
 )
 
