@@ -74,6 +74,7 @@ SMOKE_NODE_PREFIXES = (
     "tests/test_kernels.py::TestFusedDrift::test_matches_xla_drift",
     # parallel / train / native
     "tests/test_parallel.py::TestDPTraining::test_dp_matches_single_device",
+    "tests/test_parallel.py::TestMultiHost",
     "tests/test_train.py::TestOptimizerTorchParity::test_rmsprop_wta_settings",
     "tests/test_train.py::TestMasksAndClamps",
     "tests/test_native.py::TestPhiloxRNG::test_deterministic",

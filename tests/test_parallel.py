@@ -565,3 +565,32 @@ class TestTPFullScale:
         l_tp = run(make_mesh_2d(2, 4))
         l_1 = run(make_mesh_2d(1, 1))
         np.testing.assert_allclose(l_tp, l_1, rtol=1e-4)
+
+
+class TestMultiHost:
+    """Multi-process scaffold (parallel/multihost.py + tools/
+    dryrun_multihost.py): jax.distributed across N local CPU processes,
+    one process-spanning mesh, GSPMD-all-reduced DP step matching the
+    single-host reference, TP matmul, explicit cross-process psum
+    (SURVEY.md §5 'Distributed communication backend')."""
+
+    def test_two_process_dryrun(self):
+        import json
+        import os
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+        env["JAX_PLATFORMS"] = "cpu"
+        out = subprocess.run(
+            [sys.executable, os.path.join(repo, "tools",
+                                          "dryrun_multihost.py"),
+             "--processes", "2", "--local-devices", "2"],
+            capture_output=True, text=True, env=env, timeout=560)
+        if out.returncode == 2:
+            pytest.skip("environment blocks multi-process launch")
+        assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+        summary = json.loads(out.stdout.strip().splitlines()[-1])
+        assert summary["ok"] and summary["global_devices"] == 4
+        assert all(w["ok"] for w in summary["workers"])
