@@ -37,6 +37,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", type=int, nargs="+", default=[1, 2, 4, 8])
     ap.add_argument("--fused", action="store_true")
+    ap.add_argument("--split2", action="store_true",
+                    help="fused 208-column scale tier (3-pass bf16 "
+                         "matmuls for values/gradients; see tasks/parity)")
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
@@ -50,7 +53,8 @@ def main():
         cpa = (8 * s, 4 * s, 1 * s)
         task = par.build_task(cfg, jax.random.PRNGKey(0),
                               columns_per_area=cpa)
-        step = par.make_train_step(task, use_fused=args.fused)
+        step = par.make_train_step(task, use_fused=args.fused,
+                                   split2=args.split2)
         opt_state = task.optimizer.init(task.params)
         stims = make_parity_batch(jax.random.PRNGKey(1), 4, args.batch)
         path = "fused" if args.fused else "xla"
@@ -71,12 +75,12 @@ def main():
             rec = {"scale": s, "columns": sum(cpa),
                    "state_dim": 3 * task.net.num_pops,
                    "ms_per_step": round(ms, 2),
-                   "path": path}
+                   "path": path + ("-split2" if args.split2 else "")}
         except Exception as e:  # noqa: BLE001 - report and continue the sweep
             rec = {"scale": s, "columns": sum(cpa),
                    "state_dim": 3 * task.net.num_pops,
                    "error": f"{type(e).__name__}: {str(e)[:200]}",
-                   "path": path}
+                   "path": path + ("-split2" if args.split2 else "")}
         print(json.dumps(rec), flush=True)
 
 

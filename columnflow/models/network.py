@@ -490,6 +490,36 @@ def prepare_premixed_split(pw, fc, *rest):
              "iwT": pw["iwT"]}, fc) + rest
 
 
+def matmul_split2(x, w_hi, w_mid):
+    """x @ W from TWO-term bf16 splits of both operands (~16 mantissa
+    bits each): three native bf16 MXU passes (hi*hi + hi*mid + mid*hi)
+    instead of the 6-pass :func:`matmul_split`. Dropped terms (mid*mid
+    and both residuals-beyond-16-bits) are each ~2^-16 |x||W| worst case;
+    with roundoff-like signs they average down by sqrt(K). Measured
+    (round-4 RESULTS "208-column scale tier"): ~4e-6 max-relative per
+    matmul at K=256; 7.7e-8 over a 200-step contracting rollout at
+    P=1664; ~1e-4 end-to-end on the stiff parity readout — f32-grade in
+    practice, documented not exact. The scale tier for >=208-column
+    fused solves, where the step is MXU-pass-bound and half the passes
+    is half the time."""
+    f32 = jnp.float32
+    x_hi = x.astype(jnp.bfloat16)
+    x_mid = (x - x_hi.astype(f32)).astype(jnp.bfloat16)
+    mm = functools.partial(jnp.matmul, preferred_element_type=f32)
+    return mm(x_hi, w_hi) + mm(x_hi, w_mid) + mm(x_mid, w_hi)
+
+
+def prepare_premixed_split2(pw, fc, *rest):
+    """Two-term variant of :func:`prepare_premixed_split` (the ``--fused
+    --split2`` scale tier): the kernels hold 2 bf16 matrices instead of
+    f32 + 3 bf16 and run 5 MXU passes per matmul instead of 6."""
+    f32 = jnp.float32
+    w = pw["wT"]
+    hi = w.astype(jnp.bfloat16)
+    mid = (w - hi.astype(f32)).astype(jnp.bfloat16)
+    return ({"wT_hi": hi, "wT_mid": mid, "iwT": pw["iwT"]}, fc) + rest
+
+
 def network_drift_premixed_gradbf16(t, y, pw, fc: dict, stim: Stimulus,
                                     interp_fn=interp_at):
     """``network_drift_premixed`` with the weight matmuls cast to bf16
@@ -537,9 +567,11 @@ def network_drift_premixed(t, y, pw, fc: dict, stim: Stimulus,
     ext = interp_fn(t, stim.t0, stim.dt, stim.table)  # (B, n_inputs)
 
     hi = jax.lax.Precision.HIGHEST
-    if "wT_hi" in pw:
+    if "wT_lo" in pw:
         rec = matmul_split(fr, pw["wT_hi"], pw["wT_mid"],
                            pw["wT_lo"])
+    elif "wT_hi" in pw:
+        rec = matmul_split2(fr, pw["wT_hi"], pw["wT_mid"])
     else:
         rec = jnp.matmul(fr, pw["wT"], precision=hi)
     current = (

@@ -349,6 +349,23 @@ def _make_bwd_chunk_kernel(func, prep, n_args, chunk, diff_idx,
 
 _VMEM = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
 
+# The TPU v5e has 128 MiB of physical VMEM per core; Mosaic's DEFAULT
+# scoped-vmem budget is a conservative 16 MiB, and THAT default — not the
+# hardware — was the fused engine's 104-column scale ceiling (round-3
+# BASELINE.md: the (P, P) operand plus its in-kernel hi/mid/lo split
+# exceeds 16 MiB at 208 columns). Raising the budget extends VMEM-resident
+# weights to ~312 columns (measured, round 4); genuinely over-budget
+# programs still fail at compile time and route through
+# ``compile_or_fallback``. Override with COLUMNFLOW_VMEM_LIMIT_MB.
+import os as _os
+
+_VMEM_LIMIT_BYTES = int(_os.environ.get("COLUMNFLOW_VMEM_LIMIT_MB",
+                                        "100")) << 20
+
+
+def _cparams():
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
+
 
 def _flatten_for_kernel(user_func, args, nondiff_args, prepare=None):
     """Flatten pytree ``args`` into kernel-ready array operands.
@@ -420,6 +437,9 @@ def odeint_dopri5_fused(
     nondiff_args: tuple = (),
     arg_grads: str = "auto",
     prepare: Callable | None = None,
+    select_func: Callable | None = None,
+    select_args: tuple | None = None,
+    select_prepare: Callable | None = None,
     interpret: bool = False,
 ):
     """Adaptive dopri5 with every hot loop inside a Pallas kernel.
@@ -457,6 +477,15 @@ def odeint_dopri5_fused(
     f32 ``HIGHEST`` matmuls, allocated as per-stage decomposition buffers by
     the compiler, which OOMs VMEM for large weight matrices). Gradients
     still flow to the ORIGINAL args, chained through ``prepare``.
+
+    ``select_func``/``select_args``/``select_prepare`` override the drift
+    the step-size SELECTION pass uses (e.g. a single-pass bf16 drift at
+    large pop counts, where selection is ~30% of the MXU passes) — the
+    same design as the stochastic engine's ``select_drift``
+    (solvers/sde_adaptive.py): only the frozen accepted grid changes;
+    values and gradients always come from the full-precision ``func``.
+    Selection takes no gradients, so ``select_args`` needs no diff
+    bookkeeping.
     """
     # ts must be concrete (the integration span is baked into the kernels);
     # np.asarray fails loudly on a traced ts.
@@ -492,18 +521,27 @@ def odeint_dopri5_fused(
         arg_grads = "kernel"  # nothing to lift out of the kernel
 
     # --- adaptive pass (defines the frozen step sequence; no gradients) ---
+    if select_func is not None:
+        s_args_in = args if select_args is None else tuple(select_args)
+        s_func, s_prep, s_dyn, _ = _flatten_for_kernel(
+            select_func, s_args_in,
+            tuple(range(len(s_args_in))),  # selection takes no gradients
+            select_prepare)
+    else:
+        s_func, s_prep, s_dyn = func, prep, args
     adaptive = pl.pallas_call(
-        _make_adaptive_kernel(func, prep, n_args, t_start, t_end, rtol,
-                              atol, dt0, max_steps),
+        _make_adaptive_kernel(s_func, s_prep, len(s_dyn), t_start, t_end,
+                              rtol, atol, dt0, max_steps),
         out_shape=(jax.ShapeDtypeStruct((max_steps + 1,), y0.dtype),
                    jax.ShapeDtypeStruct((3,), jnp.int32)),
-        in_specs=[_VMEM()] * (1 + n_args),
+        in_specs=[_VMEM()] * (1 + len(s_dyn)),
         out_specs=(pl.BlockSpec(memory_space=pltpu.SMEM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
+        compiler_params=_cparams(),
         interpret=interpret,
     )
     step_times, stats = adaptive(jax.lax.stop_gradient(y0),
-                                 *jax.lax.stop_gradient(args))
+                                 *jax.lax.stop_gradient(s_dyn))
     step_times = jax.lax.stop_gradient(step_times)
     naccept = jax.lax.stop_gradient(stats[0])
 
@@ -515,6 +553,7 @@ def odeint_dopri5_fused(
         in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
                   + [_VMEM()] * (1 + n_args)),
         out_specs=(_VMEM(),) * 3,
+        compiler_params=_cparams(),
         interpret=interpret,
     )
     if arg_grads == "outer":
@@ -528,6 +567,7 @@ def odeint_dopri5_fused(
             in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
                       + [_VMEM()] * (3 + n_args)),
             out_specs=(_VMEM(), _VMEM()),
+            compiler_params=_cparams(),
             interpret=interpret,
         )
     else:
@@ -540,6 +580,7 @@ def odeint_dopri5_fused(
             in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
                       + [_VMEM()] * (3 + n_args)),
             out_specs=(_VMEM(),) * (1 + len(diff_idx)),
+            compiler_params=_cparams(),
             interpret=interpret,
         )
 
@@ -1148,6 +1189,7 @@ def sdeint_fused(
             in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)] * n_smem
                       + [_VMEM()] * (n_vmem_extra + 3 + n_args)),
             out_specs=(_VMEM(), _VMEM()),
+            compiler_params=_cparams(),
             interpret=interpret,
         )
         if arg_grads == "outer":
@@ -1160,6 +1202,7 @@ def sdeint_fused(
                 in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)] * n_smem
                           + [_VMEM()] * (n_vmem_extra + 5 + n_args)),
                 out_specs=(_VMEM(), _VMEM()),
+                compiler_params=_cparams(),
                 interpret=interpret,
             )
         else:
@@ -1174,6 +1217,7 @@ def sdeint_fused(
                 in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)] * n_smem
                           + [_VMEM()] * (n_vmem_extra + 5 + n_args)),
                 out_specs=(_VMEM(),) * (1 + len(diff_idx)),
+                compiler_params=_cparams(),
                 interpret=interpret,
             )
         return fwd, bwd

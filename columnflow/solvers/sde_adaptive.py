@@ -630,7 +630,8 @@ def _adaptive_pass_fused(drift, diffusion, y0, key, t_start, t_end, rtol,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    from columnflow.solvers.fused import _VMEM, _flatten_for_kernel
+    from columnflow.solvers.fused import (_VMEM, _cparams as _fused_cparams,
+                                          _flatten_for_kernel)
 
     wrapped_drift, prep, dyn, _ = _flatten_for_kernel(drift, args, (),
                                                       prepare)
@@ -650,6 +651,7 @@ def _adaptive_pass_fused(drift, diffusion, y0, key, t_start, t_end, rtol,
                   + [_VMEM()] * n_args),
         out_specs=(pl.BlockSpec(memory_space=pltpu.SMEM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
+        compiler_params=_fused_cparams(),
         interpret=interpret,
     )
     st, stats = call(jax.lax.stop_gradient(y0), keys4,

@@ -99,7 +99,8 @@ def batched_rollout(params, task: ParityTask, stims_raw, method=None,
                     adaptive_bptt_every: int | None = None,
                     select_bf16: bool = False,
                     fused_pass: bool = False,
-                    grad_bf16: bool = False):
+                    grad_bf16: bool = False,
+                    split2: bool = False):
     """Integrate a batch of input patterns: (B, n_inputs) -> (B, T, 3P).
 
     ``adaptive_max_steps=None`` uses ``task.max_steps`` — ONE solver step
@@ -176,6 +177,11 @@ def batched_rollout(params, task: ParityTask, stims_raw, method=None,
         raise ValueError("grad_bf16 requires stochastic=True, adaptive=True "
                          "and use_fused=True (it substitutes the outer "
                          "arg-gradient sweep of the fused replay)")
+    if split2 and not (use_fused and not stochastic):
+        raise ValueError("split2 is the deterministic fused engine's "
+                         "208-column scale tier (3-pass bf16 weight "
+                         "matmuls); it requires use_fused=True, "
+                         "stochastic=False")
 
     if stochastic:
         if key is None:
@@ -412,6 +418,7 @@ def batched_rollout(params, task: ParityTask, stims_raw, method=None,
             network_drift_premixed,
             premix_network_weights,
             prepare_premixed_split,
+            prepare_premixed_split2,
         )
         from columnflow.ops.interp import interp_knots, step_table_knots
         from columnflow.solvers import odeint_dopri5_fused
@@ -431,14 +438,28 @@ def batched_rollout(params, task: ParityTask, stims_raw, method=None,
             )
 
         y0 = jnp.zeros((stims_raw.shape[0], state_dim))
+        pw = premix_network_weights(params, task.net)
+        sel_kw = {}
+        if split2:
+            # 208-column scale tier: values and gradient sweeps run the
+            # 3-pass bf16 weight matmuls (matmul_split2, f32-grade in
+            # practice — measured 7.7e-8 rel at P=1664), while the
+            # step-size SELECTION keeps the exact 6-pass drift so the
+            # frozen accepted grid is IDENTICAL to the full-precision
+            # engine's (a bf16-noisy selection drift at the reference
+            # rtol=1e-7 would be noise-floor-limited and livelock).
+            sel_kw = dict(select_func=drift, select_args=(pw, fc, kvals),
+                          select_prepare=prepare_premixed_split)
         # prepare=prepare_premixed_split: bf16 hi/lo weight split hoisted out
         # of the RK stage loop — at large pop counts the compiler's own f32
         # HIGHEST decomposition buffers otherwise OOM VMEM (solvers/fused.py).
         ys = odeint_dopri5_fused(
-            drift, y0, task.ts, premix_network_weights(params, task.net),
+            drift, y0, task.ts, pw,
             fc, kvals, max_steps=task.max_steps,
             nondiff_args=(1, 2),  # anatomy + stimulus are data
-            prepare=prepare_premixed_split,
+            prepare=(prepare_premixed_split2 if split2
+                     else prepare_premixed_split),
+            **sel_kw,
             interpret=jax.default_backend() == "cpu",
         )  # (T, B, 3P)
         return jnp.transpose(ys, (1, 0, 2))
@@ -482,7 +503,7 @@ def _step_core(task: ParityTask, use_fused: bool = False,
                bptt_every: int | None = None,
                clip_grad_norm: float | None = None,
                select_bf16: bool = False, fused_pass: bool = False,
-               grad_bf16: bool = False):
+               grad_bf16: bool = False, split2: bool = False):
     """``loss_scale`` scales the loss before backprop and unscales the
     gradients after — mathematically a no-op, but it keeps intermediate
     cotangents inside the f32 range. Needed at the 104-column adaptive
@@ -507,7 +528,7 @@ def _step_core(task: ParityTask, use_fused: bool = False,
                                  adaptive_bptt_every=bptt_every,
                                  select_bf16=select_bf16,
                                  fused_pass=fused_pass,
-                                 grad_bf16=grad_bf16)
+                                 grad_bf16=grad_bf16, split2=split2)
             out = readout(ys, p, task.net)
             loss = jnp.mean(jnp.abs(out - parity_targets(stims_raw)))
             return loss * loss_scale, (out, loss)
@@ -562,11 +583,11 @@ def make_train_step(task: ParityTask, use_fused: bool = False,
                     bptt_every: int | None = None,
                     clip_grad_norm: float | None = None,
                     select_bf16: bool = False, fused_pass: bool = False,
-                    grad_bf16: bool = False):
+                    grad_bf16: bool = False, split2: bool = False):
     return jax.jit(_step_core(task, use_fused, stochastic, adaptive,
                               reference_rails, loss_scale, bptt_every,
                               clip_grad_norm, select_bf16, fused_pass,
-                              grad_bf16),
+                              grad_bf16, split2),
                    donate_argnums=(0, 1))
 
 
@@ -578,7 +599,7 @@ def make_train_scan(task: ParityTask, use_fused: bool = False,
                     bptt_every: int | None = None,
                     clip_grad_norm: float | None = None,
                     select_bf16: bool = False, fused_pass: bool = False,
-                    grad_bf16: bool = False):
+                    grad_bf16: bool = False, split2: bool = False):
     """K training iterations per dispatch: batch generation, rollout,
     loss, rails, update and best-params tracking all inside one
     jitted ``lax.scan``. On the TPU tunnel every host round-trip
@@ -592,7 +613,8 @@ def make_train_scan(task: ParityTask, use_fused: bool = False,
     """
     core = _step_core(task, use_fused, stochastic, adaptive,
                       reference_rails, loss_scale, bptt_every,
-                      clip_grad_norm, select_bf16, fused_pass, grad_bf16)
+                      clip_grad_norm, select_bf16, fused_pass, grad_bf16,
+                      split2)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_scan(params, opt_state, best, keys):
@@ -695,6 +717,7 @@ def train_parity(
     select_bf16: bool = False,
     fused_pass: bool = False,
     grad_bf16: bool = False,
+    split2: bool = False,
     ode_method: str = "dopri5",
     rtol: float = 1e-7,
     atol: float = 1e-9,
@@ -730,7 +753,7 @@ def train_parity(
                               clip_grad_norm=clip_grad_norm,
                               select_bf16=select_bf16,
                               fused_pass=fused_pass,
-                              grad_bf16=grad_bf16)
+                              grad_bf16=grad_bf16, split2=split2)
 
     # Solver observability (SURVEY.md section 5): adaptive-step statistics
     # every stats_every iterations - naccept growth flags the approaching
@@ -831,7 +854,8 @@ def train_parity(
                 reference_rails=reference_rails, loss_scale=loss_scale,
                 bptt_every=bptt_every, clip_grad_norm=clip_grad_norm,
                 select_bf16=select_bf16, fused_pass=fused_pass,
-                grad_bf16=grad_bf16),
+                grad_bf16=grad_bf16),  # fallback is the XLA engine: split2
+                                       # (a fused-only tier) stays off
             (params, opt_state, best,
              jax.random.split(jax.random.PRNGKey(0), block)),
             what="parity --fused")
@@ -894,7 +918,7 @@ def train_parity(
         ys = batched_rollout(p, task, eval_stims, differentiable=False,
                              use_fused=use_fused, stochastic=stochastic,
                              adaptive=adaptive, select_bf16=select_bf16,
-                             fused_pass=fused_pass,
+                             fused_pass=fused_pass, split2=split2,
                              key=jax.random.PRNGKey(1234)
                              if stochastic else None)
         out = readout(ys, p, task.net)
@@ -989,6 +1013,14 @@ def main():
                         "bandwidth-bound adaptive pass at large scale, "
                         "RESULTS.md); values and gradients still come from "
                         "the f32 replay over the frozen step grid")
+    p.add_argument("--split2", action="store_true",
+                   help="with --fused (deterministic): the 208-column "
+                        "scale tier -- values/gradient matmuls as 3-pass "
+                        "two-term bf16 splits (f32-grade in practice, "
+                        "measured 7.7e-8 rel at P=1664), step-size "
+                        "selection stays exact 6-pass so the accepted "
+                        "grid equals the full-precision engine's "
+                        "(RESULTS.md round 4)")
     p.add_argument("--loss-scale", type=float, default=1.0,
                    help="scale the loss before backprop, unscale gradients "
                         "after (a mathematical no-op that keeps reverse-"
@@ -1074,6 +1106,7 @@ def main():
             select_bf16=args.select_bf16,
             fused_pass=args.fused_pass,
             grad_bf16=args.grad_bf16,
+            split2=args.split2,
             ode_method=args.ode_method,
             rtol=args.rtol, atol=args.atol,
         )
@@ -1097,6 +1130,7 @@ def main():
             select_bf16=args.select_bf16,
             fused_pass=args.fused_pass,
             grad_bf16=args.grad_bf16,
+            split2=args.split2,
             ode_method=args.ode_method,
             rtol=args.rtol, atol=args.atol,
         )

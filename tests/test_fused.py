@@ -773,3 +773,98 @@ class TestCompileOrFallback:
                                            (jnp.ones(3),))
         assert not used and fn is fallback
         np.testing.assert_allclose(np.asarray(fn(jnp.ones(3))), 2.0)
+
+
+class TestSelectFuncAndSplit2:
+    """Round-4 scale tier: ``odeint_dopri5_fused(select_func=...)``
+    (selection-drift override, deterministic analog of the stochastic
+    engine's select_drift) and the parity trainer's ``split2`` 3-pass
+    bf16 value/gradient tier (models.network.matmul_split2)."""
+
+    def test_select_func_same_drift_is_identity(self):
+        from columnflow.solvers.fused import odeint_dopri5_fused
+
+        ts = jnp.linspace(0.0, 3.0, 40)
+        y0 = jnp.arange(1.0, 9.0).reshape(2, 4)
+        k = jnp.full((2, 4), 0.7)
+        base = odeint_dopri5_fused(_exp_drift, y0, ts, k, max_steps=256,
+                                   chunk=32, interpret=True)
+        same = odeint_dopri5_fused(_exp_drift, y0, ts, k, max_steps=256,
+                                   chunk=32, select_func=_exp_drift,
+                                   select_args=(k,), interpret=True)
+        np.testing.assert_array_equal(np.asarray(same), np.asarray(base))
+
+    def test_select_func_steers_grid_not_values(self):
+        """A stiffer selection drift forces a denser grid; values still
+        come from the true drift, so the result matches the base solve to
+        solver tolerance (a denser grid can only help)."""
+        from columnflow.solvers.fused import odeint_dopri5_fused
+
+        ts = jnp.linspace(0.0, 3.0, 40)
+        y0 = jnp.arange(1.0, 9.0).reshape(2, 4)
+        k = jnp.full((2, 4), 0.7)
+        stiff = lambda t, y, kk: _exp_drift(t, y, 30.0 * kk)
+        base = odeint_dopri5_fused(_exp_drift, y0, ts, k, max_steps=1024,
+                                   chunk=32, interpret=True)
+        dense = odeint_dopri5_fused(_exp_drift, y0, ts, k, max_steps=1024,
+                                    chunk=32, select_func=stiff,
+                                    select_args=(k,), interpret=True)
+        np.testing.assert_allclose(np.asarray(dense), np.asarray(base),
+                                   rtol=1e-5, atol=1e-7)
+
+    def test_matmul_split2_accuracy(self):
+        from columnflow.models.network import matmul_split2
+
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (4, 256))
+        w = jax.random.normal(jax.random.fold_in(key, 1), (256, 256))
+        want = jnp.matmul(x, w, precision=jax.lax.Precision.HIGHEST)
+        f32 = jnp.float32
+        w_hi = w.astype(jnp.bfloat16)
+        w_mid = (w - w_hi.astype(f32)).astype(jnp.bfloat16)
+        got = matmul_split2(x, w_hi, w_mid)
+        rel = float(jnp.max(jnp.abs(got - want)) / jnp.max(jnp.abs(want)))
+        assert rel < 1e-5, rel  # 2^-16-class terms average down by sqrt(K)
+        # (measured 3.9e-6 max-rel at K=256 with N(0,1) operands)
+
+    def test_parity_split2_values_and_grads_near_exact(self):
+        from columnflow.config import ColumnConfig
+        from columnflow.data import make_parity_batch
+        from columnflow.tasks import parity as par
+
+        cfg = ColumnConfig.load()
+        task = par.build_task(cfg, jax.random.PRNGKey(0),
+                              columns_per_area=(2, 1), n_inputs=2,
+                              time_steps=80, max_steps=512)
+        stims = make_parity_batch(jax.random.PRNGKey(1), 2, 2)
+
+        def loss(p, split2):
+            ys = par.batched_rollout(p, task, stims, use_fused=True,
+                                     split2=split2)
+            return jnp.sum(par.readout(ys, p, task.net) ** 2)
+
+        l0, g0 = jax.value_and_grad(lambda p: loss(p, False))(task.params)
+        l1, g1 = jax.value_and_grad(lambda p: loss(p, True))(task.params)
+        # Measured tier error: 1.2e-4 relative on this stiff 80-step
+        # workload's squared readout (the exact engine's XLA-parity
+        # contract stays with split2=False).
+        np.testing.assert_allclose(float(l1), float(l0), rtol=1e-3)
+        for k in g0:
+            a, b = np.asarray(g0[k]), np.asarray(g1[k])
+            assert np.all(np.isfinite(b)), k
+            scale = max(1e-6, float(np.abs(a).max()))
+            np.testing.assert_allclose(b, a, rtol=5e-3, atol=5e-3 * scale,
+                                       err_msg=k)
+
+    def test_split2_requires_deterministic_fused(self):
+        from columnflow.config import ColumnConfig
+        from columnflow.data import make_parity_batch
+        from columnflow.tasks import parity as par
+
+        cfg = ColumnConfig.load()
+        task = par.build_task(cfg, jax.random.PRNGKey(0),
+                              columns_per_area=(2, 1), n_inputs=2,
+                              time_steps=60, max_steps=256)
+        stims = make_parity_batch(jax.random.PRNGKey(1), 2, 2)
+        with pytest.raises(ValueError, match="split2"):
+            par.batched_rollout(task.params, task, stims, split2=True)
