@@ -295,7 +295,12 @@ def bench_parity_adaptive(iters: int = 5):
     step = pt.make_train_step(task, use_fused=True, stochastic=True,
                               adaptive=True, bptt_every=32,
                               clip_grad_norm=1.0, loss_scale=1e-6,
-                              select_bf16=True, grad_bf16=True)
+                              select_bf16=True, grad_bf16=True,
+                              # round-4 tier: replay values/state-cotangent
+                              # sweeps as 3-pass bf16 splits (measured 11%
+                              # step win at identical convergence,
+                              # RESULTS.md "ceiling, broken")
+                              split2=True)
     params = task.params
     opt_state = task.optimizer.init(params)
     key = jax.random.PRNGKey(1)

@@ -177,11 +177,12 @@ def batched_rollout(params, task: ParityTask, stims_raw, method=None,
         raise ValueError("grad_bf16 requires stochastic=True, adaptive=True "
                          "and use_fused=True (it substitutes the outer "
                          "arg-gradient sweep of the fused replay)")
-    if split2 and not (use_fused and not stochastic):
-        raise ValueError("split2 is the deterministic fused engine's "
-                         "208-column scale tier (3-pass bf16 weight "
-                         "matmuls); it requires use_fused=True, "
-                         "stochastic=False")
+    if split2 and not (use_fused and
+                       (not stochastic or (stochastic and adaptive))):
+        raise ValueError("split2 is the fused engines' scale tier (3-pass "
+                         "bf16 weight matmuls); it requires use_fused=True "
+                         "and either the deterministic path or "
+                         "stochastic=True adaptive=True")
 
     if stochastic:
         if key is None:
@@ -248,6 +249,7 @@ def batched_rollout(params, task: ParityTask, stims_raw, method=None,
                     network_drift_premixed,
                     premix_network_weights,
                     prepare_premixed_split,
+                    prepare_premixed_split2,
                 )
                 from columnflow.ops.interp import interp_knots, step_table_knots
 
@@ -328,7 +330,13 @@ def batched_rollout(params, task: ParityTask, stims_raw, method=None,
                     fused=True, fused_drift=a_drift, fused_diffusion=a_diff,
                     fused_args=(pw, fc, jnp.moveaxis(kvals_all, 0, 1)),
                     fused_y0=jnp.zeros((B, state_dim)),
-                    nondiff_args=(1, 2), prepare=prepare_premixed_split,
+                    nondiff_args=(1, 2),
+                    # split2: the replay's values and state-cotangent
+                    # sweeps run the 3-pass bf16 tier (matmul_split2) —
+                    # well inside the rtol=1e-3 regime this path
+                    # integrates at; selection/grad precision unchanged.
+                    prepare=(prepare_premixed_split2 if split2
+                             else prepare_premixed_split),
                     vjp_drift=g_drift if grad_bf16 else None,
                     vjp_diffusion=a_diff if grad_bf16 else None,
                 )                                       # (B, T, 3P)

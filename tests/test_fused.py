@@ -868,3 +868,35 @@ class TestSelectFuncAndSplit2:
         stims = make_parity_batch(jax.random.PRNGKey(1), 2, 2)
         with pytest.raises(ValueError, match="split2"):
             par.batched_rollout(task.params, task, stims, split2=True)
+
+    def test_stochastic_adaptive_split2(self):
+        """The flagship stochastic-adaptive fused path with split2: the
+        selection pass is untouched (identical frozen grids), so values/
+        gradients differ from the exact tier only by the 3-pass replay —
+        close at tier tolerance, and the step is jit/grad-safe."""
+        from columnflow.config import ColumnConfig
+        from columnflow.data import make_parity_batch
+        from columnflow.tasks import parity as par
+
+        cfg = ColumnConfig.load()
+        task = par.build_task(cfg, jax.random.PRNGKey(0),
+                              columns_per_area=(2, 1), n_inputs=2,
+                              time_steps=60, max_steps=512)
+        stims = make_parity_batch(jax.random.PRNGKey(1), 2, 2)
+        key = jax.random.PRNGKey(3)
+
+        def loss(p, split2):
+            ys = par.batched_rollout(p, task, stims, use_fused=True,
+                                     stochastic=True, adaptive=True,
+                                     key=key, split2=split2)
+            return jnp.sum(par.readout(ys, p, task.net) ** 2)
+
+        l0, g0 = jax.value_and_grad(lambda p: loss(p, False))(task.params)
+        l1, g1 = jax.value_and_grad(lambda p: loss(p, True))(task.params)
+        np.testing.assert_allclose(float(l1), float(l0), rtol=5e-3)
+        for k in g0:
+            a, b = np.asarray(g0[k]), np.asarray(g1[k])
+            assert np.all(np.isfinite(b)), k
+            scale = max(1e-6, float(np.abs(a).max()))
+            np.testing.assert_allclose(b, a, rtol=2e-2, atol=1e-2 * scale,
+                                       err_msg=k)
