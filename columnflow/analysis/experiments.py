@@ -327,10 +327,11 @@ def _run_one(name, args, cfg, key):
         from columnflow.tasks.latent_sde import (plot_latent_sde,
                                                  train_latent_sde)
 
-        iters = 300 if args.demo else 800
+        iters = (args.train_iters if args.train_iters
+                 else (300 if args.demo else 800))
         params, task, hist = train_latent_sde(
             iters=iters, seed=args.seed, time_points=32, n_samples=6,
-            kl_anneal=80)
+            kl_anneal=min(80, max(1, iters // 3)))
         plot_latent_sde(params, task, jax.random.PRNGKey(args.seed + 1),
                         f"{args.out_dir}/latent_sde.png")
         print(f"-ELBO {hist[0]['loss']:.1f} -> {hist[-1]['loss']:.1f}; "
@@ -479,6 +480,9 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--iterations", type=int, default=10,
                    help="bistable: number of chained 10 s segments")
+    p.add_argument("--train-iters", type=int, default=None,
+                   help="latent-sde: training iterations for the panel "
+                        "(default 300 with --demo, 800 without)")
     p.add_argument("--mu", type=float, default=30.0,
                    help="ww-phase-plane: mean external drive mu0")
     p.add_argument("--coherence", type=float, default=0.0,

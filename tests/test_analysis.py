@@ -309,11 +309,11 @@ class TestGallery:
         from columnflow.analysis.experiments import GALLERY, main
 
         main(["all", "--demo", "--out-dir", str(tmp_path),
-              "--iterations", "2"])
+              "--iterations", "2", "--train-iters", "20"])
         wrote = sorted(p.name for p in tmp_path.iterdir())
         want = {"coherence.png", "dominance.png", "wta_timecourse.png",
                 "xor_timecourse.png", "hopf_spiral.png",
-                "ww_phase_plane.png"}
+                "ww_phase_plane.png", "latent_sde.png"}
         assert want <= set(wrote), wrote
         assert len(GALLERY) == len(want)
         for p in tmp_path.iterdir():
