@@ -43,6 +43,8 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
+    if args.split2 and not args.fused:
+        ap.error("--split2 requires --fused (it is a fused-engine tier)")
 
     from columnflow.config import ColumnConfig
     from columnflow.data import make_parity_batch
@@ -57,7 +59,8 @@ def main():
                                    split2=args.split2)
         opt_state = task.optimizer.init(task.params)
         stims = make_parity_batch(jax.random.PRNGKey(1), 4, args.batch)
-        path = "fused" if args.fused else "xla"
+        path = ("fused" + ("-split2" if args.split2 else "")
+                if args.fused else "xla")
         if args.fused:
             # Same graceful fallback the trainer applies: past the VMEM
             # ceiling the row records the XLA-fallback timing instead of a
@@ -68,19 +71,22 @@ def main():
                 step, lambda: par.make_train_step(task, use_fused=False),
                 (task.params, opt_state, stims),
                 what=f"parity fused step at {sum(cpa)} columns")
-            path = "fused" if used_fused else "xla-fallback"
+            if used_fused:
+                path = "fused" + ("-split2" if args.split2 else "")
+            else:
+                path = "xla-fallback"
         try:
             ms = time_step(step, task.params, opt_state, stims,
                            iters=args.iters)
             rec = {"scale": s, "columns": sum(cpa),
                    "state_dim": 3 * task.net.num_pops,
                    "ms_per_step": round(ms, 2),
-                   "path": path + ("-split2" if args.split2 else "")}
+                   "path": path}
         except Exception as e:  # noqa: BLE001 - report and continue the sweep
             rec = {"scale": s, "columns": sum(cpa),
                    "state_dim": 3 * task.net.num_pops,
                    "error": f"{type(e).__name__}: {str(e)[:200]}",
-                   "path": path + ("-split2" if args.split2 else "")}
+                   "path": path}
         print(json.dumps(rec), flush=True)
 
 

@@ -35,6 +35,17 @@ import jax  # noqa: E402
 
 if not TPU_TIER:
     jax.config.update("jax_platforms", "cpu")
+    # Persistent compilation cache (round-4 gate-time work): the suite is
+    # compile-dominated on this single-core box, and the per-module
+    # in-memory cache clear below (required for compiler stability) forces
+    # recompiles that the disk cache then serves. Measured: repeat module
+    # runs ~35% faster; the round-close gate re-runs the same code state
+    # and gets warm-cache time. The directory is repo-local and
+    # gitignored.
+    _cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 jax.config.update("jax_threefry_partitionable", True)
 
 
@@ -84,6 +95,59 @@ SMOKE_NODE_PREFIXES = (
     "tests/test_analysis.py::TestStats::test_dominance_time_alternating_signal",
 )
 
+# Slow tier (round-4 VERDICT "Next" #5: cap the default gate at <= 30
+# min): the LONG-TAIL tests — at-scale parity sweeps whose subject is
+# separately witnessed by an always-on small variant, statistical/
+# convergence-order studies, and per-task duplicates of engine paths that
+# another task keeps exercising every run. They are SKIPPED (visibly) by
+# the default `pytest tests/` and run with
+#     COLUMNFLOW_SLOW_TESTS=1 python -m pytest tests/ -m slow -q
+# at round close / when their subsystem changed. Nothing is deleted; the
+# default gate keeps at least one always-on representative of every
+# subsystem these cover.
+SLOW_TESTS_ON = os.environ.get("COLUMNFLOW_SLOW_TESTS") == "1"
+SLOW_NODE_PREFIXES = (
+    # TP at full scale (small always-on representative:
+    # TestTPFullScale::test_tp_stochastic_adaptive_matches_unsharded_small
+    # + the scale-representative dryrun mode)
+    "tests/test_parallel.py::TestTPFullScale::test_tp_loss_parity_full_horizon_104_columns",
+    "tests/test_parallel.py::TestTPFullScale::test_tp_full_parity_208_columns",
+    "tests/test_parallel.py::TestTPFullScale::test_tp_full_parity_104_columns",
+    "tests/test_parallel.py::TestTPFullScale::test_tp_stochastic_adaptive_step_104_columns",
+    # subsumed by TestTPTraining::test_tp_matches_unsharded
+    "tests/test_parallel.py::TestTPTraining::test_tp_step_runs_sharded",
+    # always-on representative: TestTaskDPSteps::test_parity_dp_step
+    "tests/test_parallel.py::TestTaskDPSteps::test_parity_dp_step_stochastic_adaptive",
+    # statistical tolerance/convergence studies
+    "tests/test_sde_adaptive.py::TestAdaptiveSDE::test_tolerance_controls_error",
+    "tests/test_sde_adaptive.py::TestAdaptiveSDE::test_euler_additive_noise",
+    "tests/test_sde.py::TestDtSubstep::test_refinement_improves_strong_error",
+    "tests/test_ode.py::TestDop853::test_dense_output_seventh_order",
+    "tests/test_ode.py::TestDop853::test_endpoint_accuracy",
+    "tests/test_legacy_scale.py::test_legacy_lr001_converges_lr10_does_not",
+    # batched-replay method matrix (always-on representative: [sra1])
+    "tests/test_sde_adaptive.py::TestBatchedReplay::test_matches_vmapped_per_sample[euler]",
+    "tests/test_sde_adaptive.py::TestBatchedReplay::test_matches_vmapped_per_sample[milstein]",
+    "tests/test_sde_adaptive.py::TestLargeNetworkStability",
+    # cross-method column-physics rollouts (convergence studies)
+    "tests/test_esdirk.py::TestColumnStiff::test_xor_rollout_matches_dopri5",
+    "tests/test_esdirk.py::TestColumnStiff::test_parity_task_method_plumbing",
+    # checkpoint/resume plumbing x 4 tasks (always-on representative:
+    # TestWTAResume::test_checkpoint_resume_fast_path)
+    "tests/test_tasks.py::TestParityTask::test_checkpoint_resume",
+    "tests/test_tasks.py::TestXORResume::test_checkpoint_resume",
+    "tests/test_tasks.py::TestBifurcationResume::test_checkpoint_resume",
+    # XOR-side stochastic/fused matrix (parity-side equivalents always on)
+    "tests/test_tasks.py::TestXORStochastic",
+    "tests/test_tasks.py::TestXORTask::test_fused_pass_rollout_and_grads",
+    "tests/test_tasks.py::TestParityTask::test_loss_scale_is_gradient_noop",
+    "tests/test_tasks.py::TestParityStochastic::test_fused_pass_rollout_and_grads[False]",
+    # chunk-size equality at large size (smaller chunk variants always on)
+    "tests/test_kernels.py::TestChunkedBackward::test_chunked_matches_unchunked",
+    # vmap-compose of the adaptive adjoint (unbatched tests always on)
+    "tests/test_sde_adjoint.py::TestAdaptiveAdjointBatch::test_vmap_over_keys",
+)
+
 
 def pytest_configure(config):
     config.addinivalue_line(
@@ -95,6 +159,13 @@ def pytest_configure(config):
         "markers",
         "smoke: fast tier — one representative test per subsystem "
         "(< 5 min; applied at collection from conftest.SMOKE_NODE_PREFIXES)",
+    )
+    config.addinivalue_line(
+        "markers",
+        "slow: long-tail tier (at-scale sweeps, statistical convergence "
+        "studies, cross-task duplicates) — skipped by the default gate; "
+        "run with COLUMNFLOW_SLOW_TESTS=1 [-m slow] "
+        "(conftest.SLOW_NODE_PREFIXES)",
     )
     # In TPU mode the rest of the suite assumes the 8-device CPU platform;
     # restrict collection to the tpu tier unless the caller said otherwise.
@@ -119,11 +190,21 @@ def _clear_jax_caches_between_modules():
 
 
 def pytest_collection_modifyitems(config, items):
+    slow_requested = SLOW_TESTS_ON or "slow" in (config.option.markexpr
+                                                 or "")
+    slow_skip = pytest.mark.skip(
+        reason="slow tier: COLUMNFLOW_SLOW_TESTS=1 (or -m slow) runs it; "
+               "see conftest.SLOW_NODE_PREFIXES")
     for item in items:
         nid = item.nodeid
         if any(nid == p or nid.startswith(p + "::")
                for p in SMOKE_NODE_PREFIXES):
             item.add_marker(pytest.mark.smoke)
+        if any(nid == p or nid.startswith(p + "::")
+               for p in SLOW_NODE_PREFIXES):
+            item.add_marker(pytest.mark.slow)
+            if not slow_requested:
+                item.add_marker(slow_skip)
     if TPU_TIER and jax.default_backend() != "cpu":
         return
     reason = (
