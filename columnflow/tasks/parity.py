@@ -449,15 +449,31 @@ def batched_rollout(params, task: ParityTask, stims_raw, method=None,
         pw = premix_network_weights(params, task.net)
         sel_kw = {}
         if split2:
-            # 208-column scale tier: values and gradient sweeps run the
+            # Scale tier (round 4): values and gradient sweeps run the
             # 3-pass bf16 weight matmuls (matmul_split2, f32-grade in
-            # practice — measured 7.7e-8 rel at P=1664), while the
-            # step-size SELECTION keeps the exact 6-pass drift so the
-            # frozen accepted grid is IDENTICAL to the full-precision
-            # engine's (a bf16-noisy selection drift at the reference
-            # rtol=1e-7 would be noise-floor-limited and livelock).
-            sel_kw = dict(select_func=drift, select_args=(pw, fc, kvals),
-                          select_prepare=prepare_premixed_split)
+            # practice — measured ~1e-4 end-to-end), while the step-size
+            # SELECTION keeps the exact 6-pass drift so the frozen
+            # accepted grid is IDENTICAL to the full-precision engine's
+            # (a bf16-noisy selection drift at the reference rtol=1e-7
+            # would be noise-floor-limited and livelock). The selection
+            # split is computed OUTSIDE the kernel (numerically identical
+            # — same cast/subtract ops at the XLA level) so the
+            # gradient-free selection kernel holds 3 bf16 matrices
+            # instead of f32 + 3 bf16: that kernel was the 416-column
+            # compile blocker (value kernels with the in-kernel 2-term
+            # prepare fit the budget to 416; presplitting the VALUE args
+            # instead would force bf16 cotangent accumulators and degrade
+            # weight gradients to bf16-grade — measured, rejected).
+            f32 = jnp.float32
+            w = pw["wT"]
+            w_hi = w.astype(jnp.bfloat16)
+            r = w - w_hi.astype(f32)
+            w_mid = r.astype(jnp.bfloat16)
+            w_lo = (r - w_mid.astype(f32)).astype(jnp.bfloat16)
+            pw3 = {"wT_hi": w_hi, "wT_mid": w_mid, "wT_lo": w_lo,
+                   "iwT": pw["iwT"]}
+            sel_kw = dict(select_func=drift,
+                          select_args=(pw3, fc, kvals))
         # prepare=prepare_premixed_split: bf16 hi/lo weight split hoisted out
         # of the RK stage loop — at large pop counts the compiler's own f32
         # HIGHEST decomposition buffers otherwise OOM VMEM (solvers/fused.py).
