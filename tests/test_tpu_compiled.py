@@ -444,3 +444,41 @@ class TestScaleFallback:
         assert np.isfinite(float(loss))
         if not used_fused:
             assert any("falling back" in str(w.message) for w in rec)
+
+
+class TestCompiledSplit2:
+    """The round-4 scale tier compiled through Mosaic: the select_func
+    adaptive-kernel variant (pre-split selection args) and the 3-pass
+    matmul_split2 drift, asserted against the exact fused engine
+    on-device at reference scale (the at-scale wins are benchmarked in
+    benchmarks/parity_scale_sweep.py; this pins the LOWERING)."""
+
+    def test_split2_matches_exact_fused_on_device(self):
+        from columnflow.data import make_parity_batch
+        from columnflow.tasks import parity as par
+
+        task = par.build_task(CFG, jax.random.PRNGKey(0),
+                              columns_per_area=(4, 2, 1), n_inputs=2,
+                              time_steps=100, max_steps=1024)
+        stims = make_parity_batch(jax.random.PRNGKey(1), 2, 2)
+
+        def loss(p, split2):
+            ys = par.batched_rollout(p, task, stims, use_fused=True,
+                                     split2=split2)
+            return jnp.sum(par.readout(ys, p, task.net) ** 2), ys
+
+        (l0, ys0), g0 = jax.jit(jax.value_and_grad(
+            lambda p: loss(p, False), has_aux=True))(task.params)
+        (l1, ys1), g1 = jax.jit(jax.value_and_grad(
+            lambda p: loss(p, True), has_aux=True))(task.params)
+        # Identical frozen grids (exact-split selection); values/grads
+        # within the documented tier tolerance.
+        np.testing.assert_allclose(float(l1), float(l0), rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(ys1), np.asarray(ys0),
+                                   rtol=2e-3, atol=2e-3)
+        for k in g0:
+            a, b = np.asarray(g0[k]), np.asarray(g1[k])
+            assert np.all(np.isfinite(b)), k
+            scale = max(1e-6, float(np.abs(a).max()))
+            np.testing.assert_allclose(b, a, rtol=5e-3, atol=5e-3 * scale,
+                                       err_msg=k)
