@@ -67,19 +67,26 @@ def compile_or_fallback(fused_fn, fallback_thunk, example_args,
     step at >= 208 columns, BASELINE.md "Single-chip scale ceiling"),
     Mosaic refuses the kernel — previously surfaced to the user as a raw
     backend error (an opaque remote-compile HTTP 500 on the axon tunnel).
-    Callers wrap their fused program here: a successful probe costs
-    nothing (``lower().compile()`` populates the same jit cache the real
-    call hits), and a failed probe routes to ``fallback_thunk()`` (built
-    lazily — typically the XLA engine) with a ``RuntimeWarning`` naming
-    the likely ceiling.
+    Callers wrap their fused program here: on success the returned
+    callable dispatches the probe's AOT-compiled executable for calls
+    whose input shapes/dtypes match ``example_args`` (``lower().
+    compile()`` does NOT populate the jit call cache — verified — so
+    returning the bare jit function would compile the whole program
+    twice) and falls through to the jit function for other shapes (e.g.
+    a shorter tail block, which compiles once as before). A failed probe
+    routes to ``fallback_thunk()`` (built lazily — typically the XLA
+    engine) with a ``RuntimeWarning`` naming the likely ceiling.
 
     Returns ``(fn, used_fused)``.
     """
     import warnings
 
+    def _sig(tree):
+        return jax.tree_util.tree_map(
+            lambda x: (jnp.shape(x), str(jnp.result_type(x))), tree)
+
     try:
-        fused_fn.lower(*example_args).compile()
-        return fused_fn, True
+        compiled = fused_fn.lower(*example_args).compile()
     except Exception as e:  # Mosaic/VMEM errors arrive as backend exceptions
         warnings.warn(
             f"{what}: fused kernel compilation failed "
@@ -88,6 +95,17 @@ def compile_or_fallback(fused_fn, fallback_thunk, example_args,
             "ceiling (BASELINE.md 'Single-chip scale ceiling').",
             RuntimeWarning, stacklevel=2)
         return fallback_thunk(), False
+
+    probe_sig = _sig(example_args)
+
+    def run(*call_args):
+        try:
+            match = _sig(call_args) == probe_sig
+        except Exception:
+            match = False
+        return compiled(*call_args) if match else fused_fn(*call_args)
+
+    return run, True
 
 
 def _pow(x, p: float):
@@ -494,6 +512,7 @@ def odeint_dopri5_fused(
     if not jnp.issubdtype(y0.dtype, jnp.inexact):
         y0 = y0.astype(jnp.float32)
     ts = jnp.asarray(ts_host, y0.dtype)
+    user_args = args  # pre-flatten pytrees (the select_func default below)
     func, prep, args, diff_idx = _flatten_for_kernel(func, args,
                                                       nondiff_args, prepare)
     n_args = len(args)
@@ -522,7 +541,10 @@ def odeint_dopri5_fused(
 
     # --- adaptive pass (defines the frozen step sequence; no gradients) ---
     if select_func is not None:
-        s_args_in = args if select_args is None else tuple(select_args)
+        # Default select_args = the ORIGINAL (pre-flatten) user args, so a
+        # selection drift with the same signature as ``func`` works for
+        # pytree args too.
+        s_args_in = user_args if select_args is None else tuple(select_args)
         s_func, s_prep, s_dyn, _ = _flatten_for_kernel(
             select_func, s_args_in,
             tuple(range(len(s_args_in))),  # selection takes no gradients

@@ -463,15 +463,10 @@ def batched_rollout(params, task: ParityTask, stims_raw, method=None,
             # compile blocker (value kernels with the in-kernel 2-term
             # prepare fit the budget to 416; presplitting the VALUE args
             # instead would force bf16 cotangent accumulators and degrade
-            # weight gradients to bf16-grade — measured, rejected).
-            f32 = jnp.float32
-            w = pw["wT"]
-            w_hi = w.astype(jnp.bfloat16)
-            r = w - w_hi.astype(f32)
-            w_mid = r.astype(jnp.bfloat16)
-            w_lo = (r - w_mid.astype(f32)).astype(jnp.bfloat16)
-            pw3 = {"wT_hi": w_hi, "wT_mid": w_mid, "wT_lo": w_lo,
-                   "iwT": pw["iwT"]}
+            # weight gradients to bf16-grade — measured, rejected). The
+            # split is THE SAME prepare hook the in-kernel path runs, so
+            # the identical-grid guarantee holds by construction.
+            pw3 = prepare_premixed_split(pw, fc)[0]
             sel_kw = dict(select_func=drift,
                           select_args=(pw3, fc, kvals))
         # prepare=prepare_premixed_split: bf16 hi/lo weight split hoisted out
@@ -864,9 +859,12 @@ def train_parity(
         # Graceful scale fallback (BASELINE.md "Single-chip scale
         # ceiling"): past the fused engine's VMEM ceiling Mosaic refuses
         # the kernels; probe-compile the EXACT scan program the loop
-        # dispatches (a successful probe is free — same jit cache) and
-        # auto-route to the XLA engine with a warning instead of
-        # surfacing a raw backend error.
+        # dispatches (the probe's AOT executable is reused for the
+        # matching-shape calls) and auto-route to the XLA engine with a
+        # warning instead of surfacing a raw backend error. The
+        # fused-ONLY flags (grad_bf16/fused_pass/split2) must be dropped
+        # from the rebuilt XLA scan AND from the final evaluation —
+        # batched_rollout rejects them without use_fused.
         from columnflow.solvers.fused import compile_or_fallback
 
         scan_fn, use_fused = compile_or_fallback(
@@ -877,12 +875,14 @@ def train_parity(
                 stochastic=stochastic, adaptive=adaptive,
                 reference_rails=reference_rails, loss_scale=loss_scale,
                 bptt_every=bptt_every, clip_grad_norm=clip_grad_norm,
-                select_bf16=select_bf16, fused_pass=fused_pass,
-                grad_bf16=grad_bf16),  # fallback is the XLA engine: split2
-                                       # (a fused-only tier) stays off
+                select_bf16=select_bf16),
             (params, opt_state, best,
              jax.random.split(jax.random.PRNGKey(0), block)),
             what="parity --fused")
+        if not use_fused:
+            grad_bf16 = False
+            fused_pass = False
+            split2 = False
     for it0 in range(start_iter, n_iters, block):
         profiler.step(it0)
         k = block if it0 + block <= n_iters else n_iters - it0

@@ -749,7 +749,7 @@ class TestCompileOrFallback:
     RuntimeWarning instead of surfacing a raw Mosaic/backend error
     (BASELINE.md "Single-chip scale ceiling")."""
 
-    def test_success_path_returns_fused(self):
+    def test_success_path_runs_compiled_and_handles_new_shapes(self):
         from columnflow.solvers.fused import compile_or_fallback
 
         fused = jax.jit(lambda x: x * 2.0)
@@ -757,8 +757,11 @@ class TestCompileOrFallback:
             fused, lambda: (_ for _ in ()).throw(AssertionError(
                 "fallback must not be built on success")),
             (jnp.ones(3),))
-        assert used and fn is fused
+        assert used
+        # Matching shape dispatches the probe's AOT executable; a new
+        # shape (the trainer's tail block) falls through to the jit fn.
         np.testing.assert_allclose(np.asarray(fn(jnp.ones(3))), 2.0)
+        np.testing.assert_allclose(np.asarray(fn(jnp.ones(5))), 2.0)
 
     def test_failure_routes_to_fallback_with_warning(self):
         from columnflow.solvers.fused import compile_or_fallback
@@ -792,6 +795,25 @@ class TestSelectFuncAndSplit2:
         same = odeint_dopri5_fused(_exp_drift, y0, ts, k, max_steps=256,
                                    chunk=32, select_func=_exp_drift,
                                    select_args=(k,), interpret=True)
+        np.testing.assert_array_equal(np.asarray(same), np.asarray(base))
+
+    def test_select_func_default_args_pytree(self):
+        """select_func with select_args omitted gets the ORIGINAL
+        (pre-flatten) user args — including pytree args (round-4 review
+        fix: the default used to receive the flattened leaf tuple)."""
+        from columnflow.solvers.fused import odeint_dopri5_fused
+
+        def drift(t, y, p):
+            return -p["k"] * y + p["b"]
+
+        ts = jnp.linspace(0.0, 2.0, 20)
+        y0 = jnp.ones((2, 4))
+        p = {"k": jnp.full((2, 4), 0.5), "b": jnp.full((2, 4), 0.1)}
+        base = odeint_dopri5_fused(drift, y0, ts, p, max_steps=256,
+                                   chunk=32, interpret=True)
+        same = odeint_dopri5_fused(drift, y0, ts, p, max_steps=256,
+                                   chunk=32, select_func=drift,
+                                   interpret=True)
         np.testing.assert_array_equal(np.asarray(same), np.asarray(base))
 
     def test_select_func_steers_grid_not_values(self):
