@@ -30,31 +30,50 @@ __version__ = "0.1.0"
 # generate different paths for the same key. tests/test_brownian.py pins that
 # this production default matches the test regime.
 #
-# Advisor-hardened (round 4): the pin no longer OVERRIDES a host
-# application's explicit opt-out. On modern JAX the library default is
-# already True, so this is a no-op there; if the embedding program (env var
-# JAX_THREEFRY_PARTITIONABLE=0 or jax.config.update before importing
-# columnflow) selected the legacy regime, we respect it and warn once that
-# columnflow's path-reproducibility contract (same key -> same Brownian
-# path across releases) does not hold in that regime. Documented in
-# README.md / docs/MIGRATING.md.
+# Advisor-hardened (rounds 4-5): the pin no longer OVERRIDES a host
+# application's explicit opt-out, but it DOES still pin True when False
+# merely reflects an old JAX library default (the round-4 guard could not
+# tell the two apart and silently changed old-JAX paths for the same
+# seed). Explicit opt-out is detected as: the JAX_THREEFRY_PARTITIONABLE
+# env var being present, or running a JAX release (>= 0.4.30) whose
+# library default is already True — there False can only come from a
+# host-side jax.config.update. In the explicit case we respect it and
+# warn once that columnflow's path-reproducibility contract (same key ->
+# same Brownian path across releases) does not hold in that regime.
+# Documented in README.md / docs/MIGRATING.md.
 import jax as _jax
 
-if _jax.config.jax_threefry_partitionable:
-    pass  # library default on modern JAX — nothing to mutate
-else:
-    import warnings as _warnings
+if not _jax.config.jax_threefry_partitionable:
+    import os as _os
 
-    _warnings.warn(
-        "columnflow: jax_threefry_partitionable is False (legacy "
-        "key-derivation regime, set by the host application or an old JAX "
-        "default). columnflow's Brownian paths are reproducible only under "
-        "the partitionable regime; set "
-        "jax.config.update('jax_threefry_partitionable', True) for the "
-        "supported contract.",
-        stacklevel=2,
-    )
-    del _warnings
+    def _ver(v):
+        parts = []
+        for tok in v.split(".")[:3]:
+            num = "".join(ch for ch in tok if ch.isdigit())
+            parts.append(int(num) if num else 0)
+        return tuple(parts)
+
+    _explicit = ("JAX_THREEFRY_PARTITIONABLE" in _os.environ
+                 or _ver(_jax.__version__) >= (0, 4, 30))
+    if _explicit:
+        import warnings as _warnings
+
+        _warnings.warn(
+            "columnflow: jax_threefry_partitionable is False (legacy "
+            "key-derivation regime, explicitly selected by the host "
+            "application). columnflow's Brownian paths are reproducible "
+            "only under the partitionable regime; set "
+            "jax.config.update('jax_threefry_partitionable', True) for "
+            "the supported contract.",
+            stacklevel=2,
+        )
+        del _warnings
+    else:
+        # Old-JAX library default, no host opt-out: pin the supported
+        # regime so the same seed produces the same Brownian paths as on
+        # modern JAX.
+        _jax.config.update("jax_threefry_partitionable", True)
+    del _os, _explicit, _ver
 del _jax
 
 from columnflow.config import load_config, ColumnConfig

@@ -41,10 +41,18 @@ import sys
 
 def _worker(process_id: int, num_processes: int, coordinator: str,
             local_devices: int, seed: int = 0):
-    # Platform/device-count flags must be set before jax initializes.
-    os.environ["XLA_FLAGS"] = (
-        os.environ.get("XLA_FLAGS", "")
-        + f" --xla_force_host_platform_device_count={local_devices}")
+    # Platform/device-count flags must be set before jax INITIALIZES THE
+    # BACKEND. The launcher (tools/dryrun_multihost.py) sets them in the
+    # Popen env — before this interpreter even starts — which is the
+    # robust ordering (advisor, round 4: `python -m` has already imported
+    # the columnflow package, and with it jax, by the time this function
+    # runs; mutating env here only works while nothing in the import
+    # chain touches the backend). For direct invocation without the
+    # launcher we still append the flag as a best-effort fallback.
+    flag = f"--xla_force_host_platform_device_count={local_devices}"
+    if flag not in os.environ.get("XLA_FLAGS", ""):
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "") + " " + flag)
     import jax
 
     jax.config.update("jax_platforms", "cpu")

@@ -66,11 +66,12 @@ def build_task(cfg: ColumnConfig, key, lr: float = 0.1,
                time_steps: int = TIME_STEPS, dt: float = DT,
                max_steps: int = 3072,
                random_fan_in: bool = False,
+               legacy_host_rng: bool = False,
                ode_method: str = "dopri5",
                rtol: float = 1e-7, atol: float = 1e-9) -> ParityTask:
     params, net = build_column_network(
         cfg, key, columns_per_area=columns_per_area, n_inputs=n_inputs,
-        random_fan_in=random_fan_in,
+        random_fan_in=random_fan_in, legacy_host_rng=legacy_host_rng,
     )
     ts = jnp.linspace(0.0, time_steps * dt, time_steps)
     grad_mask = {
@@ -709,6 +710,120 @@ def make_dp_train_step(task: ParityTask, mesh, use_fused: bool = False,
                post_update=lambda p: clamp_params(p, task.clamps))
 
 
+# Measured engine crossover bands (RESULTS.md "The 104-column fused
+# ceiling, broken"; deterministic batch-4 train step, real v5e chip,
+# ms/step):   columns:   13    104    208    312    416
+#             xla:      150    461   1419   3554   6138
+#             fused:     25    346   1774     --   compile-fail
+#             split2:    --    241    994   2957   compile-fail
+# -> fused f32-exact below 104 columns (keeps the XLA-parity contract at
+#    the reference scale, where it also wins 6x), the split2 3-pass bf16
+#    tier from 104 through 312 columns, XLA past the 416-column fused
+#    compile ceiling. The stochastic-adaptive flagship additionally takes
+#    the bf16 selection/weight-gradient tiers at >= 104 columns (0.571 vs
+#    3.4 s/iter, BENCH_r04).
+_SPLIT2_MIN_COLUMNS = 104
+_FUSED_MAX_COLUMNS = 312
+
+
+def resolve_engine(engine: str | None, total_columns: int,
+                   stochastic: bool = False, adaptive: bool = False):
+    """Scale-aware engine dispatch (round-4 VERDICT #3): map a network
+    size onto the measured-best engine so ``--engine auto`` gives
+    torchdiffeq's ``method=``-only usability (SURVEY.md section 2 C10)
+    instead of flag archaeology. Returns ``(flags, reason)`` where
+    ``flags`` has use_fused/split2/select_bf16/grad_bf16 and ``reason``
+    is the one-line log. ``engine`` in {"auto", "xla", "fused",
+    "fused-split2"}; explicit names pin the engine without scale logic.
+    """
+    base = dict(use_fused=False, split2=False, select_bf16=False,
+                grad_bf16=False)
+    if engine == "xla":
+        return base, "pinned: XLA lax-while engine"
+    if engine == "fused":
+        return dict(base, use_fused=True), "pinned: fused f32-exact engine"
+    if engine == "fused-split2":
+        return (dict(base, use_fused=True, split2=True),
+                "pinned: fused split2 (3-pass bf16) tier")
+    if engine != "auto":
+        raise ValueError(
+            f"unknown engine {engine!r}: use auto|xla|fused|fused-split2")
+    if total_columns > _FUSED_MAX_COLUMNS:
+        return base, (
+            f"{total_columns} columns > {_FUSED_MAX_COLUMNS}: past the "
+            "fused compile ceiling, XLA engine (measured-best, RESULTS.md)")
+    if total_columns >= _SPLIT2_MIN_COLUMNS:
+        flags = dict(base, use_fused=True, split2=True)
+        why = (f"{total_columns} columns in "
+               f"[{_SPLIT2_MIN_COLUMNS}, {_FUSED_MAX_COLUMNS}]: fused "
+               "split2 tier (beats XLA 1.2-1.9x, RESULTS.md)")
+        if stochastic and adaptive:
+            flags.update(select_bf16=True, grad_bf16=True)
+            why += " + bf16 selection/weight-grad tiers (flagship config)"
+        return flags, why
+    return (dict(base, use_fused=True),
+            f"{total_columns} columns < {_SPLIT2_MIN_COLUMNS}: fused "
+            "f32-exact engine (6x vs XLA at reference scale, keeps the "
+            "XLA-parity contract)")
+
+
+def anatomy_record(net, columns_per_area, n_inputs,
+                   random_fan_in: bool, legacy_host_rng: bool) -> dict:
+    """Fingerprint of the static network anatomy a checkpoint was trained
+    on: topology, fan-in regime, and a hash of the structural masks. Stored
+    in every parity checkpoint's ``extra`` and verified on ``--resume`` /
+    ``--eval`` so trained params can never silently load onto a network
+    whose masks a different RNG regime rebuilt (round-4 advisor: the
+    fan-in RNG unification changed which mask a seed produces under
+    ``random_fan_in``; ``legacy_host_rng`` reinstates the old draws)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for m in (net.input_mask, net.feedforward_mask, net.lateral_mask,
+              net.output_mask):
+        h.update(np.ascontiguousarray(
+            np.asarray(m, dtype=np.float32)).tobytes())
+    return {
+        "columns_per_area": [int(c) for c in columns_per_area],
+        "n_inputs": int(n_inputs),
+        "random_fan_in": bool(random_fan_in),
+        "legacy_host_rng": bool(legacy_host_rng),
+        "mask_sha256": h.hexdigest(),
+    }
+
+
+def verify_anatomy(ck_extra: dict | None, anatomy: dict, path: str,
+                   random_fan_in: bool):
+    """Fail loudly when a checkpoint's recorded anatomy does not match the
+    rebuilt network; warn when an old checkpoint has no record to check."""
+    import warnings
+
+    stored = (ck_extra or {}).get("anatomy")
+    if stored is None:
+        if random_fan_in:
+            warnings.warn(
+                f"checkpoint {path!r} predates anatomy records; cannot "
+                "verify the --random-fan-in mask matches this rebuild. "
+                "Checkpoints trained before round 4 need "
+                "--legacy-host-rng to reproduce their masks.",
+                RuntimeWarning, stacklevel=2)
+        return
+    if stored != anatomy:
+        diffs = {k: (stored.get(k), anatomy.get(k))
+                 for k in set(stored) | set(anatomy)
+                 if stored.get(k) != anatomy.get(k)}
+        raise ValueError(
+            f"checkpoint {path!r} was trained on a DIFFERENT network "
+            f"anatomy than this run rebuilds (mismatched fields: {diffs}). "
+            "Loading its params would silently place trained weights onto "
+            "mismatched masks. Rebuild with the recorded settings "
+            f"(columns-per-area={stored['columns_per_area']}, "
+            f"n-inputs={stored['n_inputs']}, "
+            f"random-fan-in={stored['random_fan_in']}, "
+            f"legacy-host-rng={stored['legacy_host_rng']}) and the same "
+            "seed.")
+
+
 def train_parity(
     nr_samples: int = 6400,
     batch_size: int = 4,
@@ -725,6 +840,7 @@ def train_parity(
     plot_every: int = 5,
     use_fused: bool = False,
     random_fan_in: bool = False,
+    legacy_host_rng: bool = False,
     fixed_position: bool = True,
     resume_from: str | None = None,
     stochastic: bool = False,
@@ -737,6 +853,7 @@ def train_parity(
     fused_pass: bool = False,
     grad_bf16: bool = False,
     split2: bool = False,
+    engine: str | None = None,
     ode_method: str = "dopri5",
     rtol: float = 1e-7,
     atol: float = 1e-9,
@@ -749,19 +866,39 @@ def train_parity(
     ``resume_from`` restores params/optimizer/RNG/step from a checkpoint
     written by an earlier run's ``--checkpoint-out`` and continues
     (the reference can only reload whole-object pickles for analysis,
-    scripts/plotting_results.py:28-30 — not resume training)."""
+    scripts/plotting_results.py:28-30 — not resume training).
+
+    ``engine`` ("auto" | "xla" | "fused" | "fused-split2") selects the
+    solver engine from the network scale via :func:`resolve_engine`
+    (round-4 VERDICT #3); ``None`` keeps the explicit use_fused/split2/
+    select_bf16/grad_bf16 flags as given (programmatic callers, CLI
+    overrides)."""
+    if engine is not None:
+        flags, why = resolve_engine(engine, sum(columns_per_area),
+                                    stochastic=stochastic,
+                                    adaptive=adaptive)
+        use_fused, split2 = flags["use_fused"], flags["split2"]
+        select_bf16 = select_bf16 or flags["select_bf16"]
+        grad_bf16 = grad_bf16 or flags["grad_bf16"]
+        print(f"engine {engine} -> "
+              f"{'fused' if use_fused else 'xla'}"
+              f"{'-split2' if split2 else ''}: {why}")
     cfg = ColumnConfig.load()
     key = jax.random.PRNGKey(seed)
     key, k_build = jax.random.split(key)
     task = build_task(cfg, k_build, columns_per_area=columns_per_area,
                       n_inputs=n_inputs, time_steps=time_steps,
                       max_steps=max_steps, random_fan_in=random_fan_in,
+                      legacy_host_rng=legacy_host_rng,
                       ode_method=ode_method, rtol=rtol, atol=atol)
+    anatomy = anatomy_record(task.net, columns_per_area, n_inputs,
+                             random_fan_in, legacy_host_rng)
 
     if checkpoint_path:  # pre-training snapshot (scripts/parity_ode.py:210-211)
         from columnflow.train import save_checkpoint
 
-        save_checkpoint(checkpoint_path + ".pre", params=task.params, step=0)
+        save_checkpoint(checkpoint_path + ".pre", params=task.params, step=0,
+                        extra={"anatomy": anatomy})
 
     scan_fn = make_train_scan(task, use_fused=use_fused,
                               n_inputs=n_inputs, batch_size=batch_size,
@@ -831,6 +968,7 @@ def train_parity(
 
         ck = load_checkpoint(resume_from, params_like=params,
                              opt_state_like=opt_state, key_like=key)
+        verify_anatomy(ck.get("extra"), anatomy, resume_from, random_fan_in)
         params = ck["params"]
         if ck["opt_state"] is not None:
             opt_state = ck["opt_state"]
@@ -919,7 +1057,8 @@ def train_parity(
             from columnflow.train import save_checkpoint
 
             save_checkpoint(checkpoint_path, params=params,
-                            opt_state=opt_state, key=key, step=it0 + k)
+                            opt_state=opt_state, key=key, step=it0 + k,
+                            extra={"anatomy": anatomy})
         if plot_dir and it0 % plot_every < block:
             # Weight-group heatmaps (reference: scripts/parity_ode.py:87-114).
             from columnflow.analysis.plots import plot_weight_matrices
@@ -960,7 +1099,7 @@ def train_parity(
         from columnflow.train import save_checkpoint
 
         save_checkpoint(checkpoint_path + ".best", params=best[1],
-                        step=len(history))
+                        step=len(history), extra={"anatomy": anatomy})
     profiler.close()
     logger.close()
     return params, history
@@ -976,8 +1115,23 @@ def main():
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--random-fan-in", action="store_true",
                    help="randomized fan-in masks (src/coupled_columns.py:529-575)")
+    p.add_argument("--legacy-host-rng", action="store_true",
+                   help="with --random-fan-in: draw fan-in masks with the "
+                        "pre-round-4 host numpy Generator so a seed "
+                        "reproduces masks built by older checkpoints "
+                        "(checkpoints now record their anatomy; resume "
+                        "verifies it and fails loudly on mismatch)")
     p.add_argument("--position-invariant", action="store_true",
                    help="train on all 2^n patterns, not just fixed-position")
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "xla", "fused", "fused-split2"],
+                   help="solver-engine selection (default auto: pick the "
+                        "measured-best engine for the network scale — "
+                        "fused f32-exact < 104 columns, fused split2 "
+                        "104-312, XLA past the fused compile ceiling; "
+                        "RESULTS.md crossover table). Any explicit engine "
+                        "flag (--fused/--split2/--select-bf16/--grad-bf16/"
+                        "--fused-pass) switches to manual flag mode")
     p.add_argument("--fused", action="store_true",
                    help="shared-controller Pallas fused dopri5 (faster; "
                         "torchdiffeq-batched semantics)")
@@ -1077,6 +1231,15 @@ def main():
     args = p.parse_args()
     cpa = ((8, 4, 1) if args.columns_per_area is None else
            tuple(int(x) for x in args.columns_per_area.split(",")))
+    # Explicit engine flags are overrides: they switch dispatch to manual
+    # flag mode (engine=None) so a user-assembled configuration is never
+    # silently second-guessed by the auto policy.
+    manual_flags = (args.fused or args.split2 or args.select_bf16
+                    or args.grad_bf16 or args.fused_pass
+                    # a non-default deterministic method pins the XLA
+                    # engine family (the fused engine is dopri5)
+                    or args.ode_method != "dopri5")
+    engine = None if manual_flags else args.engine
 
     if args.eval_ckpt or args.eval_demo:
         if args.eval_demo:
@@ -1089,20 +1252,36 @@ def main():
                               columns_per_area=cpa,
                               max_steps=args.max_steps or 3072,
                               random_fan_in=args.random_fan_in,
+                              legacy_host_rng=args.legacy_host_rng,
                               ode_method=args.ode_method,
                               rtol=args.rtol, atol=args.atol)
             from columnflow.train import load_checkpoint
 
-            task = task._replace(params=load_checkpoint(
-                args.eval_ckpt, params_like=task.params)["params"])
+            ck = load_checkpoint(args.eval_ckpt, params_like=task.params)
+            verify_anatomy(
+                ck.get("extra"),
+                anatomy_record(task.net, cpa, 4, args.random_fan_in,
+                               args.legacy_host_rng),
+                args.eval_ckpt, args.random_fan_in)
+            task = task._replace(params=ck["params"])
         stims = jnp.asarray(parity_combinations(
             4, fixed_position=not args.position_invariant))
+        use_fused, split2 = args.fused, args.split2
+        if engine is not None:
+            flags, why = resolve_engine(engine, sum(cpa),
+                                        stochastic=args.stochastic,
+                                        adaptive=args.adaptive)
+            use_fused, split2 = flags["use_fused"], flags["split2"]
+            print(f"engine {engine} -> "
+                  f"{'fused' if use_fused else 'xla'}"
+                  f"{'-split2' if split2 else ''}: {why}")
         ys = batched_rollout(task.params, task, stims, differentiable=False,
-                             use_fused=args.fused,
+                             use_fused=use_fused,
                              stochastic=args.stochastic,
                              adaptive=args.adaptive,
                              select_bf16=args.select_bf16,
                              fused_pass=args.fused_pass,
+                             split2=split2,
                              key=jax.random.PRNGKey(1234)
                              if args.stochastic else None)
         out = readout(ys, task.params, task.net)
@@ -1118,6 +1297,7 @@ def main():
             max_steps=args.max_steps or 1024, columns_per_area=cpa,
             use_fused=args.fused,
             random_fan_in=args.random_fan_in,
+            legacy_host_rng=args.legacy_host_rng,
             fixed_position=not args.position_invariant,
             metrics_path=args.metrics_out,
             profile_dir=args.profile_dir,
@@ -1131,6 +1311,7 @@ def main():
             fused_pass=args.fused_pass,
             grad_bf16=args.grad_bf16,
             split2=args.split2,
+            engine=engine,
             ode_method=args.ode_method,
             rtol=args.rtol, atol=args.atol,
         )
@@ -1140,6 +1321,7 @@ def main():
             seed=args.seed, columns_per_area=cpa,
             max_steps=args.max_steps or 3072, use_fused=args.fused,
             random_fan_in=args.random_fan_in,
+            legacy_host_rng=args.legacy_host_rng,
             fixed_position=not args.position_invariant,
             metrics_path=args.metrics_out,
             profile_dir=args.profile_dir,
@@ -1155,6 +1337,7 @@ def main():
             fused_pass=args.fused_pass,
             grad_bf16=args.grad_bf16,
             split2=args.split2,
+            engine=engine,
             ode_method=args.ode_method,
             rtol=args.rtol, atol=args.atol,
         )

@@ -110,3 +110,29 @@ class TestNoiseRegimePin:
                  "JAX_THREEFRY_PARTITIONABLE": "0"})
         assert out.returncode == 0, out.stderr
         assert out.stdout.strip().splitlines()[-1] == "ok"
+
+    def test_old_jax_default_still_pinned(self):
+        """Advisor round 4: when False merely reflects an OLD JAX library
+        default (version < 0.4.30, no env opt-out), the guard must keep
+        pinning True — same seed, same Brownian path as modern JAX.
+        Simulated by spoofing jax.__version__ before importing
+        columnflow (the flag default cannot be changed on this JAX)."""
+        import subprocess
+        import sys
+
+        code = (
+            "import jax\n"
+            "jax.config.update('jax_threefry_partitionable', False)\n"
+            "jax.__version__ = '0.4.20'  # spoof: pre-flip library default\n"
+            "import columnflow\n"
+            "assert jax.config.jax_threefry_partitionable, "
+            "'old-default False must be re-pinned True'\n"
+            "print('ok')\n"
+        )
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True,
+            env={"PATH": "/usr/local/bin:/usr/bin:/bin", "HOME": "/root",
+                 "JAX_PLATFORMS": "cpu"})
+        assert out.returncode == 0, out.stderr
+        assert out.stdout.strip().splitlines()[-1] == "ok"

@@ -225,6 +225,117 @@ class TestParityTask:
         assert sum(1 for h in hist if "loss" in h) == 2
         assert _finite(hist)
 
+    def test_resume_verifies_anatomy(self, tmp_path):
+        """Checkpoints record the static anatomy (topology + fan-in regime
+        + mask hash); resuming onto a network rebuilt with a different
+        regime fails loudly instead of silently loading trained params
+        onto mismatched masks (round-4 advisor, medium)."""
+        import pytest
+
+        ck = str(tmp_path / "parity_ck")
+        common = dict(batch_size=4, seed=0, columns_per_area=(2, 1),
+                      n_inputs=2, time_steps=60, max_steps=512,
+                      checkpoint_every=1)
+        train_parity(nr_samples=4, checkpoint_path=ck,
+                     random_fan_in=True, **common)
+        # Same seed, different fan-in RNG regime -> different mask ->
+        # loud mismatch naming the recorded settings.
+        with pytest.raises(ValueError, match="DIFFERENT network anatomy"):
+            train_parity(nr_samples=8, resume_from=ck,
+                         random_fan_in=True, legacy_host_rng=True, **common)
+        # Matching regime resumes cleanly.
+        params, hist = train_parity(nr_samples=8, resume_from=ck,
+                                    random_fan_in=True, **common)
+        assert _finite(hist)
+
+    def test_anatomy_record_distinguishes_rng_regimes(self):
+        """The jax-counter and legacy-host fan-in draws produce different
+        masks for the same seed — exactly the silent hazard the record
+        exists to catch — and the record hashes them differently."""
+        from columnflow.config import ColumnConfig
+        from columnflow.tasks.parity import anatomy_record, build_task
+
+        cfg = ColumnConfig.load()
+        # The reference topology: enough fan-in freedom that the two
+        # regimes' draws actually diverge (at (2,1) scale every source
+        # must feed the single target column, so masks can coincide).
+        kw = dict(columns_per_area=(8, 4, 1), n_inputs=4,
+                  random_fan_in=True)
+        t_new = build_task(cfg, jax.random.PRNGKey(0), **kw)
+        t_old = build_task(cfg, jax.random.PRNGKey(0),
+                           legacy_host_rng=True, **kw)
+        a_new = anatomy_record(t_new.net, (8, 4, 1), 4, True, False)
+        a_old = anatomy_record(t_old.net, (8, 4, 1), 4, True, True)
+        assert a_new["mask_sha256"] != a_old["mask_sha256"]
+        # Pre-round-5 checkpoint (no record): warn, don't fail.
+        from columnflow.tasks.parity import verify_anatomy
+
+        with pytest.warns(RuntimeWarning, match="predates anatomy"):
+            verify_anatomy({}, a_new, "old.npz", random_fan_in=True)
+        verify_anatomy({"anatomy": a_new}, a_new, "ck.npz", True)
+
+
+class TestEngineAuto:
+    """Scale-aware engine dispatch (round-4 VERDICT #3): ``--engine auto``
+    applies the measured crossover table (RESULTS.md 'ceiling, broken')
+    so users get torchdiffeq's ``method=``-only usability instead of
+    assembling --fused --split2 ... from the docs."""
+
+    def test_band_reference_scale_is_fused_exact(self):
+        from columnflow.tasks.parity import resolve_engine
+
+        flags, why = resolve_engine("auto", 13)
+        assert flags == dict(use_fused=True, split2=False,
+                             select_bf16=False, grad_bf16=False)
+        assert "13 columns" in why
+
+    def test_band_split2_tier_104_to_312(self):
+        from columnflow.tasks.parity import resolve_engine
+
+        for c in (104, 208, 312):
+            flags, _ = resolve_engine("auto", c)
+            assert flags["use_fused"] and flags["split2"], c
+            assert not flags["select_bf16"]  # deterministic: exact select
+
+    def test_band_past_ceiling_is_xla(self):
+        from columnflow.tasks.parity import resolve_engine
+
+        for c in (416, 1000):
+            flags, why = resolve_engine("auto", c)
+            assert not flags["use_fused"], c
+            assert "ceiling" in why
+
+    def test_stochastic_adaptive_flagship_tiers(self):
+        from columnflow.tasks.parity import resolve_engine
+
+        flags, _ = resolve_engine("auto", 104, stochastic=True,
+                                  adaptive=True)
+        assert flags == dict(use_fused=True, split2=True,
+                             select_bf16=True, grad_bf16=True)
+        # Small-scale stochastic adaptive stays exact.
+        flags, _ = resolve_engine("auto", 13, stochastic=True, adaptive=True)
+        assert flags == dict(use_fused=True, split2=False,
+                             select_bf16=False, grad_bf16=False)
+
+    def test_pinned_names_and_unknown(self):
+        from columnflow.tasks.parity import resolve_engine
+
+        assert resolve_engine("xla", 104)[0]["use_fused"] is False
+        assert resolve_engine("fused", 416)[0]["use_fused"] is True
+        f, _ = resolve_engine("fused-split2", 13)
+        assert f["use_fused"] and f["split2"]
+        with pytest.raises(ValueError, match="unknown engine"):
+            resolve_engine("warp", 104)
+
+    def test_train_parity_engine_auto_end_to_end(self):
+        """engine='auto' resolves and trains at tiny scale (fused engine,
+        interpret mode on CPU)."""
+        params, hist = train_parity(nr_samples=4, batch_size=4, seed=0,
+                                    columns_per_area=(2, 1), n_inputs=2,
+                                    time_steps=60, max_steps=512,
+                                    engine="auto")
+        assert _finite(hist)
+
 
 class TestBifurcationTask:
     def test_smoke_and_learning(self):

@@ -41,7 +41,13 @@ def main():
 
     coordinator = f"localhost:{free_port()}"
     env = dict(os.environ)
-    env.pop("XLA_FLAGS", None)   # each worker sets its own device count
+    # Set platform/device-count BEFORE the worker interpreter starts
+    # (advisor, round 4): the worker imports the columnflow package —
+    # which imports jax — before its own env mutation would run, so any
+    # future import-time jnp constant would otherwise initialize the
+    # backend with the wrong device count.
+    env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count="
+                        f"{args.local_devices}")
     env["JAX_PLATFORMS"] = "cpu"
     procs = []
     try:
