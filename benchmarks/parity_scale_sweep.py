@@ -40,6 +40,13 @@ def main():
     ap.add_argument("--split2", action="store_true",
                     help="fused 208-column scale tier (3-pass bf16 "
                          "matmuls for values/gradients; see tasks/parity)")
+    ap.add_argument("--engine", default=None,
+                    choices=["auto", "xla", "fused", "fused-split2"],
+                    help="use the trainer's scale-aware engine dispatch "
+                         "(tasks.parity.resolve_engine) instead of manual "
+                         "flags; records the resolved choice per scale so "
+                         "the auto policy can be re-verified against the "
+                         "measured-best rows (RESULTS.md crossover table)")
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
@@ -53,15 +60,23 @@ def main():
     cfg = ColumnConfig.load()
     for s in args.scales:
         cpa = (8 * s, 4 * s, 1 * s)
+        use_fused, split2, resolved = args.fused, args.split2, None
+        if args.engine is not None:
+            flags, why = par.resolve_engine(args.engine, sum(cpa))
+            use_fused, split2 = flags["use_fused"], flags["split2"]
+            resolved = ("fused" + ("-split2" if split2 else "")
+                        if use_fused else "xla")
+            print(f"# engine {args.engine} @ {sum(cpa)} columns -> "
+                  f"{resolved}: {why}", file=sys.stderr)
         task = par.build_task(cfg, jax.random.PRNGKey(0),
                               columns_per_area=cpa)
-        step = par.make_train_step(task, use_fused=args.fused,
-                                   split2=args.split2)
+        step = par.make_train_step(task, use_fused=use_fused,
+                                   split2=split2)
         opt_state = task.optimizer.init(task.params)
         stims = make_parity_batch(jax.random.PRNGKey(1), 4, args.batch)
-        path = ("fused" + ("-split2" if args.split2 else "")
-                if args.fused else "xla")
-        if args.fused:
+        path = ("fused" + ("-split2" if split2 else "")
+                if use_fused else "xla")
+        if use_fused:
             # Same graceful fallback the trainer applies: past the VMEM
             # ceiling the row records the XLA-fallback timing instead of a
             # raw Mosaic error (BASELINE.md "Single-chip scale ceiling").
@@ -72,7 +87,7 @@ def main():
                 (task.params, opt_state, stims),
                 what=f"parity fused step at {sum(cpa)} columns")
             if used_fused:
-                path = "fused" + ("-split2" if args.split2 else "")
+                path = "fused" + ("-split2" if split2 else "")
             else:
                 path = "xla-fallback"
         try:
@@ -82,6 +97,9 @@ def main():
                    "state_dim": 3 * task.net.num_pops,
                    "ms_per_step": round(ms, 2),
                    "path": path}
+            if resolved is not None:
+                rec["engine"] = args.engine
+                rec["resolved"] = resolved
         except Exception as e:  # noqa: BLE001 - report and continue the sweep
             rec = {"scale": s, "columns": sum(cpa),
                    "state_dim": 3 * task.net.num_pops,

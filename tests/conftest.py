@@ -189,6 +189,36 @@ def _clear_jax_caches_between_modules():
     jax.clear_caches()
 
 
+# Per-test budget guard (round-4 VERDICT #6 "Weak #4": the gate grew ~5
+# min/round before the tiering and nothing enforced that new long-tail
+# tests declare a tier). Any test in the DEFAULT tier (unmarked slow/tpu)
+# whose call phase exceeds the budget is reported as FAILED with a
+# declare-a-tier message — so regrowth is caught at birth, not at the
+# next gate audit. Generous default (the suite is compile-dominated on a
+# single core and a cold cache pays 30-40 s compiles); override with
+# COLUMNFLOW_TEST_BUDGET_S, 0 disables.
+TEST_BUDGET_S = float(os.environ.get("COLUMNFLOW_TEST_BUDGET_S", "150"))
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_makereport(item, call):
+    outcome = yield
+    report = outcome.get_result()
+    if (TEST_BUDGET_S > 0 and report.when == "call" and report.passed
+            and call.duration > TEST_BUDGET_S
+            and "slow" not in item.keywords
+            and "tpu" not in item.keywords):
+        report.outcome = "failed"
+        report.longrepr = (
+            f"{item.nodeid}: call took {call.duration:.1f}s > "
+            f"{TEST_BUDGET_S:.0f}s default-tier budget. Long-tail tests "
+            "must declare a tier at birth: add the node to "
+            "conftest.SLOW_NODE_PREFIXES (slow tier) or mark it tpu, or "
+            "shrink the test. Override: COLUMNFLOW_TEST_BUDGET_S "
+            "(0 disables)."
+        )
+
+
 def pytest_collection_modifyitems(config, items):
     slow_requested = SLOW_TESTS_ON or "slow" in (config.option.markexpr
                                                  or "")

@@ -777,6 +777,118 @@ class TestCompileOrFallback:
         assert not used and fn is fallback
         np.testing.assert_allclose(np.asarray(fn(jnp.ones(3))), 2.0)
 
+    def test_programming_errors_reraise(self):
+        """Python-level errors (a bad pytree, a tracer shape bug) must NOT
+        be misreported as the VMEM ceiling (round-4 advisor): only
+        backend/XLA compile errors fall back."""
+        from columnflow.solvers.fused import compile_or_fallback
+
+        class TypeBoom:
+            def lower(self, *a):
+                raise TypeError("unhashable static arg in drift closure")
+
+        with pytest.raises(TypeError, match="unhashable"):
+            compile_or_fallback(TypeBoom(), lambda: None, (jnp.ones(3),))
+
+        # A real tracing error through jit also re-raises (jax raises
+        # TypeError for shape mismatches at trace time).
+        bad = jax.jit(lambda x: x + jnp.ones((2, 7)))
+        with pytest.raises(Exception) as ei:
+            compile_or_fallback(bad, lambda: None, (jnp.ones(3),))
+        assert not isinstance(ei.value, RuntimeWarning)
+
+    def test_marked_nonruntime_errors_still_fall_back(self):
+        """Errors that are not RuntimeError but carry an explicit Mosaic/
+        XLA marker (remote-compile wrappers) still route to the
+        fallback."""
+        from columnflow.solvers.fused import compile_or_fallback
+
+        class MarkedBoom:
+            def lower(self, *a):
+                raise ValueError("Mosaic failed to legalize op")
+
+        fallback = object()
+        with pytest.warns(RuntimeWarning, match="falling back"):
+            fn, used = compile_or_fallback(MarkedBoom(), lambda: fallback,
+                                           (jnp.ones(3),))
+        assert not used and fn is fallback
+
+
+class TestGradOfJit:
+    """Round-4 VERDICT #5: ``grad(jit(f))`` used to die with an opaque
+    upstream tracer-constant error ("No constant handler for
+    DynamicJaxprTracer") because the replay custom_vjp closed over the
+    adaptive pass's traced step grid. Fixed by passing step_times/naccept
+    as formal zero-cotangent custom_vjp arguments — both composition
+    orders now produce identical gradients."""
+
+    @staticmethod
+    def _k():
+        return jnp.full((1, 8), 0.5)
+
+    def _check(self, loss, k):
+        g_inner = jax.jit(jax.grad(loss))(k)   # the supported form
+        g_outer = jax.grad(jax.jit(loss))(k)   # the previously-broken form
+        np.testing.assert_allclose(np.asarray(g_outer), np.asarray(g_inner),
+                                   rtol=1e-6)
+
+    def test_odeint_fused_kernel_arg_grads(self):
+        from columnflow.solvers.fused import odeint_dopri5_fused
+
+        ts = jnp.linspace(0.0, 1.0, 10)
+        y0 = jnp.ones((1, 8))
+
+        def loss(k):
+            ys = odeint_dopri5_fused(lambda t, y, kk: -kk * y, y0, ts, k,
+                                     max_steps=64, chunk=16, interpret=True)
+            return jnp.sum(ys[-1])
+
+        self._check(loss, self._k())
+
+    def test_odeint_fused_outer_arg_grads(self):
+        from columnflow.solvers.fused import odeint_dopri5_fused
+
+        ts = jnp.linspace(0.0, 1.0, 10)
+        y0 = jnp.ones((1, 8))
+
+        def loss(k):
+            ys = odeint_dopri5_fused(lambda t, y, kk: -kk * y, y0, ts, k,
+                                     max_steps=64, chunk=16, interpret=True,
+                                     arg_grads="outer")
+            return jnp.sum(ys[-1])
+
+        self._check(loss, self._k())
+
+    def test_sdeint_fused(self):
+        from columnflow.solvers.fused import sdeint_fused
+
+        ts = jnp.linspace(0.0, 1.0, 10)
+
+        def loss(k):
+            ys = sdeint_fused(lambda t, y, kk: -kk * y,
+                              lambda t, y, kk: 0.1 * jnp.ones_like(y),
+                              jnp.ones((1, 8)), ts, jax.random.PRNGKey(0),
+                              k, method="srk", interpret=True)
+            return jnp.sum(ys[-1])
+
+        self._check(loss, self._k())
+
+    def test_sdeint_adaptive_fused_replay(self):
+        from columnflow.solvers import sdeint_adaptive
+
+        ts = jnp.linspace(0.0, 1.0, 10)
+
+        def loss(k):
+            ys = sdeint_adaptive(lambda t, y, kk: -kk * y,
+                                 lambda t, y, kk: 0.1 * jnp.ones_like(y),
+                                 jnp.ones((1, 8)), ts, jax.random.PRNGKey(0),
+                                 k, method="sra1", rtol=1e-3, atol=1e-3,
+                                 max_steps=128, differentiable=True,
+                                 fused=True, interpret=True)
+            return jnp.sum(ys[-1])
+
+        self._check(loss, self._k())
+
 
 class TestSelectFuncAndSplit2:
     """Round-4 scale tier: ``odeint_dopri5_fused(select_func=...)``
