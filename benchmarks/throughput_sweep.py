@@ -106,6 +106,14 @@ def measure(workload, batch, iters, probe_stats):
     params = task.params
     opt_state = task.optimizer.init(params)
     stims = make_parity_batch(jax.random.PRNGKey(1), 4, batch)
+    # Stats probe BEFORE the timing loop: the train step donates its
+    # (params, opt_state) inputs, so task.params is consumed by warmup.
+    # na/nr are PER-SAMPLE controller counts (independent of batch), so
+    # --na/--nr from an earlier row skip the ~2 min probe compile.
+    if probe_stats is not None:
+        na, nr = probe_stats(task, stims[: min(batch, 4)], stochastic)
+    else:
+        na = nr = None
 
     args = ((params, opt_state, stims, jax.random.PRNGKey(2))
             if stochastic else (params, opt_state, stims))
@@ -134,22 +142,25 @@ def measure(workload, batch, iters, probe_stats):
     jax.block_until_ready(out[2])
     s_per_iter = (time.perf_counter() - t0) / iters
 
-    na, nr = probe_stats(task, stims[: min(batch, 4)], stochastic)
-    if workload == "adaptive":
-        flops = adaptive_flops_per_iter(batch, na, nr)
-    else:
-        flops = split2_flops_per_iter(batch, na, nr)
-    return {
+    rec = {
         "workload": workload,
         "batch": batch,
         "s_per_iter": round(s_per_iter, 4),
         "samples_per_sec": round(batch / s_per_iter, 2),
-        "naccept_mean": round(na, 1),
-        "nreject_mean": round(nr, 1),
-        "model_tflops_per_iter": round(flops / 1e12, 3),
-        "mfu_pct": round(100.0 * flops / s_per_iter / CHIP_BF16_PEAK, 3),
         "path": path,
     }
+    if na is not None:
+        flops = (adaptive_flops_per_iter(batch, na, nr)
+                 if workload == "adaptive"
+                 else split2_flops_per_iter(batch, na, nr))
+        rec.update({
+            "naccept_mean": round(na, 1),
+            "nreject_mean": round(nr, 1),
+            "model_tflops_per_iter": round(flops / 1e12, 3),
+            "mfu_pct": round(100.0 * flops / s_per_iter / CHIP_BF16_PEAK,
+                             3),
+        })
+    return rec
 
 
 def probe_stats(task, stims, stochastic):
@@ -206,11 +217,27 @@ def main():
     ap.add_argument("--batches", type=int, nargs="+",
                     default=[4, 8, 16, 32, 64, 128, 256])
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--na", type=float, default=None,
+                    help="reuse a measured naccept mean (skips the "
+                         "~2 min stats-probe compile; na/nr are "
+                         "per-sample counts, batch-independent)")
+    ap.add_argument("--nr", type=float, default=None)
     args = ap.parse_args()
 
+    probe = probe_stats if args.na is None else None
     for b in args.batches:
         try:
-            rec = measure(args.workload, b, args.iters, probe_stats)
+            rec = measure(args.workload, b, args.iters, probe)
+            if args.na is not None:
+                flops = (adaptive_flops_per_iter(b, args.na, args.nr)
+                         if args.workload == "adaptive"
+                         else split2_flops_per_iter(b, args.na, args.nr))
+                rec.update({
+                    "naccept_mean": args.na, "nreject_mean": args.nr,
+                    "model_tflops_per_iter": round(flops / 1e12, 3),
+                    "mfu_pct": round(100.0 * flops / rec["s_per_iter"]
+                                     / CHIP_BF16_PEAK, 3),
+                })
         except Exception as e:  # noqa: BLE001 - record and continue
             rec = {"workload": args.workload, "batch": b,
                    "path": f"error: {type(e).__name__}: {str(e)[:200]}"}

@@ -1206,7 +1206,15 @@ def sdeint_fused(
         raise ValueError(f"bptt_every must be >= 1, got {bptt_every}")
     if chunk is None:
         state_bytes = 4 * int(np.prod(y0.shape))
-        chunk = int(max(16, min(1024, (2 << 20) // (6 * state_bytes))))
+        # Floor 4 (not 16) for large states — same reasoning as the
+        # odeint fused chunk floor: the lane-batched 104-column replay at
+        # B >= 16 lanes carries 160+ KB states, and a 16-step chunk's
+        # backward blocks (~11x per step) alone blow the VMEM budget.
+        # Measured (round-5 throughput sweep): the floor-16 default
+        # capped the fused engine at 8 lanes; floor 4 extends it to 32+.
+        # bptt truncation is unaffected (kc rounds bptt_every/chunk).
+        floor = 4 if state_bytes > (32 << 10) else 16
+        chunk = int(max(floor, min(1024, (2 << 20) // (6 * state_bytes))))
     if bptt_every is not None:
         # Truncation lands on chunk boundaries, so the chunk must not
         # exceed the requested window — otherwise small windows on small

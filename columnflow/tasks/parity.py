@@ -753,10 +753,15 @@ def resolve_engine(engine: str | None, total_columns: int,
             f"{total_columns} columns > {_FUSED_MAX_COLUMNS}: past the "
             "fused compile ceiling, XLA engine (measured-best, RESULTS.md)")
     if total_columns >= _SPLIT2_MIN_COLUMNS:
-        flags = dict(base, use_fused=True, split2=True)
+        # split2 is a tier of the deterministic fused engine and the
+        # stochastic-ADAPTIVE replay; the stochastic fixed-grid engine
+        # has no split2 variant (batched_rollout rejects it).
+        has_split2 = not stochastic or adaptive
+        flags = dict(base, use_fused=True, split2=has_split2)
         why = (f"{total_columns} columns in "
                f"[{_SPLIT2_MIN_COLUMNS}, {_FUSED_MAX_COLUMNS}]: fused "
-               "split2 tier (beats XLA 1.2-1.9x, RESULTS.md)")
+               + ("split2 tier (beats XLA 1.2-1.9x, RESULTS.md)"
+                  if has_split2 else "engine (fixed-grid SDE)"))
         if stochastic and adaptive:
             flags.update(select_bf16=True, grad_bf16=True)
             why += " + bf16 selection/weight-grad tiers (flagship config)"

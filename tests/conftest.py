@@ -199,6 +199,18 @@ def _clear_jax_caches_between_modules():
 # COLUMNFLOW_TEST_BUDGET_S, 0 disables.
 TEST_BUDGET_S = float(os.environ.get("COLUMNFLOW_TEST_BUDGET_S", "150"))
 
+# Documented exemptions: tests whose wall time is dominated by spawning
+# fresh interpreters (cold-cache multi-process compiles), not by test
+# size — shrinking them would remove what they verify. Keep this list
+# SHORT and justified; everything else must fit the budget or declare a
+# tier.
+BUDGET_EXEMPT_PREFIXES = (
+    # 2 jax.distributed worker processes compiling the real WTA-DP and
+    # TP-parity steps concurrently on one core (~4 min cold cache,
+    # ~1 min warm via the persistent cache).
+    "tests/test_parallel.py::TestMultiHost",
+)
+
 
 @pytest.hookimpl(hookwrapper=True)
 def pytest_runtest_makereport(item, call):
@@ -207,7 +219,9 @@ def pytest_runtest_makereport(item, call):
     if (TEST_BUDGET_S > 0 and report.when == "call" and report.passed
             and call.duration > TEST_BUDGET_S
             and "slow" not in item.keywords
-            and "tpu" not in item.keywords):
+            and "tpu" not in item.keywords
+            and not any(item.nodeid == p or item.nodeid.startswith(p + "::")
+                        for p in BUDGET_EXEMPT_PREFIXES)):
         report.outcome = "failed"
         report.longrepr = (
             f"{item.nodeid}: call took {call.duration:.1f}s > "

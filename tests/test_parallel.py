@@ -568,11 +568,14 @@ class TestTPFullScale:
 
 
 class TestMultiHost:
-    """Multi-process scaffold (parallel/multihost.py + tools/
+    """Multi-process runner (parallel/multihost.py + tools/
     dryrun_multihost.py): jax.distributed across N local CPU processes,
-    one process-spanning mesh, GSPMD-all-reduced DP step matching the
-    single-host reference, TP matmul, explicit cross-process psum
-    (SURVEY.md §5 'Distributed communication backend')."""
+    one process-spanning mesh, and REAL columnflow train steps — the WTA
+    DP step (solver rollout + masked RMSprop, batch sharded across
+    processes) matching the single-host full-batch run, and the parity
+    TP step with the model axis spanning both processes matching the
+    process-local run (SURVEY.md §5 'Distributed communication backend';
+    round-4 VERDICT Next #2)."""
 
     def test_two_process_dryrun(self):
         import json
@@ -593,4 +596,12 @@ class TestMultiHost:
         assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
         summary = json.loads(out.stdout.strip().splitlines()[-1])
         assert summary["ok"] and summary["global_devices"] == 4
-        assert all(w["ok"] for w in summary["workers"])
+        for w in summary["workers"]:
+            assert w["ok"]
+            # The real task steps ran and matched single-host <= 1e-5.
+            assert w["wta_dp_loss_err"] <= 1e-5
+            assert w["wta_dp_param_err"] <= 1e-5
+            assert w["tp_parity_loss_err"] <= 1e-5
+            assert w["tp_parity_param_err"] <= 1e-4
+            assert np.isfinite(w["wta_dp_loss"])
+            assert np.isfinite(w["tp_parity_loss"])

@@ -316,6 +316,12 @@ class TestEngineAuto:
         flags, _ = resolve_engine("auto", 13, stochastic=True, adaptive=True)
         assert flags == dict(use_fused=True, split2=False,
                              select_bf16=False, grad_bf16=False)
+        # Stochastic FIXED-GRID has no split2 variant at any scale — the
+        # resolved flags must be accepted by batched_rollout.
+        flags, _ = resolve_engine("auto", 104, stochastic=True,
+                                  adaptive=False)
+        assert flags == dict(use_fused=True, split2=False,
+                             select_bf16=False, grad_bf16=False)
 
     def test_pinned_names_and_unknown(self):
         from columnflow.tasks.parity import resolve_engine
