@@ -62,8 +62,18 @@ def _load():
         ]
         _lib = lib
     except (OSError, subprocess.CalledProcessError) as e:
+        import warnings
+
         _load_error = str(e)
         _lib = None
+        # Round-4 VERDICT Weak #6: a corrupted toolchain used to degrade
+        # to the JAX fallback with the reason visible only via
+        # ``available()``; warn once so the degradation is logged.
+        warnings.warn(
+            f"columnflow.native: C++ engine build/load failed "
+            f"({_load_error[:200]}); falling back to the pure-JAX "
+            "implementations (functionally identical, slower host-side "
+            "dataset generation).", RuntimeWarning, stacklevel=2)
     return _lib
 
 

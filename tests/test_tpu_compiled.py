@@ -482,3 +482,32 @@ class TestCompiledSplit2:
             scale = max(1e-6, float(np.abs(a).max()))
             np.testing.assert_allclose(b, a, rtol=5e-3, atol=5e-3 * scale,
                                        err_msg=k)
+
+
+class TestGalleryFusedSegment:
+    """The figure gallery's auto-selected fused rollout on the real chip
+    (round-4 VERDICT Weak #5): ``analysis.experiments._wta_segment_runner
+    (use_fused=True)`` — the path every non-CPU gallery run takes — vs
+    the scan path for a short segment. Both draw the identical Brownian
+    pack per key; tolerance per the horizon-dependent divergence
+    measurements in TestCompiledWTAKernels (T=100 band)."""
+
+    def test_fused_segment_matches_scan_path(self):
+        from columnflow.analysis.experiments import _wta_segment_runner
+        from columnflow.models import build_wta
+
+        params, area = build_wta(CFG, jax.random.PRNGKey(0))
+        T = 100
+        ts = jnp.linspace(0.0, T * 1e-4, T)
+        run_fused = _wta_segment_runner(params, area, ts, use_fused=True)
+        run_scan = _wta_segment_runner(params, area, ts, use_fused=False)
+
+        y0 = jnp.zeros(48)
+        stim_row = jnp.asarray(wta_stim_three_phases(
+            jnp.asarray([20.0, 8.0]), T))[T // 2]
+        k = jax.random.PRNGKey(5)
+        got = run_fused(y0, k, stim_row)
+        want = run_scan(y0, k, stim_row)
+        assert got.shape == want.shape == (T, 48)
+        assert np.all(np.isfinite(np.asarray(got)))
+        assert _scale_rel(got, want) < 3e-2
