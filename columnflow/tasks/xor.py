@@ -475,6 +475,14 @@ def main():
     p.add_argument("--samples", type=int, default=160)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--smoke", action="store_true")
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "xla", "fused"],
+                   help="solver-engine selection (default auto — same "
+                        "dispatch surface as tasks.parity: at the XOR "
+                        "scale (3 columns) the fused engine is "
+                        "measured-best, 27 vs 210 ms/step). Any explicit "
+                        "engine flag (--fused/--fused-pass) or a "
+                        "non-default --method switches to manual mode")
     p.add_argument("--fused", action="store_true",
                    help="shared-controller Pallas fused dopri5")
     p.add_argument("--metrics-out", default=None)
@@ -502,6 +510,21 @@ def main():
     p.add_argument("--resume", default=None, metavar="CKPT",
                    help="resume training from a --checkpoint-out checkpoint")
     args = p.parse_args()
+    # Scale-aware engine dispatch, mirroring tasks.parity: explicit
+    # engine flags (or a pinned non-default method) switch to manual
+    # mode; otherwise auto/fused/xla resolve use_fused via the parity
+    # crossover policy (XOR's 3-column scale sits in the fused band).
+    manual_flags = (args.fused or args.fused_pass
+                    or args.ode_method != "dopri5")
+    if not manual_flags:
+        from columnflow.tasks.parity import resolve_engine
+
+        flags, why = resolve_engine(args.engine, 3,
+                                    stochastic=args.stochastic,
+                                    adaptive=args.adaptive)
+        args.fused = flags["use_fused"]
+        print(f"engine {args.engine} -> "
+              f"{'fused' if args.fused else 'xla'}: {why}")
 
     if args.smoke:
         params, hist = train_xor(nr_samples=8, time_steps=200, max_steps=1024,
