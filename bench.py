@@ -322,40 +322,38 @@ def bench_parity_adaptive(iters: int = 5, batch: int = 4,
     task = pt.build_task(cfg, jax.random.PRNGKey(0),
                          columns_per_area=(64, 32, 8), n_inputs=4,
                          time_steps=1000, dt=1e-3, max_steps=16384)
-    # The whole K-iteration block runs as ONE jitted lax.scan dispatch
-    # (batch generation, rollout, update, best tracking on-device) —
-    # every host round-trip on this tunnel costs ~30 ms, which is real
-    # against a ~0.5 s step, and the scan is also how the actual trainer
-    # dispatches (tasks/parity.py make_train_scan). The timing is still
-    # a dependent chain: params update every iteration.
-    scan_fn = pt.make_train_scan(task, use_fused=True, n_inputs=4,
-                                 batch_size=batch, stochastic=True,
-                                 adaptive=True, bptt_every=32,
-                                 clip_grad_norm=1.0, loss_scale=1e-6,
-                                 select_bf16=True, grad_bf16=True,
-                                 # round-4 tier: replay values/state-
-                                 # cotangent sweeps as 3-pass bf16 splits
-                                 # (measured 11% step win at identical
-                                 # convergence, RESULTS.md)
-                                 split2=True)
+    step = pt.make_train_step(task, use_fused=True, stochastic=True,
+                              adaptive=True, bptt_every=32,
+                              clip_grad_norm=1.0, loss_scale=1e-6,
+                              select_bf16=True, grad_bf16=True,
+                              # round-4 tier: replay values/state-cotangent
+                              # sweeps as 3-pass bf16 splits (measured 11%
+                              # step win at identical convergence,
+                              # RESULTS.md "ceiling, broken")
+                              split2=True)
     params = task.params
     opt_state = task.optimizer.init(params)
-    import jax.numpy as _jnp
+    key = jax.random.PRNGKey(1)
 
-    best = (_jnp.asarray(_jnp.inf, _jnp.float32),
-            jax.tree_util.tree_map(_jnp.array, params))
+    # Per-iteration dispatch, blocking only at the end: the host enqueues
+    # iteration i+1 while the device runs i, so the tunnel RTT pipelines
+    # behind the ~0.5 s step (measured: a one-dispatch lax.scan block of
+    # the same K iterations times ~4% SLOWER, so scanning buys nothing
+    # here). Still a dependent chain — params update every iteration.
+    def one(params, opt_state, k):
+        k_batch, k_noise = jax.random.split(k)
+        stims = make_parity_batch(k_batch, 4, batch)
+        return step(params, opt_state, stims, k_noise)
 
     # Warmup/compile.
-    params, opt_state, best, losses, *_ = scan_fn(
-        params, opt_state, best, jax.random.split(jax.random.PRNGKey(1),
-                                                  iters))
-    losses.block_until_ready()
+    params, opt_state, loss, *_ = one(params, opt_state, key)
+    loss.block_until_ready()
 
+    keys = jax.random.split(jax.random.PRNGKey(2), iters)
     t0 = time.perf_counter()
-    params, opt_state, best, losses, *_ = scan_fn(
-        params, opt_state, best, jax.random.split(jax.random.PRNGKey(2),
-                                                  iters))
-    losses.block_until_ready()
+    for k in keys:
+        params, opt_state, loss, *_ = one(params, opt_state, k)
+    loss.block_until_ready()
     s_per_iter = (time.perf_counter() - t0) / iters
     if not with_stats:
         return s_per_iter, None, None
