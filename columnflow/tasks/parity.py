@@ -727,7 +727,8 @@ _FUSED_MAX_COLUMNS = 312
 
 
 def resolve_engine(engine: str | None, total_columns: int,
-                   stochastic: bool = False, adaptive: bool = False):
+                   stochastic: bool = False, adaptive: bool = False,
+                   batch_size: int | None = None):
     """Scale-aware engine dispatch (round-4 VERDICT #3): map a network
     size onto the measured-best engine so ``--engine auto`` gives
     torchdiffeq's ``method=``-only usability (SURVEY.md section 2 C10)
@@ -735,6 +736,13 @@ def resolve_engine(engine: str | None, total_columns: int,
     ``flags`` has use_fused/split2/select_bf16/grad_bf16 and ``reason``
     is the one-line log. ``engine`` in {"auto", "xla", "fused",
     "fused-split2"}; explicit names pin the engine without scale logic.
+
+    ``batch_size`` feeds the round-5 LANE ceiling (RESULTS.md
+    "Throughput mode", measured at the 104-column scale): the fused
+    lane-batched replay's compile dies past 8 lanes on this toolchain,
+    so the stochastic-adaptive auto policy picks XLA directly at >= 16
+    lanes instead of paying a ~2 min failed fused compile before the
+    fallback fires.
     """
     base = dict(use_fused=False, split2=False, select_bf16=False,
                 grad_bf16=False)
@@ -748,6 +756,14 @@ def resolve_engine(engine: str | None, total_columns: int,
     if engine != "auto":
         raise ValueError(
             f"unknown engine {engine!r}: use auto|xla|fused|fused-split2")
+    if (stochastic and adaptive and batch_size is not None
+            and batch_size >= 16
+            and total_columns >= _SPLIT2_MIN_COLUMNS):
+        return dict(base, select_bf16=True), (
+            f"batch {batch_size} >= 16 lanes at {total_columns} columns: "
+            "past the fused replay's measured lane ceiling (8 lanes, "
+            "RESULTS.md 'Throughput mode') — XLA engine with bf16 "
+            "selection")
     if total_columns > _FUSED_MAX_COLUMNS:
         return base, (
             f"{total_columns} columns > {_FUSED_MAX_COLUMNS}: past the "
@@ -881,7 +897,8 @@ def train_parity(
     if engine is not None:
         flags, why = resolve_engine(engine, sum(columns_per_area),
                                     stochastic=stochastic,
-                                    adaptive=adaptive)
+                                    adaptive=adaptive,
+                                    batch_size=batch_size)
         use_fused, split2 = flags["use_fused"], flags["split2"]
         select_bf16 = select_bf16 or flags["select_bf16"]
         grad_bf16 = grad_bf16 or flags["grad_bf16"]

@@ -323,6 +323,27 @@ class TestEngineAuto:
         assert flags == dict(use_fused=True, split2=False,
                              select_bf16=False, grad_bf16=False)
 
+    def test_lane_ceiling_band(self):
+        """Round-5 measured lane ceiling: >= 16 lanes at flagship scale
+        routes the stochastic-adaptive auto policy straight to XLA
+        (the fused replay's compile dies past 8 lanes) instead of
+        paying a failed fused compile before the fallback."""
+        from columnflow.tasks.parity import resolve_engine
+
+        flags, why = resolve_engine("auto", 104, stochastic=True,
+                                    adaptive=True, batch_size=16)
+        assert not flags["use_fused"] and flags["select_bf16"]
+        assert "lane ceiling" in why
+        # At or below the knee the flagship tiers stay.
+        flags, _ = resolve_engine("auto", 104, stochastic=True,
+                                  adaptive=True, batch_size=8)
+        assert flags["use_fused"] and flags["grad_bf16"]
+        # Small networks never hit the lane band (their replay kernels
+        # are tiny; the ceiling was measured at flagship state size).
+        flags, _ = resolve_engine("auto", 13, stochastic=True,
+                                  adaptive=True, batch_size=64)
+        assert flags["use_fused"]
+
     def test_pinned_names_and_unknown(self):
         from columnflow.tasks.parity import resolve_engine
 
