@@ -392,7 +392,7 @@ def bench_parity_adaptive(iters: int = 5, batch: int = 4,
     return s_per_iter, na, nr
 
 
-def wta_record(kind, peaks):
+def wta_record(peaks):
     """Legacy reference-protocol WTA metric (saturated; latency-bound —
     the chain is 1499 SEQUENTIAL solver steps per iteration, so MFU is
     intrinsically tiny and the informative absolute number is the
@@ -479,7 +479,7 @@ def main():
 
     # --- legacy WTA metric (vs the fingerprinted torch-CPU baseline) ---
     try:
-        extra.append(wta_record(kind, peaks))
+        extra.append(wta_record(peaks))
     except Exception as e:
         extra.append({"metric": "wta_train_iters_per_sec",
                       "error": f"{type(e).__name__}: {e}"})

@@ -45,10 +45,17 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 import jax
 import jax.numpy as jnp
+
+# Repo-local persistent compilation cache (CLAUDE.md: every TPU driver
+# shares it — the flagship programs cost ~10 min of remote compile cold).
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(_REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 CHIP_BF16_PEAK = 197e12  # TPU v5e (BASELINE.md "Utilization accounting")
 
@@ -223,6 +230,9 @@ def main():
                          "per-sample counts, batch-independent)")
     ap.add_argument("--nr", type=float, default=None)
     args = ap.parse_args()
+    if (args.na is None) != (args.nr is None):
+        ap.error("--na and --nr must be given together (a lone --na "
+                 "would crash the MFU computation after the timing ran)")
 
     probe = probe_stats if args.na is None else None
     for b in args.batches:

@@ -48,6 +48,12 @@ import jax
 import jax.numpy as jnp
 
 jax.config.update("jax_platforms", "cpu")
+# Repo-local persistent compilation cache: the 416-column TP compile is
+# minutes of CPU compile; warm re-runs of the accounting skip it.
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 DTYPE_BYTES = {"f32": 4, "bf16": 2, "s32": 4, "u32": 4, "f16": 2,
                "pred": 1, "s8": 1, "u8": 1, "f64": 8, "s64": 8}
@@ -69,27 +75,53 @@ def shape_bytes(shape_str):
 
 
 def parse_collectives(hlo_text):
-    """Count collective ops and their output bytes in optimized HLO.
+    """Count LOGICAL collectives and their result bytes in optimized HLO.
 
-    Ops inside while-loop bodies execute once per loop iteration; the
-    static text count is therefore per-ITERATION when the op sits in the
-    solver's while body (reported separately via the body heuristic:
-    computation names containing 'while' or 'body')."""
+    - Async pairs (``all-gather-start``/``all-gather-done`` etc., TPU
+      HLO) are ONE logical collective: the ``-start`` line is counted,
+      the ``-done`` (a wait on the same transfer) is skipped.
+    - Result bytes: a plain op's tuple shape is a VARIADIC collective
+      (one op over several tensors — XLA emits these for fused gradient
+      reduces), so its elements are summed; a ``-start``'s tuple is
+      ``(operands..., results...)`` and only the results half is summed
+      (summing all would double-count the transfer).
+    - Ops inside while-loop bodies execute once per loop iteration; the
+      static count is per-ITERATION there, reported via ``in_loop_body``
+      (the op's ``op_name`` metadata carries the jaxpr scope, e.g.
+      ``jit(step)/jvp()/while/body/...``; enclosing-computation names
+      containing while/body are also honored).
+    """
+    op_re = re.compile(
+        r"(?:ROOT\s+)?%?\S+\s*=\s*(.+?)\s+(all-gather|all-reduce|"
+        r"reduce-scatter|collective-permute|all-to-all)(-start|-done)?\(")
+    comp_re = re.compile(r"^(?:ENTRY\s+)?%?([\w.\-]+)\s*(?:\([^)]*\))?\s*"
+                         r"(?:->[^{]*)?\{\s*(?:/\*.*\*/\s*)?$")
     out = {}
+    comp = ""
     for line in hlo_text.splitlines():
-        line = line.strip()
-        m = re.match(r"(?:ROOT\s+)?%?\S+\s*=\s*(\S+)\s+(all-gather|"
-                     r"all-reduce|reduce-scatter|collective-permute|"
-                     r"all-to-all)", line)
+        stripped = line.strip()
+        if stripped.endswith("{"):
+            mc = comp_re.match(stripped)
+            if mc:
+                comp = mc.group(1)
+            continue
+        m = op_re.match(stripped)
         if not m:
             continue
-        shape_str, kind = m.groups()
-        # tuple shapes: (f32[...], f32[...])
-        total = sum(shape_bytes(s)
-                    for s in re.findall(r"\w+\[[\d,]*\]", shape_str))
-        rec = out.setdefault(kind, {"count": 0, "bytes": 0})
+        shape_str, kind, suffix = m.groups()
+        if suffix == "-done":
+            continue
+        sizes = [shape_bytes(s)
+                 for s in re.findall(r"\w+\[[\d,]*\]", shape_str)]
+        if suffix == "-start" and len(sizes) > 1:
+            sizes = sizes[len(sizes) // 2:]       # results half only
+        in_body = ("while" in comp.lower() or "body" in comp.lower()
+                   or "/while/" in stripped)
+        rec = out.setdefault(kind, {"count": 0, "bytes": 0,
+                                    "in_loop_body": 0})
         rec["count"] += 1
-        rec["bytes"] += total
+        rec["bytes"] += sum(sizes)
+        rec["in_loop_body"] += int(in_body)
     return out
 
 

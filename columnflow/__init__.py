@@ -47,9 +47,15 @@ if not _jax.config.jax_threefry_partitionable:
     import os as _os
 
     def _ver(v):
+        # LEADING digit run only: "3rc1" must parse as 3, not 31 — else a
+        # prerelease like 0.4.3rc1 reads as (0, 4, 31) and skips the pin.
         parts = []
         for tok in v.split(".")[:3]:
-            num = "".join(ch for ch in tok if ch.isdigit())
+            num = ""
+            for ch in tok:
+                if not ch.isdigit():
+                    break
+                num += ch
             parts.append(int(num) if num else 0)
         return tuple(parts)
 

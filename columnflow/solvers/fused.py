@@ -131,7 +131,13 @@ def _is_backend_compile_error(e: Exception) -> bool:
     compile errors (XlaRuntimeError subclasses RuntimeError; the axon
     tunnel can surface remote-compile failures as OSError), False for
     Python-level programming errors unless their message carries an
-    explicit Mosaic/XLA marker."""
+    explicit Mosaic/XLA marker. ``NotImplementedError`` subclasses
+    ``RuntimeError`` but is how JAX reports a MISSING RULE (batching,
+    transpose, ...) for a primitive in the caller's own drift — a
+    programming error that must re-raise, not a backend refusal."""
+    if isinstance(e, NotImplementedError):
+        msg = f"{type(e).__name__}: {e}"
+        return any(m in msg for m in _BACKEND_ERROR_MARKERS)
     if isinstance(e, (RuntimeError, OSError, MemoryError)):
         return True
     msg = f"{type(e).__name__}: {e}"

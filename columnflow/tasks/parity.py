@@ -739,10 +739,10 @@ def resolve_engine(engine: str | None, total_columns: int,
 
     ``batch_size`` feeds the round-5 LANE ceiling (RESULTS.md
     "Throughput mode", measured at the 104-column scale): the fused
-    lane-batched replay's compile dies past 8 lanes on this toolchain,
-    so the stochastic-adaptive auto policy picks XLA directly at >= 16
-    lanes instead of paying a ~2 min failed fused compile before the
-    fallback fires.
+    lane-batched replay's compile dies past 8 lanes on this toolchain
+    (8 measured working, 16 measured failing), so the stochastic-adaptive
+    auto policy picks XLA directly at > 8 lanes instead of paying a
+    ~2 min failed fused compile before the fallback fires.
     """
     base = dict(use_fused=False, split2=False, select_bf16=False,
                 grad_bf16=False)
@@ -757,10 +757,10 @@ def resolve_engine(engine: str | None, total_columns: int,
         raise ValueError(
             f"unknown engine {engine!r}: use auto|xla|fused|fused-split2")
     if (stochastic and adaptive and batch_size is not None
-            and batch_size >= 16
+            and batch_size > 8
             and total_columns >= _SPLIT2_MIN_COLUMNS):
         return dict(base, select_bf16=True), (
-            f"batch {batch_size} >= 16 lanes at {total_columns} columns: "
+            f"batch {batch_size} > 8 lanes at {total_columns} columns: "
             "past the fused replay's measured lane ceiling (8 lanes, "
             "RESULTS.md 'Throughput mode') — XLA engine with bf16 "
             "selection")

@@ -813,6 +813,33 @@ class TestCompileOrFallback:
                                            (jnp.ones(3),))
         assert not used and fn is fallback
 
+    def test_not_implemented_error_reraises(self):
+        """NotImplementedError subclasses RuntimeError but is JAX's
+        missing-rule report (e.g. a primitive in the caller's drift with
+        no batching/transpose rule) — a programming error that must
+        re-raise, not be misreported as the VMEM ceiling. A marked one
+        (backend UNIMPLEMENTED) still falls back."""
+        from columnflow.solvers.fused import compile_or_fallback
+
+        class RuleBoom:
+            def lower(self, *a):
+                raise NotImplementedError(
+                    "Batching rule for 'my_prim' not implemented")
+
+        with pytest.raises(NotImplementedError, match="Batching rule"):
+            compile_or_fallback(RuleBoom(), lambda: None, (jnp.ones(3),))
+
+        class MarkedRuleBoom:
+            def lower(self, *a):
+                raise NotImplementedError("UNIMPLEMENTED: backend refusal")
+
+        fallback = object()
+        with pytest.warns(RuntimeWarning, match="falling back"):
+            fn, used = compile_or_fallback(MarkedRuleBoom(),
+                                           lambda: fallback,
+                                           (jnp.ones(3),))
+        assert not used and fn is fallback
+
 
 class TestGradOfJit:
     """Round-4 VERDICT #5: ``grad(jit(f))`` used to die with an opaque

@@ -324,16 +324,19 @@ class TestEngineAuto:
                              select_bf16=False, grad_bf16=False)
 
     def test_lane_ceiling_band(self):
-        """Round-5 measured lane ceiling: >= 16 lanes at flagship scale
+        """Round-5 measured lane ceiling: > 8 lanes at flagship scale
         routes the stochastic-adaptive auto policy straight to XLA
-        (the fused replay's compile dies past 8 lanes) instead of
-        paying a failed fused compile before the fallback."""
+        (the fused replay's compile dies past 8 lanes: 8 measured
+        working, 16 measured failing — 9-15 must not pay the ~2 min
+        failed fused compile either) instead of a doomed fused compile
+        before the fallback."""
         from columnflow.tasks.parity import resolve_engine
 
-        flags, why = resolve_engine("auto", 104, stochastic=True,
-                                    adaptive=True, batch_size=16)
-        assert not flags["use_fused"] and flags["select_bf16"]
-        assert "lane ceiling" in why
+        for b in (9, 12, 16, 64):
+            flags, why = resolve_engine("auto", 104, stochastic=True,
+                                        adaptive=True, batch_size=b)
+            assert not flags["use_fused"] and flags["select_bf16"], b
+            assert "lane ceiling" in why
         # At or below the knee the flagship tiers stay.
         flags, _ = resolve_engine("auto", 104, stochastic=True,
                                   adaptive=True, batch_size=8)
