@@ -146,6 +146,10 @@ SLOW_NODE_PREFIXES = (
     "tests/test_kernels.py::TestChunkedBackward::test_chunked_matches_unchunked",
     # vmap-compose of the adaptive adjoint (unbatched tests always on)
     "tests/test_sde_adjoint.py::TestAdaptiveAdjointBatch::test_vmap_over_keys",
+    # docs/TUTORIAL.md worked example end-to-end (its subjects — odeint
+    # training, sdeint, checkpointing — have always-on representatives in
+    # test_ode.py / test_sde.py / test_train.py)
+    "tests/test_examples.py::test_tutorial_example_end_to_end",
 )
 
 
